@@ -1,0 +1,553 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator surface (SURVEY.md §2.1–§2.6) expressed over the
+  * driver-generated synthetic tables, each with a DuckDB-equivalent oracle.
+  *
+  * Oracle-parity rules used throughout:
+  *  - money/quantity sums go through DECIMAL(18,2) so the sum is exact and
+  *    the final double cast is bit-identical regardless of addition order;
+  *  - float-path aggregates (rms, cosine) are rounded to >=4 decimals;
+  *  - every result carries a total ORDER BY so row order is deterministic;
+  *  - aggregate/computed columns are aliased identically in both dialects.
+  */
+object Relational {
+
+  private def d2(c: org.apache.spark.sql.Column) =
+    c.cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / projections / filters (S1, P7-P13) ----
+
+    // A1/A4 analog of the reference's per-chapter rollup: TPC-H Q1 shape.
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1995-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(d2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(d2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // S1/S2: projection+filter that must push down to the parquet scan.
+    "q02_scan_pushdown" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .filter(col("l_shipdate") < lit("1995-06-01").cast("timestamp") &&
+          col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // P7/P9: ticks→seconds arithmetic projection + rounding.
+    "q03_ticks_seconds" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          floor(col("value") * 1e5).cast("long").as("ticks"))
+        .withColumn("seconds", round(col("ticks") / 1e7, 4))
+        .orderBy("event_id")
+    }),
+
+    // P8: null-timestamp repair via coalesce.
+    "q04_null_repair" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(nullif(col("l_discount"), lit(0.0)), lit(0.5))
+            .as("disc_fixed"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // P10: filename-style parse/format (regexp_extract + lpad).
+    "q05_parse_format" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+          lpad(col("p_size").cast("string"), 3, "0").as("size_code"))
+        .orderBy("p_partkey")
+    }),
+
+    // P11: validity filter (size/extension analog).
+    "q06_validity_filter" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("value") > 100.0 &&
+          col("event_type").isin("purchase", "click", "view"))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
+    // P13: confidence-floor flag column.
+    "q07_confidence_flags" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), col("value"),
+          when(col("value") < 30, "reject")
+            .when(col("value") < 60, "warn")
+            .otherwise("ok").as("flag"))
+        .orderBy("event_id")
+    }),
+
+    // ---- joins (J1-J6) ----
+
+    // J1: dimension resolution — two chained broadcast-hash joins.
+    "q08_dim_resolve" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(d2(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .orderBy("r_name")
+    }),
+
+    // J2: fact-to-fact inner join + revenue rollup.
+    "q09_order_revenue" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // J5: anti-join diagnostic (customers with no orders).
+    "q10_missing_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_inactive"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // J5: semi-join (matched keys).
+    "q11_matched_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // J6: point-in-interval range join (viewer time lookup analog).
+    "q12_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = broadcast(Tables.part(s, d))
+      e.join(p, e("value") >= p("p_size") &&
+          e("value") < p("p_size") + lit(0.5))
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_hits"),
+          round(sum(col("value")), 2).as("sum_val"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- aggregation (A1-A10) ----
+
+    // A3: min/max/count rollup per group.
+    "q13_verse_rollup" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // A2: deterministic argmax (NBest pick) via ranked window.
+    "q14_argmax_pick" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
+    // A4: run summary — success counts and rate.
+    "q15_run_summary" -> ((s, d) => {
+      Tables.events(s, d)
+        .agg(
+          sum(when(col("event_type") === "error", 1).otherwise(0))
+            .cast("long").as("n_failed"),
+          count(lit(1)).as("n_total"))
+        .withColumn("fail_rate",
+          round(col("n_failed") / col("n_total"), 6))
+    }),
+
+    // A6: RMS energy per fixed-width segment.
+    "q16_rms_segments" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy((col("event_id") / 100).cast("long").as("segment"))
+        .agg(round(sqrt(avg(col("value") * col("value"))), 4).as("rms"),
+          count(lit(1)).as("n"))
+        .orderBy("segment")
+    }),
+
+    // A7: threshold from tail segments, then first segment above it.
+    "q17_intro_threshold" -> ((s, d) => {
+      val seg = Tables.events(s, d)
+        .groupBy((col("event_id") / 100).cast("long").as("segment"))
+        .agg(sqrt(avg(col("value") * col("value"))).as("rms"))
+      val thr = seg.filter(col("segment") >= 2)
+        .agg((avg(col("rms")) * 0.3).as("threshold"))
+      seg.crossJoin(broadcast(thr))
+        .filter(col("rms") > col("threshold"))
+        .agg(min(col("segment")).as("first_loud"),
+          round(min(col("threshold")), 4).as("thr"))
+    }),
+
+    // A5: corpus totals (sum over collection sizes).
+    "q18_corpus_totals" -> ((s, d) => {
+      Tables.documents(s, d)
+        .agg(sum(col("n_chars")).cast("long").as("total_chars"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
+
+    // ---- windows / ordered computation (W1-W6) ----
+
+    // W1: running start-time accumulator (cumulative sum over order).
+    "q19_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          coalesce(sum(d2(col("o_totalprice"))).over(w), lit(0))
+            .cast("double").as("start_offset"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // W2: uniform time split — (rank-1) * total / n per group.
+    "q20_uniform_split" -> ((s, d) => {
+      val wOrd = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderkey"))
+      val wAll = Window.partitionBy("o_custkey")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(wOrd).as("slot"),
+          count(lit(1)).over(wAll).as("n_slots"))
+        .withColumn("slot_start",
+          round((col("slot") - 1) * lit(100.0) / col("n_slots"), 4))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // W3+A9: word-density allocation with a floor (greatest).
+    "q21_density_alloc" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          sum(d2(col("l_quantity"))).over(w).cast("double").as("total_qty"))
+        .withColumn("alloc",
+          round(greatest(lit(1.0),
+            col("l_quantity") / col("total_qty") * 100.0), 4))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // W4: sequence numbering over event time.
+    "q22_seq_number" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).as("seq"))
+        .orderBy("user_id", "seq")
+    }),
+
+    // lag: previous-end carry (gap between consecutive events, seconds).
+    "q23_lag_gap" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          (col("ts").cast("long") -
+            lag(col("ts").cast("long"), 1).over(w)).as("gap_sec"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W5: look-ahead frame max (windowed best-match analog).
+    "q24_lookahead_max" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("event_id"))
+        .rowsBetween(Window.currentRow, 4)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(max(col("value")).over(w), 2).as("best_ahead"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W6/O4: top-k by measure.
+    "q25_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(5)
+    }),
+
+    // ---- set ops / distinct (O5-O7) ----
+
+    // O5: set difference — nations with no customers.
+    "q26_set_except" -> ((s, d) => {
+      val n = Tables.nation(s, d).select(col("n_nationkey").as("k"))
+      val c = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("int").as("k"))
+      n.except(c).orderBy("k")
+    }),
+
+    // O5: set intersection — nations with both customers and suppliers.
+    "q27_set_intersect" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("int").as("k"))
+      val sp = Tables.supplier(s, d)
+        .select(col("s_nationkey").cast("int").as("k"))
+      c.intersect(sp).orderBy("k")
+    }),
+
+    // O6: union + dedup (alias-map merge analog).
+    "q28_union_dedup" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("int").as("k"))
+      val sp = Tables.supplier(s, d)
+        .select(col("s_nationkey").cast("int").as("k"))
+      c.union(sp).distinct().orderBy("k")
+    }),
+
+    // O7: distinct.
+    "q29_distinct" -> ((s, d) => {
+      Tables.customer(s, d).select("c_mktsegment").distinct()
+        .orderBy("c_mktsegment")
+    }),
+
+    // Rollup (engine extension; reference has only flat groupBy).
+    "q30_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(d2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // X14: levenshtein similarity ratio between successive part names.
+    "q31_lev_ratio" -> ((s, d) => {
+      val p1 = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+      val p2 = Tables.part(s, d).select(
+        (col("p_partkey") - 1).as("p_partkey"), col("p_name").as("next_name"))
+      p1.join(p2, Seq("p_partkey"))
+        .select(col("p_partkey"),
+          round(lit(1.0) - levenshtein(col("p_name"), col("next_name")) /
+            greatest(length(col("p_name")), length(col("next_name")))
+              .cast("double"), 4).as("sim"))
+        .orderBy("p_partkey")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  ROUND(AVG(l_discount), 6) AS avg_disc,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1995-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_ticks_seconds" ->
+      """SELECT event_id, CAST(FLOOR(value * 1e5) AS BIGINT) AS ticks,
+        |  ROUND(CAST(FLOOR(value * 1e5) AS BIGINT) / 1e7, 4) AS seconds
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q04_null_repair" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  COALESCE(NULLIF(l_discount, 0.0), 0.5) AS disc_fixed
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q05_parse_format" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |  lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_code
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q06_validity_filter" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE value > 100.0 AND event_type IN ('purchase','click','view')
+        |ORDER BY event_id""".stripMargin,
+
+    "q07_confidence_flags" ->
+      """SELECT event_id, value,
+        |  CASE WHEN value < 30 THEN 'reject'
+        |       WHEN value < 60 THEN 'warn' ELSE 'ok' END AS flag
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q08_dim_resolve" ->
+      """SELECT r_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q09_order_revenue" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_missing_anti" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_inactive FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q11_matched_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_range_join" ->
+      """SELECT p_partkey, COUNT(*) AS n_hits, ROUND(SUM(value), 2) AS sum_val
+        |FROM events JOIN part ON value >= p_size AND value < p_size + 0.5
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+
+    "q13_verse_rollup" ->
+      """SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q14_argmax_pick" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q15_run_summary" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+        |  COUNT(*) AS n_total,
+        |  ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS fail_rate
+        |FROM events""".stripMargin,
+
+    "q16_rms_segments" ->
+      """SELECT CAST(event_id // 100 AS BIGINT) AS segment,
+        |  ROUND(SQRT(AVG(value * value)), 4) AS rms, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "q17_intro_threshold" ->
+      """WITH seg AS (
+        |  SELECT CAST(event_id // 100 AS BIGINT) AS segment,
+        |    SQRT(AVG(value * value)) AS rms
+        |  FROM events GROUP BY 1),
+        |thr AS (SELECT AVG(rms) * 0.3 AS threshold FROM seg WHERE segment >= 2)
+        |SELECT MIN(segment) AS first_loud, ROUND(MIN(threshold), 4) AS thr
+        |FROM seg, thr WHERE rms > threshold""".stripMargin,
+
+    "q18_corpus_totals" ->
+      """SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs
+        |FROM documents""".stripMargin,
+
+    "q19_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS start_offset
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q20_uniform_split" ->
+      """SELECT o_custkey, o_orderkey, slot, n_slots,
+        |  ROUND((slot - 1) * 100.0 / n_slots, 4) AS slot_start
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS slot,
+        |    COUNT(*) OVER (PARTITION BY o_custkey) AS n_slots
+        |  FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q21_density_alloc" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, total_qty,
+        |  ROUND(GREATEST(1.0, l_quantity / total_qty * 100.0), 4) AS alloc
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY l_orderkey) AS DOUBLE) AS total_qty
+        |  FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q22_seq_number" ->
+      """SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        |FROM events ORDER BY user_id, seq""".stripMargin,
+
+    "q23_lag_gap" ->
+      """SELECT user_id, event_id,
+        |  CAST(FLOOR(epoch(ts)) AS BIGINT) -
+        |  lag(CAST(FLOOR(epoch(ts)) AS BIGINT), 1) OVER (
+        |    PARTITION BY user_id ORDER BY event_id) AS gap_sec
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q24_lookahead_max" ->
+      """SELECT user_id, event_id,
+        |  ROUND(MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING), 2) AS best_ahead
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q25_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin,
+
+    "q26_set_except" ->
+      """SELECT n_nationkey AS k FROM nation
+        |EXCEPT SELECT CAST(c_nationkey AS INTEGER) AS k FROM customer
+        |ORDER BY k""".stripMargin,
+
+    "q27_set_intersect" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS k FROM customer
+        |INTERSECT SELECT CAST(s_nationkey AS INTEGER) AS k FROM supplier
+        |ORDER BY k""".stripMargin,
+
+    "q28_union_dedup" ->
+      """SELECT DISTINCT k FROM (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS k FROM customer
+        |  UNION ALL SELECT CAST(s_nationkey AS INTEGER) AS k FROM supplier)
+        |ORDER BY k""".stripMargin,
+
+    "q29_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+
+    "q30_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q31_lev_ratio" ->
+      """SELECT a.p_partkey,
+        |  ROUND(1.0 - levenshtein(a.p_name, b.p_name) /
+        |    CAST(GREATEST(LENGTH(a.p_name), LENGTH(b.p_name)) AS DOUBLE), 4) AS sim
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |ORDER BY a.p_partkey""".stripMargin
+  )
+}
