@@ -11,7 +11,9 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
     Map[String, String])] = Seq(
-    (graft.queries.Relational.queries, graft.queries.Relational.oracle))
+    (graft.queries.Relational.queries, graft.queries.Relational.oracle),
+    (graft.queries.TextDedup.queries, graft.queries.TextDedup.oracle),
+    (graft.queries.Vector.queries, graft.queries.Vector.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped pricing summary (SURVEY.md §2.4 A1).

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines:
+  * normalization, tokenization, language-ID heuristics, quality scoring,
+  * fingerprinting. All are pure `Column` expressions (whole-stage codegen,
+  * no UDFs) so they inherit Catalyst pushdown/pruning and stay cheap at
+  * 100 TB: every function is a scalar projection — no shuffle.
+  *
+  * Generalizes the reference's Hebrew text handling
+  * (hebrew_alignment_tool.py:399-403 normalize;
+  * convert_hebrew_grammar_pdf.py:95-133 token/QA checks).
+  */
+object TextFunctions {
+
+  /** Lowercase, squeeze whitespace runs, trim — the match-key normalizer
+    * (reference normalize, hebrew_alignment_tool.py:399-403).
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Non-empty whitespace tokens. */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= "")
+
+  /** Distinct non-empty tokens (set semantics for dedup/Jaccard). */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def distinctTokenCount(c: Column): Column = size(tokenSet(c))
+
+  /** Occurrence count of `word` as a standalone token — portable
+    * (replace-based) so the DuckDB oracle matches exactly.
+    */
+  def wordHits(c: Column, word: String): Column = {
+    val needle = s" $word "
+    val padded = concat(lit(" "), c, lit(" "))
+    ((length(padded) - length(replace(padded, lit(needle), lit("")))) /
+      needle.length).cast("long")
+  }
+
+  /** Stopword-hit language ID heuristic: counts per-language stopword
+    * tokens; predicts the argmax with deterministic tie-break order
+    * en > de > es > fr, 'und' for zero hits.
+    */
+  def langScores(c: Column): Map[String, Column] = Map(
+    "en" -> (wordHits(c, "the") + wordHits(c, "and") + wordHits(c, "of")),
+    "de" -> (wordHits(c, "der") + wordHits(c, "und") + wordHits(c, "die")),
+    "es" -> (wordHits(c, "el") + wordHits(c, "la") + wordHits(c, "de")),
+    "fr" -> (wordHits(c, "le") + wordHits(c, "et") + wordHits(c, "les")))
+
+  /** Character-class ratio helpers for quality scoring. */
+  def charClassCount(c: Column, clazz: String): Column =
+    length(c) - length(regexp_replace(c, clazz, ""))
+
+  /** Heuristic document quality in [0,1]: rewards length (saturating),
+    * penalizes punctuation- and digit-heavy text. Pure arithmetic —
+    * identical in DuckDB.
+    */
+  def qualityScore(c: Column): Column = {
+    val n = tokenCount(c).cast("double")
+    val punct = charClassCount(c, "[^a-zA-Z0-9 ]").cast("double")
+    val digits = charClassCount(c, "[0-9]").cast("double")
+    val lenScore = least(n / 50.0, lit(1.0))
+    val punctPenalty = least(punct / greatest(length(c).cast("double"),
+      lit(1.0)) * 5.0, lit(1.0))
+    val digitPenalty = least(digits / greatest(length(c).cast("double"),
+      lit(1.0)), lit(1.0))
+    round(greatest(lit(0.0),
+      lenScore - punctPenalty * 0.5 - digitPenalty * 0.2), 4)
+  }
+
+  /** Content fingerprint: md5 of the normalized text (exact-dup key) plus
+    * a 64-char-prefix hash (head near-dup key).
+    */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  def prefixFingerprint(c: Column, n: Int = 64): Column =
+    md5(substring(normalizeText(c), 1, n))
+
+  /** Hebrew-range character count (reference P5,
+    * hebrew_alignment_transcription_fixed.py:505-519).
+    */
+  def hebrewCharCount(c: Column): Column =
+    charClassCount(c, "[^\\u0590-\\u05FF]")
+}

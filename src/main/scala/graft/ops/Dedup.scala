@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+
+/** Corpus deduplication operators: exact (hash-groupBy), MinHash
+  * signatures + banded grouping, SimHash, and token-set Jaccard.
+  *
+  * Scale design: every op is a hash-partitioned groupBy on a derived key —
+  * no global sort, no driver collect. MinHash banding turns the O(n²)
+  * near-dup pair search into an equi-join on band keys, which Spark
+  * executes as a shuffle-hash join keyed by the band; at 100 TB the band
+  * key cardinality keeps bucket sizes bounded (full-signature bands ⇒
+  * only true near-identical sets collide).
+  *
+  * Hash functions are md5-based (not Spark-internal murmur3) so results
+  * are portable across engines — the DuckDB oracle computes the same
+  * signatures.
+  */
+object Dedup {
+
+  /** Exact-dup keep/drop decision per row: keep the smallest id per
+    * normalized-content hash. One shuffle on the content hash.
+    */
+  def exactDedupFlags(df: DataFrame, textCol: String, idCol: String)
+  : DataFrame = {
+    val h = fingerprint(col(textCol)).as("content_hash")
+    val w = Window.partitionBy(col("content_hash"))
+    df.select(col(idCol), h)
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
+  }
+
+  /** Salted-min MinHash signature over the distinct token set. Each salt
+    * yields an independent permutation approximation; the signature is the
+    * k min md5 digests. Portable: min over lexicographic md5 hex strings.
+    * One pass, partial-aggregated map-side (min combines).
+    */
+  def minhashAgg(df: DataFrame, textCol: String, idCol: String,
+      salts: Seq[String] = Seq("a", "b", "c", "d")): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokenSet(col(textCol))).as("tok"))
+    val aggs = salts.map(s =>
+      min(md5(concat(lit(s), col("tok")))).as(s"sig_$s"))
+    toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Near-dup groups: documents whose full MinHash signature collides.
+    * Returns one row per group with size > 1.
+    */
+  def minhashDupGroups(df: DataFrame, textCol: String, idCol: String,
+      salts: Seq[String] = Seq("a", "b", "c", "d")): DataFrame = {
+    val sigs = minhashAgg(df, textCol, idCol, salts)
+    val sigCols = salts.map(s => col(s"sig_$s"))
+    sigs.groupBy(sigCols: _*)
+      .agg(count(lit(1)).as("group_size"),
+        min(col(idCol)).as("keeper"))
+      .filter(col("group_size") > 1)
+  }
+
+  /** 16-bit SimHash from md5 hex digits of distinct tokens: bit j is the
+    * sign of Σ_tokens (digit_j(md5(tok)) >= '8' ? +1 : -1). Portable
+    * across engines; near-dup docs land on nearby codes.
+    */
+  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokenSet(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (1 to 16).map(j =>
+      sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1))
+        .as(s"b$j"))
+    val bits = (1 to 16).map(j =>
+      when(col(s"b$j") > 0, "1").otherwise("0"))
+    toks.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), concat(bits: _*).as("simhash"))
+  }
+
+  /** Token-set Jaccard similarity for id-adjacent pairs (a linear-cost
+    * demonstration of the n-gram Jaccard kernel; the general pair source
+    * is the MinHash band join). Inner-join semantics: pairs with empty
+    * intersection are dropped.
+    */
+  def jaccardAdjacent(df: DataFrame, textCol: String, idCol: String)
+  : DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokenSet(col(textCol))).as("tok"))
+    val counts = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("b.id") === col("a.id") + 1)
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("n", "n1"),
+        col("id1") === col("id"))
+      .drop("id")
+      .join(counts.withColumnRenamed("n", "n2"),
+        col("id2") === col("id"))
+      .drop("id")
+      .select(col("id1"), col("id2"),
+        round(col("n_inter") /
+          (col("n1") + col("n2") - col("n_inter")).cast("double"), 4)
+          .as("jaccard"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `ARRAY<FLOAT>` columns.
+  *
+  * Baseline: brute-force cosine top-k against a broadcast query vector —
+  * one scan, no shuffle except the final top-k (which Spark executes as
+  * per-partition TakeOrdered + driver merge, O(k) memory).
+  *
+  * Scale path: sign-LSH bucketing — partition vectors by the sign pattern
+  * of a few components (or of projections), then search only the query's
+  * bucket. The bucket id is a plain column ⇒ the bucket restriction is a
+  * partition-prunable filter / equi-join key at 100 TB.
+  *
+  * All arithmetic is done in double via codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) — no UDF, no Python boundary.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (element order fixed ⇒
+    * deterministic summation order).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k neighbors of `queryId` (excluded from the
+    * results). Broadcasts the single query row.
+    */
+  def knnCosine(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = broadcast(emb.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("qvec")))
+    emb.filter(col(idCol) =!= queryId)
+      .crossJoin(q)
+      .select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("qvec")), 5).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Sign-LSH bucket id from the first `nBits` vector components:
+    * bucket = Σ 2^i · [v_i > 0]. A cheap, portable stand-in for random
+    * hyperplane projections (components of a dense random-ish embedding
+    * are already near-isotropic).
+    */
+  def signBucket(vec: Column, nBits: Int = 3): Column =
+    (0 until nBits).map(i =>
+      when(element_at(vec, i + 1) > 0, 1 << (nBits - 1 - i)).otherwise(0))
+      .reduce(_ + _)
+
+  /** Bucket histogram — the partition layout an IVF/LSH index would use. */
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), signBucket(col(vecCol)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), min(col(idCol)).as("min_id"))
+
+  /** ANN restricted to the query's LSH bucket: the scale path — the scan
+    * touches only ~1/2^nBits of the corpus (partition-prunable on a
+    * bucket-partitioned layout).
+    */
+  def lshAnn(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val withBucket = emb.withColumn("bucket", signBucket(col(vecCol)))
+    val q = broadcast(withBucket.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("qvec"), col("bucket").as("qbucket")))
+    withBucket.filter(col(idCol) =!= queryId)
+      .join(q, col("bucket") === col("qbucket"))
+      .select(col(idCol), col("bucket"),
+        round(cosine(asDouble(col(vecCol)), col("qvec")), 5).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.ops.Dedup
+
+/** Text-analysis + deduplication operator surface over the `documents`
+  * table, with portable (md5-based) hashing so every query has an exact
+  * DuckDB oracle.
+  */
+object TextDedup {
+
+  // DuckDB-side token set: non-empty whitespace tokens, distinct.
+  private val duckTokens =
+    "list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))"
+
+  private def duckHits(word: String): String = {
+    val needle = s" $word "
+    s"CAST((length(' ' || text || ' ') - " +
+      s"length(replace(' ' || text || ' ', '$needle', ''))) / " +
+      s"${needle.length} AS BIGINT)"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P3-analog text normalization (match-key only, never output text).
+    "q40_text_normalize" -> ((s, d) => {
+      val norm = TextFunctions.normalizeText(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          substring(norm, 1, 40).as("norm_head"),
+          length(norm).as("norm_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting (whitespace tokenizer, set + bag sizes).
+    "q41_token_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.distinctTokenCount(col("text")).as("n_distinct"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic: per-language stopword hits + argmax.
+    "q42_lang_id" -> ((s, d) => {
+      val sc = TextFunctions.langScores(col("text"))
+      val (en, de, es, fr) = (sc("en"), sc("de"), sc("es"), sc("fr"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), en.as("en_hits"), de.as("de_hits"),
+          es.as("es_hits"), fr.as("fr_hits"))
+        .withColumn("predicted",
+          when(col("en_hits") >= col("de_hits") &&
+            col("en_hits") >= col("es_hits") &&
+            col("en_hits") >= col("fr_hits"), "en")
+            .when(col("de_hits") >= col("es_hits") &&
+              col("de_hits") >= col("fr_hits"), "de")
+            .when(col("es_hits") >= col("fr_hits"), "es")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length/punctuation/digit heuristics.
+    "q43_quality_score" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: full + 64-char-prefix content hashes.
+    "q44_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"),
+          TextFunctions.prefixFingerprint(col("text")).as("prefix_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup: keep-min-id decision per content-hash group.
+    "q45_dedup_flags" -> ((s, d) => {
+      Dedup.exactDedupFlags(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup on the prefix fingerprint — real dup groups in the data.
+    "q46_prefix_dup_groups" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(TextFunctions.prefixFingerprint(col("text")).as("pfp"))
+        .agg(count(lit(1)).as("group_size"),
+          min(col("doc_id")).as("keeper"))
+        .filter(col("group_size") > 1)
+        .orderBy("pfp")
+    }),
+
+    // MinHash signatures (4 salted min-md5 over the token set).
+    "q47_minhash_sigs" -> ((s, d) => {
+      Dedup.minhashAgg(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash near-dup groups (full-signature band collision).
+    "q48_minhash_groups" -> ((s, d) => {
+      Dedup.minhashDupGroups(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("sig_a")
+    }),
+
+    // 16-bit SimHash codes.
+    "q49_simhash" -> ((s, d) => {
+      Dedup.simhash16(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Token-set Jaccard for id-adjacent pairs.
+    "q50_jaccard_adjacent" -> ((s, d) => {
+      Dedup.jaccardAdjacent(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("id1")
+    })
+  )
+
+  def oracle: Map[String, String] = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val simhashSums = (1 to 16).map(j =>
+      s"SUM(CASE WHEN substring(md5(tok), $j, 1) >= '8' THEN 1 ELSE -1 END) AS b$j"
+    ).mkString(", ")
+    val simhashBits = (1 to 16).map(j =>
+      s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+    Map(
+      "q40_text_normalize" ->
+        s"""SELECT doc_id, substring($norm, 1, 40) AS norm_head,
+           |  CAST(length($norm) AS INTEGER) AS norm_len
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q41_token_stats" ->
+        s"""SELECT doc_id,
+           |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens,
+           |  CAST(len($duckTokens) AS INTEGER) AS n_distinct
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q42_lang_id" ->
+        s"""SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+           |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+           |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+           |       WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS predicted
+           |FROM (SELECT doc_id,
+           |  ${duckHits("the")} + ${duckHits("and")} + ${duckHits("of")} AS en_hits,
+           |  ${duckHits("der")} + ${duckHits("und")} + ${duckHits("die")} AS de_hits,
+           |  ${duckHits("el")} + ${duckHits("la")} + ${duckHits("de")} AS es_hits,
+           |  ${duckHits("le")} + ${duckHits("et")} + ${duckHits("les")} AS fr_hits
+           |FROM documents) ORDER BY doc_id""".stripMargin,
+
+      "q43_quality_score" ->
+        """SELECT doc_id,
+          |  ROUND(GREATEST(0.0,
+          |    LEAST(n_tok / 50.0, 1.0)
+          |    - LEAST(punct / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.5
+          |    - LEAST(digits / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 1.0) * 0.2), 4) AS quality
+          |FROM (SELECT doc_id, text,
+          |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n_tok,
+          |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+          |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
+          |FROM documents) ORDER BY doc_id""".stripMargin,
+
+      "q44_fingerprint" ->
+        s"""SELECT doc_id, md5($norm) AS fp,
+           |  md5(substring($norm, 1, 64)) AS prefix_fp
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q45_dedup_flags" ->
+        s"""SELECT doc_id, content_hash,
+           |  COUNT(*) OVER (PARTITION BY content_hash) AS group_size,
+           |  doc_id = MIN(doc_id) OVER (PARTITION BY content_hash) AS keep
+           |FROM (SELECT doc_id, md5($norm) AS content_hash FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+
+      "q46_prefix_dup_groups" ->
+        s"""SELECT md5(substring($norm, 1, 64)) AS pfp,
+           |  COUNT(*) AS group_size, MIN(doc_id) AS keeper
+           |FROM documents GROUP BY pfp HAVING COUNT(*) > 1
+           |ORDER BY pfp""".stripMargin,
+
+      "q47_minhash_sigs" ->
+        s"""SELECT doc_id,
+           |  MIN(md5('a' || tok)) AS sig_a, MIN(md5('b' || tok)) AS sig_b,
+           |  MIN(md5('c' || tok)) AS sig_c, MIN(md5('d' || tok)) AS sig_d
+           |FROM (SELECT doc_id, unnest($duckTokens) AS tok FROM documents)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q48_minhash_groups" ->
+        s"""SELECT sig_a, sig_b, sig_c, sig_d,
+           |  COUNT(*) AS group_size, MIN(doc_id) AS keeper
+           |FROM (
+           |  SELECT doc_id,
+           |    MIN(md5('a' || tok)) AS sig_a, MIN(md5('b' || tok)) AS sig_b,
+           |    MIN(md5('c' || tok)) AS sig_c, MIN(md5('d' || tok)) AS sig_d
+           |  FROM (SELECT doc_id, unnest($duckTokens) AS tok FROM documents)
+           |  GROUP BY doc_id)
+           |GROUP BY sig_a, sig_b, sig_c, sig_d HAVING COUNT(*) > 1
+           |ORDER BY sig_a""".stripMargin,
+
+      "q49_simhash" ->
+        s"""SELECT doc_id, $simhashBits AS simhash FROM (
+           |  SELECT doc_id, $simhashSums
+           |  FROM (SELECT doc_id, unnest($duckTokens) AS tok FROM documents)
+           |  GROUP BY doc_id)
+           |ORDER BY doc_id""".stripMargin,
+
+      "q50_jaccard_adjacent" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id AS id, unnest($duckTokens) AS tok FROM documents),
+           |cnt AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+           |inter AS (
+           |  SELECT a.id AS id1, b.id AS id2, count(*) AS n_inter
+           |  FROM tok a JOIN tok b ON a.tok = b.tok AND b.id = a.id + 1
+           |  GROUP BY 1, 2)
+           |SELECT id1, id2,
+           |  ROUND(n_inter / CAST(c1.n + c2.n - n_inter AS DOUBLE), 4) AS jaccard
+           |FROM inter
+           |JOIN cnt c1 ON c1.id = id1
+           |JOIN cnt c2 ON c2.id = id2
+           |ORDER BY id1""".stripMargin
+    )
+  }
+}

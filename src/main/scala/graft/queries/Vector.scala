@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Similarity
+
+/** Embedding similarity-search surface over the `embeddings` table
+  * (`ARRAY<FLOAT>` of length 64): brute-force cosine top-k baseline and
+  * the sign-LSH bucketed scale path, plus vector norms.
+  *
+  * Oracles compute the same dot products in DuckDB via
+  * unnest+generate_subscripts (both engines cast float→double before
+  * multiplying; results rounded to 5 decimals to absorb summation-order
+  * ulps).
+  */
+object Vector {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // L2 norms — the cheapest whole-corpus vector scan.
+    "q55_embedding_norms" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          round(Similarity.l2Norm(col("embedding").cast("array<double>")), 5)
+            .as("l2_norm"))
+        .orderBy("vec_id")
+    }),
+
+    // Brute-force cosine top-10 neighbors of vec_id 0.
+    "q56_knn_cosine" -> ((s, d) => {
+      Similarity.knnCosine(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
+    // Sign-LSH bucket histogram (the IVF-style partition layout).
+    "q57_lsh_buckets" -> ((s, d) => {
+      Similarity.lshBuckets(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy("bucket")
+    }),
+
+    // ANN restricted to the query vector's bucket.
+    "q58_lsh_ann" -> ((s, d) => {
+      Similarity.lshAnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 5)
+    })
+  )
+
+  private val duckBucket =
+    """(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
+      | CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+      | CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q55_embedding_norms" ->
+      """SELECT vec_id, ROUND(sqrt(sum(x * x)), 5) AS l2_norm
+        |FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q56_knn_cosine" ->
+      """WITH ax AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |qx AS (SELECT i, x FROM ax WHERE vec_id = 0),
+        |nq AS (SELECT sqrt(sum(x * x)) AS n FROM qx),
+        |dots AS (
+        |  SELECT a.vec_id, sum(a.x * q.x) AS dot, sqrt(sum(a.x * a.x)) AS na
+        |  FROM ax a JOIN qx q USING (i) WHERE a.vec_id <> 0
+        |  GROUP BY a.vec_id)
+        |SELECT vec_id, ROUND(dot / (na * nq.n), 5) AS cos_sim
+        |FROM dots, nq ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q57_lsh_buckets" ->
+      s"""SELECT $duckBucket AS bucket, COUNT(*) AS n_vecs,
+         |  MIN(vec_id) AS min_id
+         |FROM embeddings GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q58_lsh_ann" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings),
+         |qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+         |ax AS (
+         |  SELECT b.vec_id, b.bucket, generate_subscripts(embedding, 1) AS i,
+         |         unnest(embedding)::DOUBLE AS x
+         |  FROM b, qb WHERE b.bucket = qb.qbucket),
+         |qx AS (SELECT i, x FROM ax WHERE vec_id = 0),
+         |nq AS (SELECT sqrt(sum(x * x)) AS n FROM qx),
+         |dots AS (
+         |  SELECT a.vec_id, a.bucket, sum(a.x * q.x) AS dot,
+         |         sqrt(sum(a.x * a.x)) AS na
+         |  FROM ax a JOIN qx q USING (i) WHERE a.vec_id <> 0
+         |  GROUP BY a.vec_id, a.bucket)
+         |SELECT vec_id, bucket, ROUND(dot / (na * nq.n), 5) AS cos_sim
+         |FROM dots, nq ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
+  )
+}
