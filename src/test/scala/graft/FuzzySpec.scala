@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Fuzzy, HebrewNorm}
+
+class FuzzySpec extends AnyFunSuite {
+
+  test("ratio: exact, near, empty") {
+    assert(Fuzzy.ratio("abcd", "abcd") == 100.0)
+    assert(Fuzzy.ratio("abcd", "abce") == 75.0) // LCS=3, 2*3/8
+    assert(Fuzzy.ratio("", "") == 100.0)
+    assert(Fuzzy.ratio("a", "") == 0.0)
+    assert(Fuzzy.ratio("kitten", "sitting") == 2.0 * 4 / 13 * 100)
+  }
+
+  test("partial_ratio finds embedded windows") {
+    assert(Fuzzy.partialRatio("bcd", "abcdef") == 100.0)
+    assert(Fuzzy.partialRatio("abc", "abc") == 100.0)
+    assert(Fuzzy.partialRatio("xyz", "abcdef") == 0.0)
+    // partial >= full ratio for substrings of different length
+    assert(Fuzzy.partialRatio("abc", "zzabczz") == 100.0)
+    assert(Fuzzy.ratio("abc", "zzabczz") < 100.0)
+  }
+
+  test("token_sort_ratio ignores token order") {
+    assert(Fuzzy.tokenSortRatio("b a", "a b") == 100.0)
+    assert(Fuzzy.tokenSortRatio("hello world", "world hello") == 100.0)
+  }
+
+  test("token_set_ratio golden value") {
+    // inter="b c", t1="b c a", t2="b c d": max is ratio(t1,t2)=2*4/10
+    assert(Fuzzy.tokenSetRatio("a b c", "b c d") == 80.0)
+    assert(Fuzzy.tokenSetRatio("a b", "b a a") == 100.0)
+  }
+
+  test("ratio is symmetric and bounded (seeded samples)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val a = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      val b = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      val r = Fuzzy.ratio(a, b)
+      assert(r >= 0.0 && r <= 100.0)
+      assert(r == Fuzzy.ratio(b, a))
+      assert(Fuzzy.partialRatio(a, b) >= 0.0)
+      assert(Fuzzy.tokenSetRatio(a, b) <= 100.0)
+    }
+  }
+
+  test("hebrew normalize strips nikkud, keeps letters") {
+    assert(HebrewNorm.normalize("בְּרֵא") ==
+      "ברא")
+    assert(HebrewNorm.normalize("  אב   גד  ") ==
+      "אב גד")
+    assert(HebrewNorm.normalize("abc123") == "")
+    assert(HebrewNorm.normalize("") == "")
+    assert(HebrewNorm.normalize(null) == "")
+  }
+
+  test("normalized match is nikkud-insensitive") {
+    val w1 = "בְּרֵאשִׁית"
+    val w2 = "בראשית"
+    assert(Fuzzy.ratio(HebrewNorm.normalize(w1), HebrewNorm.normalize(w2))
+      == 100.0)
+  }
+}
