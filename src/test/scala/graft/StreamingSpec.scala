@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.RecognitionState
+import graft.streaming.RecognitionState.RecognitionEvent
+import graft.streaming.ChapterFileStream
+import graft.ops.TranscriptNormalize
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("RecognitionState: words accumulate until session_stopped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[RecognitionEvent]
+    val out = RecognitionState.sessionize(stream.toDS(), timeout = None)
+    val q = out.writeStream.format("memory").queryName("rec_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      stream.addData(
+        RecognitionEvent("Gen", 1, "word", "א", 0.0, 0.5, 0.9),
+        RecognitionEvent("Gen", 1, "word", "ב", 0.5, 1.0, 0.7),
+        RecognitionEvent("Gen", 2, "word", "ג", 0.0, 0.4, 0.8))
+      q.processAllAvailable()
+      // nothing completed yet
+      assert(spark.sql("select * from rec_out").count() == 0)
+
+      stream.addData(
+        RecognitionEvent("Gen", 1, "session_stopped", "", 0, 0, 0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select book, chapter, wordCount, confidence, totalDuration, completed from rec_out")
+        .collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getString(0) == "Gen" && r.getInt(1) == 1)
+      assert(r.getInt(2) == 2 && math.abs(r.getDouble(3) - 0.8) < 1e-9)
+      assert(r.getDouble(4) == 1.0 && r.getBoolean(5))
+      // chapter 2 still pending (no stop, no timeout)
+      assert(!rows.exists(_.getInt(1) == 2))
+    } finally q.stop()
+  }
+
+  test("ChapterFileStream: file arrival → normalize → aligned batch") {
+    val srcDir = Files.createTempDirectory("payloads")
+    val payload =
+      """{"chunks":[{"text":"שלום","timestamp":[0.0,1.0]},
+        |{"text":"עולם","timestamp":[1.0,2.0]}]}""".stripMargin
+    Files.write(srcDir.resolve("Gen_1.json"),
+      payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Int, Long)]()
+    val stream = ChapterFileStream.payloadStream(spark, srcDir.toString)
+    val q = ChapterFileStream.start(stream, Trigger.AvailableNow(),
+      Files.createTempDirectory("ckpt2").toString) { (batch, _) =>
+      val words = TranscriptNormalize.fromWhisper(batch)
+      words.collect().foreach(r =>
+        collected.add((r.getString(0), r.getInt(1), 1L)))
+    }
+    q.awaitTermination(60000)
+    assert(collected.size == 2)
+    assert(collected.peek()._1 == "Gen")
+  }
+
+  test("watermarked tumbling-window aggregation (streaming)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = stream.toDS()
+      .toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete")
+      .start()
+    try {
+      stream.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:50:00"), 2.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select window.start, n, total from win_out order by 1").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 3.0)
+      assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 4.0)
+    } finally q.stop()
+  }
+}
