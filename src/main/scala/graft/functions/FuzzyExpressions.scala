@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** X14 upgrade path (SURVEY.md §7.3): the fuzzy kernels as native
+  * Catalyst expressions with whole-stage codegen. The generated code
+  * calls the static JVM kernels directly — no ScalaUDF boxing, no
+  * serialization of a closure per row, and the expression participates
+  * in constant folding / null propagation like any built-in.
+  */
+abstract class FuzzyBinaryExpression extends BinaryExpression
+    with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  /** Fully-qualified static method on [[Fuzzy]] to invoke. */
+  protected def kernel: String
+
+  protected def call(a: String, b: String): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    call(l.asInstanceOf[UTF8String].toString,
+      r.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Fuzzy.$kernel(" +
+        s"$a.toString(), $b.toString());")
+}
+
+/** 100 · 2·LCS/(|a|+|b|) — fuzz.ratio. */
+case class IndelRatio(left: Expression, right: Expression)
+    extends FuzzyBinaryExpression {
+  override protected def kernel: String = "ratio"
+  override protected def call(a: String, b: String): Double = Fuzzy.ratio(a, b)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "indel_ratio"
+}
+
+/** Best window ratio — fuzz.partial_ratio. */
+case class PartialRatio(left: Expression, right: Expression)
+    extends FuzzyBinaryExpression {
+  override protected def kernel: String = "partialRatio"
+  override protected def call(a: String, b: String): Double =
+    Fuzzy.partialRatio(a, b)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "partial_ratio"
+}
+
+/** Token-set combination ratio — fuzz.token_set_ratio. */
+case class TokenSetRatio(left: Expression, right: Expression)
+    extends FuzzyBinaryExpression {
+  override protected def kernel: String = "tokenSetRatio"
+  override protected def call(a: String, b: String): Double =
+    Fuzzy.tokenSetRatio(a, b)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "token_set_ratio"
+}
+
+/** Token-sort ratio — fuzz.token_sort_ratio. */
+case class TokenSortRatio(left: Expression, right: Expression)
+    extends FuzzyBinaryExpression {
+  override protected def kernel: String = "tokenSortRatio"
+  override protected def call(a: String, b: String): Double =
+    Fuzzy.tokenSortRatio(a, b)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "token_sort_ratio"
+}
+
+/** Column API + SQL registration for the engine's native functions. */
+object GraftFunctions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+  def indel_ratio(a: Column, b: Column): Column =
+    column(IndelRatio(expression(a), expression(b)))
+  def partial_ratio(a: Column, b: Column): Column =
+    column(PartialRatio(expression(a), expression(b)))
+  def token_set_ratio(a: Column, b: Column): Column =
+    column(TokenSetRatio(expression(a), expression(b)))
+  def token_sort_ratio(a: Column, b: Column): Column =
+    column(TokenSortRatio(expression(a), expression(b)))
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    ("indel_ratio", es => IndelRatio(es(0), es(1))),
+    ("partial_ratio", es => PartialRatio(es(0), es(1))),
+    ("token_set_ratio", es => TokenSetRatio(es(0), es(1))),
+    ("token_sort_ratio", es => TokenSortRatio(es(0), es(1))))
+
+  /** Register for `spark.sql("SELECT indel_ratio(a, b) ...")`. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+
+  /** SparkSessionExtensions injector:
+    * `.withExtensions(new GraftExtensions)` or
+    * `spark.sql.extensions=graft.functions.GraftExtensions`.
+    */
+  def inject(extensions: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder) =>
+      extensions.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions.FuzzyExpressions", name),
+          builder))
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(e)
+}

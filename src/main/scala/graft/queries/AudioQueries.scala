@@ -14,6 +14,7 @@ import graft.audio.AudioOps
 object AudioQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_fuzzy_native" -> ((s, d) => fuzzyNative(s, d)),
 
     // §1.6: trim-config upsert — latest record per key wins.
     "q66_config_upsert" -> ((s, d) => {
@@ -56,6 +57,27 @@ object AudioQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** X14 native expressions over adjacent part names — codegen'd
+    * Catalyst expressions, no UDFs (rows-only: no DuckDB LCS analog;
+    * kernel fidelity is covered by FuzzySpec/FuzzyExprSpec goldens).
+    */
+  val fuzzyNative: (SparkSession, String) => DataFrame = (s, d) => {
+    import graft.functions.GraftFunctions._
+    val p1 = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+    val p2 = Tables.part(s, d).select(
+      (col("p_partkey") - 1).as("p_partkey"), col("p_name").as("next_name"))
+    p1.join(p2, Seq("p_partkey"))
+      .select(col("p_partkey"),
+        round(indel_ratio(col("p_name"), col("next_name")), 4).as("indel"),
+        round(partial_ratio(col("p_name"), col("next_name")), 4)
+          .as("partial"),
+        round(token_set_ratio(col("p_name"), col("next_name")), 4)
+          .as("token_set"),
+        round(token_sort_ratio(col("p_name"), col("next_name")), 4)
+          .as("token_sort"))
+      .orderBy("p_partkey")
+  }
 
   def oracle: Map[String, String] = Map(
     "q66_config_upsert" ->

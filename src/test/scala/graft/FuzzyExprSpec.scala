@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{Fuzzy, GraftFunctions}
+import graft.audio.RmsAggregator
+
+class FuzzyExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val pairs = Seq(
+    ("abcd", "abce"), ("kitten", "sitting"), ("", ""),
+    ("hello world", "world hello"), ("שלום עולם", "עולם שלום"),
+    ("abc", "zzabczz"))
+
+  test("native expressions equal the JVM kernels (eval + codegen)") {
+    import spark.implicits._
+    val df = pairs.toDF("a", "b")
+    val got = df.select(
+      GraftFunctions.indel_ratio(col("a"), col("b")).as("r"),
+      GraftFunctions.partial_ratio(col("a"), col("b")).as("p"),
+      GraftFunctions.token_set_ratio(col("a"), col("b")).as("ts"),
+      GraftFunctions.token_sort_ratio(col("a"), col("b")).as("tr"))
+      .collect()
+    got.zip(pairs).foreach { case (row, (a, b)) =>
+      assert(row.getDouble(0) == Fuzzy.ratio(a, b))
+      assert(row.getDouble(1) == Fuzzy.partialRatio(a, b))
+      assert(row.getDouble(2) == Fuzzy.tokenSetRatio(a, b))
+      assert(row.getDouble(3) == Fuzzy.tokenSortRatio(a, b))
+    }
+  }
+
+  test("expressions run inside whole-stage codegen, not as UDFs") {
+    // file-backed scan (literal inputs would constant-fold away)
+    val df = Tables.part(spark, "/root/testdata/sf0.001")
+      .select(GraftFunctions.indel_ratio(col("p_name"), col("p_type"))
+        .as("r"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in plan toString
+    assert(plan.contains("*(1) Project [indel_ratio"))
+    assert(!plan.contains("ScalaUDF"))
+    assert(df.count() > 0) // force execution through the generated code
+  }
+
+  test("SQL registration: indel_ratio callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT indel_ratio('abcd', 'abce') AS r, " +
+        "token_set_ratio('a b c', 'b c d') AS ts").collect().head
+    assert(r.getDouble(0) == 75.0)
+    assert(r.getDouble(1) == 80.0)
+  }
+
+  test("null propagation") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT indel_ratio(NULL, 'x') AS r").collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("RmsAggregator matches sqrt(avg(x^2)) and merges across partitions") {
+    import spark.implicits._
+    val xs = (1 to 1000).map(_.toDouble / 7.0)
+    val df = xs.toDF("x").repartition(8)
+    val viaAgg = df.agg(RmsAggregator.rms(col("x"))).collect().head.getDouble(0)
+    val viaSql = df.agg(sqrt(avg(col("x") * col("x")))).collect()
+      .head.getDouble(0)
+    assert(math.abs(viaAgg - viaSql) < 1e-9)
+    // empty input → 0.0
+    val empty = Seq.empty[Double].toDF("x")
+      .agg(RmsAggregator.rms(col("x"))).collect().head.getDouble(0)
+    assert(empty == 0.0)
+  }
+}
