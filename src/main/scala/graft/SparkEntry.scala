@@ -16,7 +16,9 @@ object SparkEntry {
     (graft.queries.Vector.queries, graft.queries.Vector.oracle),
     (graft.queries.AlignQueries.queries, graft.queries.AlignQueries.oracle),
     (graft.queries.AudioQueries.queries, graft.queries.AudioQueries.oracle),
-    (graft.queries.TimeWindows.queries, graft.queries.TimeWindows.oracle))
+    (graft.queries.TimeWindows.queries, graft.queries.TimeWindows.oracle),
+    (graft.queries.MultimodalQueries.queries,
+      graft.queries.MultimodalQueries.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped pricing summary (SURVEY.md §2.4 A1).

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: image/audio/video as
+  * opaque `BINARY` columns + typed metadata, with decode / feature-
+  * extract / resize / frame-sample operators.
+  *
+  * The container ships no codec libraries, so the per-byte decode kernels
+  * are deterministic fakes — but the Spark surface is production-shaped:
+  * binary in, typed struct/array out, per-partition batch execution
+  * (`mapPartitions`, the JVM analog of `mapInPandas` batches), metadata
+  * that prunes (decode only rows whose metadata passes filters), and
+  * embeddings that feed the [[graft.ops.Similarity]] ANN path.
+  *
+  * Scale: decode never shuffles (pure per-row projection); frame
+  * sampling fans out via `explode(sequence(...))` which Spark pipelines
+  * inside the same stage.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+
+  case class DecodedMedia(media_id: Long, kind: String, width: Int,
+      height: Int, n_frames: Int, sample_rate: Int, byte_len: Int)
+
+  /** Decode stub (image dims / audio rate / video frames derived
+    * deterministically from content bytes). Batch-shaped: one partition
+    * iterator in, one out — swap the body for a real codec loop.
+    */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val n = if (m.content == null) 0 else m.content.length
+      val h = math.abs(java.util.Arrays.hashCode(m.content))
+      m.kind match {
+        case "image" =>
+          DecodedMedia(m.media_id, m.kind, 64 + h % 512, 64 + (h / 512) % 512,
+            1, 0, n)
+        case "audio" =>
+          DecodedMedia(m.media_id, m.kind, 0, 0, 0,
+            if (h % 2 == 0) 16000 else 22050, n)
+        case _ =>
+          DecodedMedia(m.media_id, m.kind, 320, 240, 1 + h % 300, 0, n)
+      }
+    })
+  }
+
+  /** Resize: metadata transform (real resize happens in the decode
+    * kernel in production; the plan shape — a projection — is identical).
+    */
+  def resizeMeta(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxSide) / greatest(col("width"), col("height"), lit(1)))
+    decoded
+      .withColumn("out_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("out_height", ceil(col("height") * scale).cast("int"))
+  }
+
+  /** Frame sampling: one row per sampled frame index — explode of a
+    * bounded sequence, pipelined (no shuffle).
+    */
+  def sampleFrames(decoded: DataFrame, everyNth: Int): DataFrame =
+    decoded.filter(col("n_frames") > 0)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))))
+
+  /** Feature-extract stub: binary → dense FloatArray embedding derived
+    * from the md5 digest (deterministic); production swaps in a vision/
+    * audio encoder inside the same mapPartitions batch loop. Output
+    * feeds Similarity.knnCosine / lshAnn unchanged.
+    */
+  def embed(media: Dataset[MediaRow], dim: Int = 16)
+  : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        md.reset()
+        val digest = md.digest(if (m.content == null) Array.empty[Byte]
+          else m.content)
+        val vec = Array.tabulate(dim)(i =>
+          (digest(i % digest.length).toInt + i * 7) % 128 / 128.0f)
+        (m.media_id, m.kind, vec)
+      }
+    }.toDF("media_id", "kind", "embedding")
+  }
+}
