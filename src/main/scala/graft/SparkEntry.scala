@@ -18,7 +18,8 @@ object SparkEntry {
     (graft.queries.AudioQueries.queries, graft.queries.AudioQueries.oracle),
     (graft.queries.TimeWindows.queries, graft.queries.TimeWindows.oracle),
     (graft.queries.MultimodalQueries.queries,
-      graft.queries.MultimodalQueries.oracle))
+      graft.queries.MultimodalQueries.oracle),
+    (graft.queries.Coverage.queries, graft.queries.Coverage.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped pricing summary (SURVEY.md §2.4 A1).

@@ -85,5 +85,5 @@ object TextFunctions {
     * hebrew_alignment_transcription_fixed.py:505-519).
     */
   def hebrewCharCount(c: Column): Column =
-    charClassCount(c, "[^\\u0590-\\u05FF]")
+    charClassCount(c, "[\\u0590-\\u05FF]")
 }

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Remaining operator-inventory coverage (SURVEY.md §2 rows without a
+  * dedicated query elsewhere): P5 Hebrew-char count, W7 running average,
+  * A10 per-group failure lists, cube grouping, BPE-ish token counting,
+  * and embedding-cosine near-dup pairs.
+  */
+object Coverage {
+
+  private val latin = "abcdefghijklmnopqrstuvwxyz0123456789"
+  private val hebrew = "אבגדהוזחטיכלמנסעפצקרשתאבגדהוזחטיכלמנ"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P5: Hebrew-character count predicate over transliterated text.
+    "q34_hebrew_count" -> ((s, d) => {
+      val heb = translate(lower(col("text")), latin, hebrew)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.hebrewCharCount(heb).as("n_hebrew"),
+          (TextFunctions.hebrewCharCount(heb) > 0).as("has_hebrew"))
+        .orderBy("doc_id")
+    }),
+
+    // W7: running average (the ETA estimator's mean-so-far). Exact
+    // decimal cumsum / count so both engines divide identical values
+    // (double cumsums differ in the last ulp across engines).
+    "q35_running_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // floor(x·10⁴+0.5)/10⁴ instead of round(): Spark rounds the
+      // shortest decimal string of a double, DuckDB rounds the binary
+      // value — they disagree within an ulp of a .xxxx5 boundary.
+      val avgExact = sum(col("value").cast("decimal(18,2)")).over(w)
+        .cast("double") / count(lit(1)).over(w)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          (floor(avgExact * 10000 + 0.5) / 10000).as("running_avg"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // A10: per-group failed-id lists (sorted, stringified for a
+    // deterministic cross-engine compare).
+    "q36_failed_lists" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "error", 1)).as("n_failed"),
+          concat_ws(",", sort_array(collect_list(
+            when(col("event_type") === "error", col("event_id")))))
+            .as("failed_ids"))
+        .orderBy("user_id")
+    }),
+
+    // Cube grouping over two dimensions.
+    "q37_cube" -> ((s, d) => {
+      Tables.events(s, d)
+        .cube(col("event_type"),
+          (col("user_id") % 2 === 0).as("even_user"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first,
+          col("even_user").asc_nulls_first)
+    }),
+
+    // BPE-ish token counting: word runs + isolated punctuation.
+    "q38_bpe_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"),
+            lit(0))).as("n_bpe_tokens"),
+          TextFunctions.tokenCount(col("text")).as("n_ws_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Embedding-cosine near-dup pairs inside LSH buckets: the
+    // bucket-equi-join bounds the pair space; threshold keeps true
+    // near-dups. (Self-join on bucket = the scale-path dedup join.)
+    "q39_cosine_dup_pairs" -> ((s, d) => {
+      import graft.ops.Similarity
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"),
+          Similarity.signBucket(col("embedding"), 4).as("bucket"))
+      val a = emb.select(col("vec_id").as("id1"), col("v").as("v1"),
+        col("bucket"))
+      val b = emb.select(col("vec_id").as("id2"), col("v").as("v2"),
+        col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(Similarity.cosine(col("v1"), col("v2")), 5).as("cos_sim"))
+        .filter(col("cos_sim") > 0.85)
+        .orderBy("id1", "id2")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    // DuckDB regexes are RE2: \x{hhhh} escapes, not Java's \uhhhh.
+    "q34_hebrew_count" ->
+      s"""SELECT doc_id,
+         |  CAST(length(h) - length(regexp_replace(h, '[\\x{0590}-\\x{05FF}]', '', 'g')) AS INTEGER) AS n_hebrew,
+         |  (length(h) - length(regexp_replace(h, '[\\x{0590}-\\x{05FF}]', '', 'g'))) > 0 AS has_hebrew
+         |FROM (SELECT doc_id,
+         |  translate(lower(text), '$latin', '$hebrew') AS h
+         |  FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "q35_running_avg" ->
+      """SELECT user_id, event_id,
+        |  FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) /
+        |    COUNT(*) OVER w * 10000 + 0.5) / 10000 AS running_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q36_failed_lists" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_failed,
+        |  array_to_string(list_sort(coalesce(list(event_id)
+        |    FILTER (WHERE event_type = 'error'), [])), ',') AS failed_ids
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q37_cube" ->
+      """SELECT event_type, (user_id % 2 = 0) AS even_user,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY CUBE (event_type, (user_id % 2 = 0))
+        |ORDER BY event_type ASC NULLS FIRST, even_user ASC NULLS FIRST""".stripMargin,
+
+    "q38_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER)
+        |    AS n_bpe_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS INTEGER) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q39_cosine_dup_pairs" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+        |     CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |ax AS (
+        |  SELECT vec_id, bucket, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM b),
+        |pairs AS (
+        |  SELECT a.vec_id AS id1, c.vec_id AS id2,
+        |    sum(a.x * c.x) AS dot,
+        |    sqrt(sum(a.x * a.x)) AS n1, sqrt(sum(c.x * c.x)) AS n2
+        |  FROM ax a JOIN ax c ON a.i = c.i AND a.bucket = c.bucket
+        |    AND a.vec_id < c.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, ROUND(dot / (n1 * n2), 5) AS cos_sim
+        |FROM pairs WHERE ROUND(dot / (n1 * n2), 5) > 0.85
+        |ORDER BY id1, id2""".stripMargin
+  )
+}
