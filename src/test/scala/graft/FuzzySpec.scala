@@ -46,6 +46,26 @@ class FuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("bit-parallel LCS equals DP oracle across block boundaries") {
+    val rnd = new scala.util.Random(99)
+    val alphabets = Seq("ab", "abcd", "אבגדה", "abcdefghij")
+    for (alpha <- alphabets; _ <- 1 to 150) {
+      val la = rnd.nextInt(200)
+      val lb = rnd.nextInt(200)
+      val a = (1 to la).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val b = (1 to lb).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      assert(Fuzzy.lcsLength(a, b) == Fuzzy.lcsLengthDp(a, b),
+        s"mismatch for a=$a b=$b")
+    }
+    // exact 64/65/128-length boundaries
+    for (n <- Seq(63, 64, 65, 127, 128, 129)) {
+      val a = "ab" * ((n + 1) / 2)
+      val s = a.substring(0, n)
+      assert(Fuzzy.lcsLength(s, s) == n)
+      assert(Fuzzy.lcsLength(s, s.reverse) == Fuzzy.lcsLengthDp(s, s.reverse))
+    }
+  }
+
   test("hebrew normalize strips nikkud, keeps letters") {
     assert(HebrewNorm.normalize("בְּרֵא") ==
       "ברא")
