@@ -38,12 +38,15 @@ object Similarity {
     */
   def knnCosine(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
+    // query norm computed once in the broadcast row, not per scanned row
     val q = broadcast(emb.filter(col(idCol) === queryId)
-      .select(asDouble(col(vecCol)).as("qvec")))
+      .select(asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec"))))
     emb.filter(col(idCol) =!= queryId)
       .crossJoin(q)
       .select(col(idCol),
-        round(cosine(asDouble(col(vecCol)), col("qvec")), 5).as("cos_sim"))
+        round(dot(asDouble(col(vecCol)), col("qvec")) /
+          (l2Norm(asDouble(col(vecCol))) * col("qnorm")), 5).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -72,11 +75,13 @@ object Similarity {
       queryId: Long, k: Int): DataFrame = {
     val withBucket = emb.withColumn("bucket", signBucket(col(vecCol)))
     val q = broadcast(withBucket.filter(col(idCol) === queryId)
-      .select(asDouble(col(vecCol)).as("qvec"), col("bucket").as("qbucket")))
+      .select(asDouble(col(vecCol)).as("qvec"), col("bucket").as("qbucket"))
+      .withColumn("qnorm", l2Norm(col("qvec"))))
     withBucket.filter(col(idCol) =!= queryId)
       .join(q, col("bucket") === col("qbucket"))
       .select(col(idCol), col("bucket"),
-        round(cosine(asDouble(col(vecCol)), col("qvec")), 5).as("cos_sim"))
+        round(dot(asDouble(col(vecCol)), col("qvec")) /
+          (l2Norm(asDouble(col(vecCol))) * col("qnorm")), 5).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }

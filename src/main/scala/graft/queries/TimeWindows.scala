@@ -26,6 +26,18 @@ object TimeWindows {
         .orderBy("win_start", "event_type")
     }),
 
+    // Sliding 1-hour windows every 30 minutes (each event lands in 2).
+    "q73_sliding_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"),
+          col("n"), col("total"))
+        .orderBy("win_start")
+    }),
+
     // Session windows with a 30-minute inactivity gap, per user.
     "q33_session_window" -> ((s, d) => {
       Tables.events(s, d)
@@ -46,6 +58,20 @@ object TimeWindows {
         |    '%Y-%m-%d %H:%M:%S') AS win_start,
         |  event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    // Hop emulation: every event joins each of its 2 candidate window
+    // starts (time_bucket by the slide, minus j slides), filtered to
+    // containment. Both engines half-hour-align their buckets.
+    "q73_sliding_window" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+        |FROM (
+        |  SELECT ts, value,
+        |    time_bucket(INTERVAL '30 minutes', ts)
+        |      - TO_MINUTES(CAST(j * 30 AS BIGINT)) AS ws
+        |  FROM events, range(2) t(j))
+        |WHERE ts >= ws AND ts < ws + INTERVAL '60 minutes'
+        |GROUP BY ws ORDER BY win_start""".stripMargin,
 
     // Gaps-and-islands with exact epoch arithmetic (matches Spark's
     // microsecond comparison; gap >= 1800 s starts a new session).

@@ -110,6 +110,19 @@ class AudioAsrSpec extends AnyFunSuite {
     assert(dropped.map(_.text).sorted.toSeq == Seq("א", "ג"))
   }
 
+  test("withFallback: local content preferred, remote fills gaps") {
+    import spark.implicits._
+    val local = Seq(("Gen", 1, "local1".getBytes))
+      .toDF("book", "chapter", "content")
+    val remote = Seq(("Gen", 1, "remote1".getBytes),
+      ("Gen", 2, "remote2".getBytes)).toDF("book", "chapter", "content")
+    val resolved = AudioCatalog.withFallback(local, remote,
+      Seq("book", "chapter")).orderBy("chapter").collect()
+    assert(resolved.length == 2)
+    assert(new String(resolved(0).getAs[Array[Byte]]("content")) == "local1")
+    assert(new String(resolved(1).getAs[Array[Byte]]("content")) == "remote2")
+  }
+
   test("AudioCatalog: binaryFile scan + path parse + validity filter") {
     val dir = java.nio.file.Files.createTempDirectory("audio").toFile
     val sub = new java.io.File(dir, "01_Genesis")

@@ -70,6 +70,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(collected.peek()._1 == "Gen")
   }
 
+  test("PollMonitor: attempt counting, terminal emit, budget exhaustion") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.PollMonitor
+    import graft.streaming.PollMonitor.PollEvent
+    val stream = MemoryStream[PollEvent]
+    val out = PollMonitor.monitor(stream.toDS(), maxAttempts = 3)
+    val q = out.writeStream.format("memory").queryName("poll_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt3").toString)
+      .start()
+    try {
+      stream.addData(
+        PollEvent("job1", "Running"), PollEvent("job2", "Running"))
+      q.processAllAvailable()
+      assert(spark.sql("select * from poll_out").count() == 0)
+      stream.addData(PollEvent("job1", "Succeeded"),
+        PollEvent("job2", "Running"), PollEvent("job2", "Running"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select jobId, outcome, attempts from poll_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      // job1 succeeded on attempt 2; job2 exhausted its 3-attempt budget
+      assert(rows == Set(("job1", "succeeded", 2), ("job2", "exhausted", 3)))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window aggregation (streaming)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
