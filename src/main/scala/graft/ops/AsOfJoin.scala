@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join (nearest prior event): for each left row, attach the
+  * payload of the latest right row with the same key and
+  * `right.ts <= left.ts`.
+  *
+  * Spark-first composition (SURVEY.md §7.3 preference (a)): tag both
+  * sides, union, and carry the payload forward with
+  * `last(payload, ignoreNulls)` over an ordered per-key window — ONE
+  * hash shuffle on the key, linear work, no nested-loop or range scan.
+  * At equal timestamps the right row sorts first (side 0 < 1), matching
+  * inclusive `>=` as-of semantics (DuckDB ASOF JOIN equivalent).
+  *
+  * Scale: state per window frame is the running payload only; skewed
+  * keys fall to AQE; no broadcast needed on either side.
+  */
+object AsOfJoin {
+
+  /** `payloadCols` must not collide with left column names. */
+  def nearestPrior(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: String, rightTime: String, payloadCols: Seq[String])
+  : DataFrame = {
+    val lTagged = left
+      .withColumn("_ts", col(leftTime).cast("double"))
+      .withColumn("_side", lit(1))
+    val rTagged = right
+      .select(keyCols.map(col) ++ payloadCols.map(col) :+
+        col(rightTime).cast("double").as("_ts"): _*)
+      .withColumn("_side", lit(0))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1).drop("_ts", "_side")
+  }
+}

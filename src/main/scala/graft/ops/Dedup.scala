@@ -36,16 +36,19 @@ object Dedup {
   /** Salted-min MinHash signature over the distinct token set. Each salt
     * yields an independent permutation approximation; the signature is the
     * k min md5 digests. Portable: min over lexicographic md5 hex strings.
-    * One pass, partial-aggregated map-side (min combines).
+    *
+    * Computed INLINE per row with array HOFs (`array_min ∘ transform`) —
+    * zero shuffle: at 100 TB the signatures materialize during the scan,
+    * and only the (tiny) signature columns ever move for banding.
     */
+  def minhashSig(textCol: Column, salt: String): Column =
+    array_min(transform(tokenSet(textCol),
+      t => md5(concat(lit(salt), t))))
+
   def minhashAgg(df: DataFrame, textCol: String, idCol: String,
-      salts: Seq[String] = Seq("a", "b", "c", "d")): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(tokenSet(col(textCol))).as("tok"))
-    val aggs = salts.map(s =>
-      min(md5(concat(lit(s), col("tok")))).as(s"sig_$s"))
-    toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-  }
+      salts: Seq[String] = Seq("a", "b", "c", "d")): DataFrame =
+    df.select(col(idCol) +:
+      salts.map(s => minhashSig(col(textCol), s).as(s"sig_$s")): _*)
 
   /** Near-dup groups: documents whose full MinHash signature collides.
     * Returns one row per group with size > 1.

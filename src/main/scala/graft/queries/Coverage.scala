@@ -17,6 +17,8 @@ object Coverage {
   private val hebrew = "אבגדהוזחטיכלמנסעפצקרשתאבגדהוזחטיכלמנ"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_asof_join" -> ((s, d) => asofQuery(s, d)),
+    "q75_salted_join" -> ((s, d) => saltedQuery(s, d)),
 
     // P5: Hebrew-character count predicate over transliterated text.
     "q34_hebrew_count" -> ((s, d) => {
@@ -100,7 +102,56 @@ object Coverage {
     })
   )
 
+  /** As-of join: each click attaches the latest prior-or-equal purchase
+    * (per user). Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  private def asofQuery(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.AsOfJoin
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    AsOfJoin.nearestPrior(clicks, purchases, Seq("user_id"), "ts", "ts",
+      Seq("purchase_id", "purchase_value"))
+      .select(col("user_id"), col("event_id"),
+        col("purchase_id"), col("purchase_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Salted join must be row-identical to the plain join — the oracle is
+    * the UNsalted SQL.
+    */
+  private def saltedQuery(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.SkewJoin
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    SkewJoin.saltedJoin(l, o, Seq("l_orderkey"), "l_linenumber", k = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   def oracle: Map[String, String] = Map(
+    "q74_asof_join" ->
+      """SELECT c.user_id, c.event_id, p.event_id AS purchase_id,
+        |  p.value AS purchase_value
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, event_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    "q75_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // DuckDB regexes are RE2: \x{hhhh} escapes, not Java's \uhhhh.
     "q34_hebrew_count" ->
       s"""SELECT doc_id,
