@@ -20,6 +20,18 @@ object Coverage {
     "q74_asof_join" -> ((s, d) => asofQuery(s, d)),
     "q75_salted_join" -> ((s, d) => saltedQuery(s, d)),
 
+    // HLL sketch counts for corpus stats (SURVEY §2.4 note). Rows-only:
+    // Spark's HLL++ and DuckDB's HLL differ by construction; the exact
+    // counts sit alongside for the error-bound sanity check.
+    "q76_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+    }),
+
     // P5: Hebrew-character count predicate over transliterated text.
     "q34_hebrew_count" -> ((s, d) => {
       val heb = translate(lower(col("text")), latin, hebrew)
