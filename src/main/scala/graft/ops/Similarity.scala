@@ -67,6 +67,34 @@ object Similarity {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"), min(col(idCol)).as("min_id"))
 
+  /** IVF-style cell assignment: each vector joins its nearest centroid
+    * (small broadcast list, deterministic id tie-break). At scale the
+    * cell id becomes the partition column; probing searches only the
+    * query's cell(s). Centroids here are caller-supplied (e.g. a fixed
+    * sample or an offline k-means output) — assignment itself is one
+    * broadcast join + per-row argmin, no shuffle.
+    */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String)
+  : DataFrame = {
+    val c = broadcast(centroids.select(
+      col(centroidIdCol).as("_cid"),
+      asDouble(col(centroidVecCol)).as("_cvec")))
+    val dist2 = aggregate(
+      zip_with(asDouble(col(vecCol)), col("_cvec"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("_dist").asc, col("_cid").asc)
+    emb.crossJoin(c)
+      .withColumn("_dist", dist2)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(emb.columns.map(col) :+ col("_cid").as("cell") :+
+        round(col("_dist"), 5).as("cell_dist2"): _*)
+  }
+
   /** ANN restricted to the query's LSH bucket: the scale path — the scan
     * touches only ~1/2^nBits of the corpus (partition-prunable on a
     * bucket-partitioned layout).

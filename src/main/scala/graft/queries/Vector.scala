@@ -43,6 +43,20 @@ object Vector {
     "q58_lsh_ann" -> ((s, d) => {
       Similarity.lshAnn(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 5)
+    }),
+
+    // IVF cell assignment: nearest of 8 fixed centroids (vec_id < 8),
+    // then per-cell occupancy — the inverted-file partition layout.
+    "q59_ivf_cells" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfAssign(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_id"),
+          round(avg(col("cell_dist2")), 4).as("avg_dist2"))
+        .orderBy("cell")
     })
   )
 
@@ -52,6 +66,24 @@ object Vector {
       | CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q59_ivf_cells" ->
+      """WITH ax AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
+        |dists AS (
+        |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
+        |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
+        |best AS (
+        |  SELECT vec_id, cid, ROUND(d, 5) AS d5,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d ASC, cid ASC) AS rn
+        |  FROM dists)
+        |SELECT cid AS cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_id,
+        |  ROUND(AVG(d5), 4) AS avg_dist2
+        |FROM best WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
+
     "q55_embedding_norms" ->
       """SELECT vec_id, ROUND(sqrt(sum(x * x)), 5) AS l2_norm
         |FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
