@@ -22,7 +22,9 @@ object Bench {
     "q19_running_sum", "q24_lookahead_max", "q31_lev_ratio",
     "q33_session_window", "q41_token_stats", "q45_dedup_flags",
     "q47_minhash_sigs", "q49_simhash", "q56_knn_cosine", "q58_lsh_ann",
-    "q60_align_greedy", "q68_fuzzy_native")
+    "q59_ivf_cells", "q60_align_greedy", "q64_align_verse_fuzzy",
+    "q68_fuzzy_native", "q73_sliding_window", "q74_asof_join",
+    "q75_salted_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -152,11 +152,17 @@ object Fuzzy {
 
   /** fuzz.partial_ratio: best `ratio` of the shorter string against any
     * same-length window of the longer one (sliding alignment).
+    *
+    * Shorter string ≤ 64 chars (the common case — words and verses):
+    * match masks build ONCE and every window runs the single-word
+    * bit-parallel recurrence with zero allocation; the per-window cost is
+    * |s| word ops, so the whole scan is O((|l|−|s|)·|s|/64) words.
     */
   def partialRatio(a: String, b: String): Double = {
     val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
     if (s.isEmpty) return if (l.isEmpty) 100.0 else 0.0
     if (s.length == l.length) return ratio(s, l)
+    if (s.length <= 64) return partialRatioBitParallel(s, l)
     var best = 0.0
     var i = 0
     val last = l.length - s.length
@@ -167,6 +173,39 @@ object Fuzzy {
       i += 1
     }
     best
+  }
+
+  private def partialRatioBitParallel(s: String, l: String): Double = {
+    val n = s.length
+    val masks = new java.util.HashMap[Character, java.lang.Long](n * 2)
+    var j = 0
+    while (j < n) {
+      val c = s.charAt(j)
+      val prev = masks.get(c)
+      masks.put(c, (if (prev == null) 0L else prev.longValue) | (1L << j))
+      j += 1
+    }
+    val topMask = if (n == 64) -1L else (1L << n) - 1
+    var best = 0
+    var i = 0
+    val last = l.length - n
+    while (i <= last && best < n) {
+      var r = 0L
+      var k = i
+      val end = i + n
+      while (k < end) {
+        val m = masks.get(l.charAt(k))
+        if (m != null) {
+          val x = m.longValue | r
+          r = (x & ~(x - ((r << 1) | 1L))) & topMask
+        }
+        k += 1
+      }
+      val lcs = java.lang.Long.bitCount(r)
+      if (lcs > best) best = lcs
+      i += 1
+    }
+    100.0 * (2 * best) / (2 * n) // ratio of two n-length windows
   }
 
   private def sortedTokens(s: String): Array[String] =

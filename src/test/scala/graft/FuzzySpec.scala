@@ -66,6 +66,26 @@ class FuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("bit-parallel partialRatio equals naive windowed-DP oracle") {
+    def naive(a: String, b: String): Double = {
+      val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+      if (s.isEmpty) return if (l.isEmpty) 100.0 else 0.0
+      (0 to l.length - s.length).map { i =>
+        val w = l.substring(i, i + s.length)
+        200.0 * Fuzzy.lcsLengthDp(s, w) / (s.length + w.length)
+      }.max
+    }
+    val rnd = new scala.util.Random(123)
+    for (alpha <- Seq("ab", "אבגד", "abcdefgh"); _ <- 1 to 80) {
+      val a = (1 to 1 + rnd.nextInt(60))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val b = (1 to 1 + rnd.nextInt(150))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      assert(Fuzzy.partialRatio(a, b) == naive(a, b),
+        s"partial mismatch a=$a b=$b")
+    }
+  }
+
   test("hebrew normalize strips nikkud, keeps letters") {
     assert(HebrewNorm.normalize("בְּרֵא") ==
       "ברא")
