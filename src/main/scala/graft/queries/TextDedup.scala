@@ -104,7 +104,7 @@ object TextDedup {
     // MinHash near-dup groups (full-signature band collision).
     "q48_minhash_groups" -> ((s, d) => {
       Dedup.minhashDupGroups(Tables.documents(s, d), "text", "doc_id")
-        .orderBy("sig_a")
+        .orderBy("sig_a", "sig_b", "sig_c", "sig_d")
     }),
 
     // 16-bit SimHash codes.
@@ -199,7 +199,7 @@ object TextDedup {
            |  FROM (SELECT doc_id, unnest($duckTokens) AS tok FROM documents)
            |  GROUP BY doc_id)
            |GROUP BY sig_a, sig_b, sig_c, sig_d HAVING COUNT(*) > 1
-           |ORDER BY sig_a""".stripMargin,
+           |ORDER BY sig_a, sig_b, sig_c, sig_d""".stripMargin,
 
       "q49_simhash" ->
         s"""SELECT doc_id, $simhashBits AS simhash FROM (

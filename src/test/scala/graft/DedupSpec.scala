@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+import graft.functions.TextFunctions
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("minhash: identical token sets collide regardless of order/dups") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "fox brown quick the"),          // permutation → same set
+      (3L, "the the quick brown fox fox"),  // duplicates → same set
+      (4L, "a completely different text")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashAgg(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(sigs(1L) == sigs(2L) && sigs(2L) == sigs(3L))
+    assert(sigs(1L) != sigs(4L))
+    val groups = Dedup.minhashDupGroups(docs, "text", "doc_id").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("group_size") == 3)
+    assert(groups.head.getAs[Long]("keeper") == 1L)
+  }
+
+  test("minhash plan is shuffle-free scan-projection") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Dedup.minhashAgg(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("simhash: near-identical token sets yield close codes") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extraone"),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val codes = Dedup.simhash16(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String) =
+      a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(codes(1L), codes(2L)) <= 3)
+    assert(hamming(codes(1L), codes(3L)) >= 4)
+  }
+
+  test("exact dedup flags keep exactly one row per duplicate group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Same Text"), (2L, "same   text"), (3L, "unique")
+    ).toDF("doc_id", "text")
+    // normalization makes 1 and 2 equal (case + whitespace squeeze)
+    val flags = Dedup.exactDedupFlags(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("group_size"), r.getAs[Boolean]("keep"))).toMap
+    assert(flags(1L) == (2L, true))
+    assert(flags(2L) == (2L, false))
+    assert(flags(3L) == (1L, true))
+  }
+
+  test("jaccard: adjacent-pair token-set similarity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "b c d e"), (3L, "x y")).toDF("doc_id", "text")
+    val j = Dedup.jaccardAdjacent(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(j((1L, 2L)) == 0.6) // |{b,c,d}| / |{a,b,c,d,e}|
+    assert(!j.contains((2L, 3L))) // empty intersection → inner join drops
+  }
+
+  test("quality score orders clean text above noisy text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 60).map(i => s"word$i").mkString(" ")),
+      (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+      (3L, "1234 5678 9012 3456")).toDF("doc_id", "text")
+    val q = docs.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) > 0.9)
+    assert(q(2L) < q(1L) && q(3L) < q(1L))
+  }
+}
