@@ -98,6 +98,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark on content hash") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = stream.toDS().toDF("ts", "text")
+      .withColumn("content_hash", md5(lower(col("text"))))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_hash")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt4").toString)
+      .start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t2 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+      stream.addData((t, "hello world"), (t2, "HELLO WORLD"),
+        (t2, "unique doc"))
+      q.processAllAvailable()
+      val texts = spark.sql("select text from dedup_out").collect()
+        .map(_.getString(0)).toSet
+      // case-insensitive duplicate dropped within the watermark window
+      assert(texts.size == 2)
+      assert(texts.contains("unique doc"))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window aggregation (streaming)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
