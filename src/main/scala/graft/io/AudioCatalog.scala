@@ -76,4 +76,27 @@ object AudioCatalog {
       .withColumn("samples", decodeBytes(col("content")))
       .withColumn("duration",
         size(col("samples")) / col("sample_rate").cast("double"))
+
+  /** S5: decode fallback chain (kaiser_fast → kaiser_best → soundfile,
+    * scripts/hebrew_alignment_tool_optimized.py:281-303): codecs try in
+    * order inside the task; the first success wins, total failure yields
+    * an empty sample array plus the failing codec count — the caller's
+    * P11 duration>0 filter then drops the row with provenance intact.
+    */
+  def decodeWithFallback(df: DataFrame,
+      codecs: Seq[Array[Byte] => Option[Array[Float]]]): DataFrame = {
+    val chain = udf { bytes: Array[Byte] =>
+      var i = 0
+      var out: Option[Array[Float]] = None
+      while (out.isEmpty && i < codecs.size) {
+        out = try codecs(i)(bytes) catch { case _: Exception => None }
+        i += 1
+      }
+      (out.getOrElse(Array.empty[Float]), i)
+    }
+    df.withColumn("_dec", chain(col("content")))
+      .withColumn("samples", col("_dec._1"))
+      .withColumn("codec_attempts", col("_dec._2"))
+      .drop("_dec")
+  }
 }

@@ -110,6 +110,24 @@ class AudioAsrSpec extends AnyFunSuite {
     assert(dropped.map(_.text).sorted.toSeq == Seq("א", "ג"))
   }
 
+  test("decodeWithFallback: first failing codec falls through to next") {
+    import spark.implicits._
+    val df = Seq(("ok", Array[Byte](1, 2)), ("bad", Array[Byte](9)))
+      .toDF("path", "content")
+    val primary = (b: Array[Byte]) =>
+      if (b.length >= 2) Some(b.map(_.toFloat)) else None
+    val fallback = (b: Array[Byte]) => Some(Array(42.0f))
+    val out = AudioCatalog.decodeWithFallback(df, Seq(primary, fallback))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Float](2), r.getAs[Int]("codec_attempts"))).toMap
+    assert(out("ok")._1 == Seq(1.0f, 2.0f) && out("ok")._2 == 1)
+    assert(out("bad")._1 == Seq(42.0f) && out("bad")._2 == 2)
+    // total failure → empty samples, all codecs attempted
+    val none = AudioCatalog.decodeWithFallback(df,
+      Seq((_: Array[Byte]) => None)).collect()
+    assert(none.forall(_.getSeq[Float](2).isEmpty))
+  }
+
   test("withFallback: local content preferred, remote fills gaps") {
     import spark.implicits._
     val local = Seq(("Gen", 1, "local1".getBytes))
