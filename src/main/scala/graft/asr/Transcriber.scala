@@ -45,6 +45,36 @@ case class FakeTranscriber(
   }
 }
 
+/** X4 + retry policy: adaptive placement with per-chapter fallback.
+  * The reference probes free VRAM, falls back to CPU per file on OOM,
+  * and retries ×3 with a delay
+  * (scripts/hebrew_alignment_tool_gpu.py:46-96,347-423,465-468). Here:
+  * try `primary` up to `retries` times (injected sleep between
+  * attempts), then `fallback` once — all inside the task, so one bad
+  * chapter degrades locally instead of failing the job.
+  */
+case class AdaptiveTranscriber(
+    primary: Transcriber,
+    fallback: Transcriber,
+    retries: Int = 3,
+    retryDelayMs: Long = 2000,
+    sleeper: Long => Unit = Thread.sleep) extends Transcriber {
+
+  override def transcribe(audio: graft.model.ChapterAudio)
+  : Seq[graft.model.TranscribedWord] = {
+    var attempt = 0
+    while (attempt < retries) {
+      try return primary.transcribe(audio)
+      catch {
+        case _: Exception =>
+          attempt += 1
+          if (attempt < retries) sleeper(retryDelayMs)
+      }
+    }
+    fallback.transcribe(audio)
+  }
+}
+
 object TranscribeOp {
 
   /** Executor-side singleton holder keyed by provider id: a heavy model

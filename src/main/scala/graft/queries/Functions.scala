@@ -56,6 +56,22 @@ object Functions {
         .orderBy("p_partkey")
     }),
 
+    // Semi-structured: JSON extraction from the props column (the
+    // engine's schema-on-read surface — the reference's entire data
+    // model was untyped JSON).
+    "q81_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+          from_json(col("props"), lit("k INT"))("k").isNotNull
+            .as("parsed_ok"))
+        .groupBy((col("k_num") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("parsed_ok"), 1).otherwise(0)).cast("long")
+            .as("n_parsed"))
+        .orderBy("k_mod")
+    }),
+
     // Math + date scalar family on events.
     "q80_math_date_family" -> ((s, d) => {
       Tables.events(s, d)
@@ -111,6 +127,13 @@ object Functions {
         |  split_part(p_type, ' ', 1) AS type_head,
         |  repeat('x', CAST(p_size % 4 + 1 AS INTEGER)) AS sized
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q81_json_extract" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
 
     "q80_math_date_family" ->
       """SELECT event_id,

@@ -141,6 +141,34 @@ class AudioAsrSpec extends AnyFunSuite {
     assert(new String(resolved(1).getAs[Array[Byte]]("content")) == "remote2")
   }
 
+  test("AdaptiveTranscriber: retries primary, degrades to fallback") {
+    import graft.asr.{AdaptiveTranscriber, Transcriber}
+    import graft.model.{ChapterAudio, TranscribedWord}
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = new Transcriber {
+      override def transcribe(a: ChapterAudio): Seq[TranscribedWord] = {
+        if (calls.incrementAndGet() < 3)
+          throw new RuntimeException("simulated OOM")
+        Seq(TranscribedWord(a.book, a.chapter, 1, "ok", 0, 1, 0.9))
+      }
+    }
+    val cpu = FakeTranscriber(Map(("Gen", 1) -> Seq("fallback")),
+      confidence = 0.5)
+    val audio = ChapterAudio("Gen", 1, "x", 16000, 1.0, Seq.empty)
+    // succeeds on 3rd retry of primary
+    val ok = AdaptiveTranscriber(flaky, cpu, retries = 3, sleeper = _ => ())
+      .transcribe(audio)
+    assert(ok.head.text == "ok" && calls.get() == 3)
+    // primary always fails → fallback output
+    val alwaysBad = new Transcriber {
+      override def transcribe(a: ChapterAudio) =
+        throw new RuntimeException("OOM")
+    }
+    val fb = AdaptiveTranscriber(alwaysBad, cpu, retries = 2,
+      sleeper = _ => ()).transcribe(audio)
+    assert(fb.head.text == "fallback" && fb.head.confidence == 0.5)
+  }
+
   test("AudioCatalog: binaryFile scan + path parse + validity filter") {
     val dir = java.nio.file.Files.createTempDirectory("audio").toFile
     val sub = new java.io.File(dir, "01_Genesis")
