@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** J6 generalized: banded point-in-interval join. A plain theta-join
+  * `p.x ∈ [i.lo, i.hi)` plans as a nested-loop scan; deriving an integer
+  * band key on both sides turns it into an equi-join (hash, broadcast-
+  * able, AQE-eligible) with a residual range predicate — O(points +
+  * intervals·bands) instead of O(points·intervals).
+  *
+  * `bandWidth` trades replication for selectivity: intervals replicate
+  * once per band they overlap, so pick a width near the typical interval
+  * length (exact replication factor = ⌈len/width⌉+1 worst case).
+  */
+object RangeJoin {
+
+  /** Join `points` (value column `x`) to `intervals` ([lo, hi) columns)
+    * on containment, optionally with extra equi-keys joined first.
+    */
+  def pointInInterval(points: DataFrame, x: String,
+      intervals: DataFrame, lo: String, hi: String,
+      equiKeys: Seq[String] = Seq.empty,
+      bandWidth: Double = 1.0): DataFrame = {
+    val p = points.withColumn("_band",
+      floor(col(x) / bandWidth).cast("long"))
+    val i = intervals.withColumn("_band",
+      explode(sequence(
+        floor(col(lo) / bandWidth).cast("long"),
+        greatest(floor((col(hi) - lit(1e-9)) / bandWidth).cast("long"),
+          floor(col(lo) / bandWidth).cast("long")))))
+    p.join(i, equiKeys :+ "_band")
+      .filter(col(x) >= col(lo) && col(x) < col(hi))
+      .drop("_band")
+  }
+}
