@@ -94,7 +94,47 @@ object AlignQueries {
         col("w.end").as("end"), col("w.confidence").as("confidence"))
       .orderBy("book", "chapter", "verse_num", "wpos")
 
+  /** W1-W3 as pure declarative SQL: the uniform estimated alignment
+    * derived entirely in window arithmetic (verse window = chapter
+    * duration / verse count; word window = verse duration / word count)
+    * with floor-based portable rounding — the one alignment strategy
+    * whose full output hash-matches an independent DuckDB derivation.
+    * The kernel variants (q62) keep the reference's Python-round
+    * semantics and stay rows-only.
+    */
+  private def estimatedSql(s: SparkSession, d: String): DataFrame = {
+    val words = wordRows(s, d)
+    val durations = words.groupBy("book", "chapter")
+      .agg((count(lit(1)) * 0.5 + 2.0).as("duration"))
+    val withVerse = words
+      .withColumn("verse_num", (col("pos") / 8).cast("int") + 1)
+      .withColumn("word_idx", col("pos") % 8)
+    val counts = withVerse.groupBy("book", "chapter")
+      .agg(countDistinct(col("verse_num")).as("n_verses"))
+    val verseSizes = withVerse.groupBy("book", "chapter", "verse_num")
+      .agg(count(lit(1)).as("n_words"))
+    def r2(c: org.apache.spark.sql.Column) =
+      floor(c * 100 + 0.5) / 100
+    withVerse
+      .join(durations, Seq("book", "chapter"))
+      .join(counts, Seq("book", "chapter"))
+      .join(verseSizes, Seq("book", "chapter", "verse_num"))
+      .withColumn("verse_dur", col("duration") / col("n_verses"))
+      .withColumn("verse_start", (col("verse_num") - 1) * col("verse_dur"))
+      .withColumn("word_dur", col("verse_dur") / col("n_words"))
+      .select(col("book"), col("chapter"), col("verse_num"),
+        col("word_idx"), col("word"),
+        r2(col("verse_start")).as("v_start"),
+        r2(col("verse_start") + col("verse_dur")).as("v_end"),
+        r2(col("verse_start") + col("word_idx") * col("word_dur"))
+          .as("w_start"),
+        r2(col("verse_start") + (col("word_idx") + 1) * col("word_dur"))
+          .as("w_end"))
+      .orderBy("book", "chapter", "verse_num", "word_idx")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_align_estimated_sql" -> ((s, d) => estimatedSql(s, d)),
     "q60_align_greedy" -> ((s, d) =>
       flatten(AlignerDataset.alignChapters(verseDs(s, d), transDs(s, d),
         "greedy"))),
@@ -111,6 +151,40 @@ object AlignQueries {
       flatten(AlignerDataset.alignChapters(verseDs(s, d), transDs(s, d),
         "verse_fuzzy"))))
 
-  /** Not SQL-expressible — rows-only checks. */
-  def oracle: Map[String, String] = Map.empty
+  /** The cursor-dependent kernels are rows-only; the declarative
+    * estimated variant has a full oracle.
+    */
+  def oracle: Map[String, String] = Map(
+    "q82_align_estimated_sql" ->
+      s"""WITH w AS (
+         |  SELECT 'b' || CAST(doc_id % 5 AS VARCHAR) AS book,
+         |    CAST((doc_id // 5) % 10 + 1 AS INTEGER) AS chapter,
+         |    generate_subscripts(toks, 1) - 1 AS pos,
+         |    unnest(toks) AS word
+         |  FROM (
+         |    SELECT doc_id, list_filter(string_split(
+         |      translate(lower(text), '$latin', '$hebrew'), ' '),
+         |      x -> x <> '') AS toks
+         |    FROM documents WHERE doc_id < 50)),
+         |v AS (
+         |  SELECT book, chapter, pos, word,
+         |    CAST(pos // 8 + 1 AS INTEGER) AS verse_num,
+         |    CAST(pos % 8 AS INTEGER) AS word_idx
+         |  FROM w),
+         |dur AS (
+         |  SELECT book, chapter, COUNT(*) * 0.5 + 2.0 AS duration,
+         |    COUNT(DISTINCT CAST(pos // 8 + 1 AS INTEGER)) AS n_verses
+         |  FROM w GROUP BY book, chapter),
+         |vs AS (
+         |  SELECT book, chapter, verse_num, COUNT(*) AS n_words
+         |  FROM v GROUP BY book, chapter, verse_num)
+         |SELECT v.book, v.chapter, v.verse_num, v.word_idx, v.word,
+         |  FLOOR((v.verse_num - 1) * (duration / n_verses) * 100 + 0.5) / 100 AS v_start,
+         |  FLOOR(((v.verse_num - 1) * (duration / n_verses) + duration / n_verses) * 100 + 0.5) / 100 AS v_end,
+         |  FLOOR(((v.verse_num - 1) * (duration / n_verses) + v.word_idx * (duration / n_verses / n_words)) * 100 + 0.5) / 100 AS w_start,
+         |  FLOOR(((v.verse_num - 1) * (duration / n_verses) + (v.word_idx + 1) * (duration / n_verses / n_words)) * 100 + 0.5) / 100 AS w_end
+         |FROM v
+         |JOIN dur USING (book, chapter)
+         |JOIN vs USING (book, chapter, verse_num)
+         |ORDER BY book, chapter, verse_num, word_idx""".stripMargin)
 }
