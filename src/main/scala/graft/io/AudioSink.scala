@@ -17,8 +17,16 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object AudioSink {
 
-  private def backupPathFor(path: String, backupRoot: String): String =
-    Paths.get(backupRoot, Paths.get(path).getFileName.toString).toString
+  /** Backups mirror the FULL source tree under `backupRoot`: distinct
+    * source paths can never collide, so two same-named files in different
+    * directories (the norm in per-book chapter corpora) get distinct
+    * backups. Keying by basename alone would silently overwrite-without-
+    * backup the second file — unacceptable in a destructive sink.
+    */
+  private def backupPathFor(path: String, backupRoot: String): String = {
+    val abs = Paths.get(path).toAbsolutePath.normalize
+    Paths.get(backupRoot, abs.toString.stripPrefix("/")).toString
+  }
 
   private def floatsToBytes(samples: Seq[Float]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(samples.length * 4)
@@ -39,12 +47,12 @@ object AudioSink {
   def overwriteWithBackup(df: DataFrame, backupRoot: String): Unit = {
     df.select(col("path"), col("samples")).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        Files.createDirectories(Paths.get(backupRoot))
         rows.foreach { r =>
           val path = r.getString(0)
           val samples = r.getSeq[Float](1)
           val backup = Paths.get(backupPathFor(path, backupRoot))
           val target = Paths.get(path)
+          Files.createDirectories(backup.getParent)
           if (!Files.exists(backup)) // idempotent: first backup wins
             Files.copy(target, backup, StandardCopyOption.COPY_ATTRIBUTES)
           Files.write(target, floatsToBytes(samples))

@@ -20,7 +20,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOfJoin {
 
-  /** `payloadCols` must not collide with left column names. */
+  /** `payloadCols` must not collide with left column names.
+    *
+    * The payload travels as ONE struct column: carrying each column
+    * independently with `last(_, ignoreNulls)` could stitch a "torn"
+    * match from different right rows when payloads contain nulls (and
+    * would resurrect an older non-null value over a genuinely-null
+    * latest one) — the whole-row struct matches DuckDB ASOF semantics.
+    */
   def nearestPrior(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTime: String, rightTime: String, payloadCols: Seq[String])
   : DataFrame = {
@@ -28,16 +35,19 @@ object AsOfJoin {
       .withColumn("_ts", col(leftTime).cast("double"))
       .withColumn("_side", lit(1))
     val rTagged = right
-      .select(keyCols.map(col) ++ payloadCols.map(col) :+
+      .select(keyCols.map(col) :+
+        struct(payloadCols.map(col): _*).as("_payload") :+
         col(rightTime).cast("double").as("_ts"): _*)
       .withColumn("_side", lit(0))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    val carried = unioned.withColumn("_payload",
+      last(col("_payload"), ignoreNulls = true).over(w))
+    val unpacked = payloadCols.foldLeft(carried) { (df, p) =>
+      df.withColumn(p, col("_payload").getField(p))
     }
-    carried.filter(col("_side") === 1).drop("_ts", "_side")
+    unpacked.filter(col("_side") === 1).drop("_ts", "_side", "_payload")
   }
 }

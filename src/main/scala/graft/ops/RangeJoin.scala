@@ -24,10 +24,16 @@ object RangeJoin {
       bandWidth: Double = 1.0): DataFrame = {
     val p = points.withColumn("_band",
       floor(col(x) / bandWidth).cast("long"))
+    // Top band is floor(hi/bandWidth) — NOT floor((hi-ε)/bandWidth):
+    // subtracting an epsilon under-counts the top band when hi sits just
+    // above a boundary, silently dropping points in [boundary, hi).
+    // When hi lands exactly ON a boundary this replicates one band too
+    // many; the residual x < hi predicate cuts those rows — correctness
+    // over a marginal replication saving.
     val i = intervals.withColumn("_band",
       explode(sequence(
         floor(col(lo) / bandWidth).cast("long"),
-        greatest(floor((col(hi) - lit(1e-9)) / bandWidth).cast("long"),
+        greatest(floor(col(hi) / bandWidth).cast("long"),
           floor(col(lo) / bandWidth).cast("long")))))
     p.join(i, equiKeys :+ "_band")
       .filter(col(x) >= col(lo) && col(x) < col(hi))

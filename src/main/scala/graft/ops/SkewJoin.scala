@@ -15,9 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types whose results survive k× small-side replication: for
+    * right/full outer joins each UNMATCHED small-side row would surface
+    * k duplicates, so those are rejected.
+    */
+  private val safeJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+
   def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
       spreaderCol: String, k: Int = 8, joinType: String = "inner")
   : DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(safeJoinTypes.contains(jt),
+      s"saltedJoin: joinType '$joinType' is not row-identical under k-way " +
+        "small-side replication (unmatched small rows duplicate); use " +
+        "inner, left, left_semi, or left_anti")
     val bigSalted = big.withColumn("_salt",
       pmod(hash(col(spreaderCol)), lit(k)))
     val smallSalted = small.withColumn("_salt",

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{AsOfJoin, SkewJoin}
+
+class JoinOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("as-of join carries the whole payload row — no torn matches " +
+    "from null payload columns") {
+    import spark.implicits._
+    // right rows: (ts=5, a=1, b=x) then (ts=15, a=null, b=y).
+    // The latest prior row at t=20 is ts=15: a must be NULL (whole-row
+    // semantics), not 1 stitched from the older ts=5 row.
+    val left = Seq(("u1", 10.0), ("u1", 20.0)).toDF("k", "t")
+    val right = Seq(
+      ("u1", 5.0, Some(1), "x"),
+      ("u1", 15.0, None: Option[Int], "y"))
+      .toDF("k", "rt", "a", "b")
+    val out = AsOfJoin.nearestPrior(left, right, Seq("k"), "t", "rt",
+      Seq("a", "b"))
+      .orderBy("t")
+      .select("t", "a", "b")
+      .collect()
+    assert(out(0).getDouble(0) == 10.0)
+    assert(out(0).getInt(1) == 1 && out(0).getString(2) == "x")
+    assert(out(1).getDouble(0) == 20.0)
+    assert(out(1).isNullAt(1), "torn match: old non-null 'a' resurrected")
+    assert(out(1).getString(2) == "y")
+  }
+
+  test("as-of join: left rows with no prior right row get null payload") {
+    import spark.implicits._
+    val left = Seq(("u1", 1.0)).toDF("k", "t")
+    val right = Seq(("u1", 5.0, 42)).toDF("k", "rt", "a")
+    val out = AsOfJoin.nearestPrior(left, right, Seq("k"), "t", "rt",
+      Seq("a")).collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("a")))
+  }
+
+  test("salted join equals unsalted for every safe join type") {
+    import spark.implicits._
+    val big = (1 to 200).map(i => (i % 7, i)).toDF("key", "v")
+    val small = Seq((0, "a"), (1, "b"), (2, "c"), (99, "zz"))
+      .toDF("key", "name")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = big.join(small, Seq("key"), jt)
+      val salted = SkewJoin.saltedJoin(big, small, Seq("key"), "v",
+        k = 4, joinType = jt)
+      assert(salted.count() == plain.count(), s"joinType=$jt")
+      assert(salted.exceptAll(plain).isEmpty &&
+        plain.exceptAll(salted).isEmpty, s"joinType=$jt")
+    }
+  }
+
+  test("salted join rejects outer join types (k-way duplicate hazard)") {
+    import spark.implicits._
+    val big = Seq((1, 1)).toDF("key", "v")
+    val small = Seq((1, "a")).toDF("key", "name")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer",
+      "cross")) {
+      val e = intercept[IllegalArgumentException] {
+        SkewJoin.saltedJoin(big, small, Seq("key"), "v", joinType = jt)
+      }
+      assert(e.getMessage.contains("saltedJoin"), s"joinType=$jt")
+    }
+  }
+}

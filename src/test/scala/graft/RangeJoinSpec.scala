@@ -50,4 +50,16 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("pid").collect().map(_.getLong(0)).toSet
     assert(hits == Set(1L, 3L)) // 4.0 excluded (half-open)
   }
+
+  test("hi just above a band boundary keeps points in [boundary, hi)") {
+    import spark.implicits._
+    // hi = 2 + 1e-10 sits within 1e-9 above the band-2 boundary: the old
+    // floor((hi - 1e-9)/width) top band under-counted to band 1 and
+    // silently dropped the point at 2.00000000005.
+    val points = Seq((1L, 2.00000000005), (2L, 1.5)).toDF("pid", "x")
+    val intervals = Seq((10L, 1.0, 2.0 + 1e-10)).toDF("iid", "lo", "hi")
+    val hits = RangeJoin.pointInInterval(points, "x", intervals, "lo", "hi")
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L))
+  }
 }

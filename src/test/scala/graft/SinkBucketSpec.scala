@@ -20,8 +20,9 @@ class SinkBucketSpec extends AnyFunSuite {
     // file now holds the 2 trimmed samples
     assert(AudioSink.bytesToFloats(Files.readAllBytes(f)).toSeq ==
       Seq(0.5f, -0.5f))
-    // backup holds the original bytes
-    val backup = Paths.get(backupRoot, "a.pcm")
+    // backup holds the original bytes (tree-mirrored under backupRoot)
+    val backup = Paths.get(backupRoot,
+      f.toAbsolutePath.normalize.toString.stripPrefix("/"))
     assert(Files.readAllBytes(backup).toSeq ==
       Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8))
     // second overwrite must NOT clobber the original backup
@@ -36,6 +37,35 @@ class SinkBucketSpec extends AnyFunSuite {
     assert(!Files.exists(backup))
     // restoring again is a no-op
     assert(AudioSink.restore(Seq(f.toString), backupRoot).isEmpty)
+  }
+
+  test("same-named files in different dirs get distinct backups " +
+    "and faithful restores") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("audio_sink_collide")
+    val backupRoot = dir.resolve("_backup").toString
+    val d1 = Files.createDirectories(dir.resolve("Psalms"))
+    val d2 = Files.createDirectories(dir.resolve("Genesis"))
+    val f1 = d1.resolve("ch01.pcm")
+    val f2 = d2.resolve("ch01.pcm") // same basename, different dir
+    Files.write(f1, Array[Byte](1, 1, 1, 1))
+    Files.write(f2, Array[Byte](2, 2, 2, 2))
+    val trimmed = Seq(
+      (f1.toString, Seq(0.25f)), (f2.toString, Seq(0.75f)))
+      .toDF("path", "samples")
+    AudioSink.overwriteWithBackup(trimmed, backupRoot)
+    // both files overwritten with their own samples
+    assert(AudioSink.bytesToFloats(Files.readAllBytes(f1)).toSeq ==
+      Seq(0.25f))
+    assert(AudioSink.bytesToFloats(Files.readAllBytes(f2)).toSeq ==
+      Seq(0.75f))
+    // restore brings EACH original back — the basename-keyed scheme lost
+    // f2's original here (f1's backup shadowed it)
+    val restored = AudioSink.restore(Seq(f1.toString, f2.toString),
+      backupRoot)
+    assert(restored.toSet == Set(f1.toString, f2.toString))
+    assert(Files.readAllBytes(f1).toSeq == Seq[Byte](1, 1, 1, 1))
+    assert(Files.readAllBytes(f2).toSeq == Seq[Byte](2, 2, 2, 2))
   }
 
   test("bucketed tables co-locate the join: no Exchange in the plan") {
