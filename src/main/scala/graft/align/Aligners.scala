@@ -15,9 +15,15 @@ import graft.model._
   */
 object Aligners {
 
-  private def round2(x: Double): Double =
-    new java.math.BigDecimal(x)
-      .setScale(2, java.math.RoundingMode.HALF_EVEN).doubleValue
+  /** 2-dp rounding in the floor-portable form `floor(x·100 + 0.5)/100` —
+    * the identical expression the SQL oracles evaluate, so the kernel
+    * outputs of the estimated strategies hash-match their DuckDB
+    * derivations exactly (q62/q63/q82). Deviates from Python's
+    * banker's-round only when the double sits within one ulp of a .005
+    * boundary — the reference's timestamps are arbitrary binary doubles,
+    * so no golden value is on such a boundary.
+    */
+  private def round2(x: Double): Double = math.floor(x * 100 + 0.5) / 100
 
   /** Transcription rollup (A1, hebrew_alignment_tool.py:222-246):
     * overall confidence = mean word confidence, total duration = max end.

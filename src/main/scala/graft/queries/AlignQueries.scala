@@ -97,10 +97,9 @@ object AlignQueries {
   /** W1-W3 as pure declarative SQL: the uniform estimated alignment
     * derived entirely in window arithmetic (verse window = chapter
     * duration / verse count; word window = verse duration / word count)
-    * with floor-based portable rounding — the one alignment strategy
-    * whose full output hash-matches an independent DuckDB derivation.
-    * The kernel variants (q62) keep the reference's Python-round
-    * semantics and stay rows-only.
+    * with floor-based portable rounding — validated the rounding form
+    * that q62/q63's kernels now share, so the estimated KERNELS also
+    * hash-match independent DuckDB derivations.
     */
   private def estimatedSql(s: SparkSession, d: String): DataFrame = {
     val words = wordRows(s, d)
@@ -133,8 +132,31 @@ object AlignQueries {
       .orderBy("book", "chapter", "verse_num", "word_idx")
   }
 
+  /** P12 duration-sanity gate over the 50-chapter fixture: "aligned"
+    * total = the last transcribed-timeline word end (max pos · 0.5 +
+    * 0.4), audio duration estimated at 0.4 s/word + 1 s lead-in — the
+    * two timelines disagree more as chapters grow, exercising ok /
+    * strict-reject / lenient-reject; every 3rd chapter gets a
+    * below-floor confidence to exercise the fixed aligner's floor check.
+    */
+  private def durationSanity(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.DurationSanity
+    val words = wordRows(s, d)
+    val aligned = words.groupBy("book", "chapter")
+      .agg((max(col("pos")) * 0.5 + 0.4).as("total_duration"),
+        countDistinct((col("pos") / 8).cast("int")).as("n_verses"))
+      .withColumn("overall_confidence",
+        when(col("chapter") % 3 === 0, 0.05).otherwise(0.9))
+    val audio = words.groupBy("book", "chapter")
+      .agg((count(lit(1)) * 0.4 + 1.0).as("audio_duration"))
+    DurationSanity.validate(aligned, audio, Seq("book", "chapter"),
+      "total_duration", "overall_confidence", "n_verses", "audio_duration")
+      .orderBy("book", "chapter")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_align_estimated_sql" -> ((s, d) => estimatedSql(s, d)),
+    "q83_duration_sanity" -> ((s, d) => durationSanity(s, d)),
     "q60_align_greedy" -> ((s, d) =>
       flatten(AlignerDataset.alignChapters(verseDs(s, d), transDs(s, d),
         "greedy"))),
@@ -151,10 +173,138 @@ object AlignQueries {
       flatten(AlignerDataset.alignChapters(verseDs(s, d), transDs(s, d),
         "verse_fuzzy"))))
 
-  /** The cursor-dependent kernels are rows-only; the declarative
-    * estimated variant has a full oracle.
+  /** The cursor-dependent kernels (greedy/windowed/verse_fuzzy) are
+    * rows-only; the estimated kernels (q62 uniform, q63 density) and the
+    * declarative variant (q82) have full DuckDB oracles — the oracles
+    * mirror the kernels' arithmetic op-for-op (same associativity, same
+    * floor-portable 2-dp rounding) so doubles match bit-exactly.
     */
   def oracle: Map[String, String] = Map(
+    "q83_duration_sanity" ->
+      s"""WITH w AS (
+         |  SELECT 'b' || CAST(doc_id % 5 AS VARCHAR) AS book,
+         |    CAST((doc_id // 5) % 10 + 1 AS INTEGER) AS chapter,
+         |    generate_subscripts(toks, 1) - 1 AS pos
+         |  FROM (
+         |    SELECT doc_id, list_filter(string_split(
+         |      translate(lower(text), '$latin', '$hebrew'), ' '),
+         |      x -> x <> '') AS toks
+         |    FROM documents WHERE doc_id < 50)),
+         |ch AS (
+         |  SELECT book, chapter,
+         |    CAST(MAX(pos) AS DOUBLE) * 0.5 + 0.4 AS total_duration,
+         |    COUNT(DISTINCT CAST(pos // 8 AS INTEGER)) AS n_verses,
+         |    CAST(COUNT(*) AS DOUBLE) * 0.4 + 1.0 AS audio_duration
+         |  FROM w GROUP BY book, chapter)
+         |SELECT book, chapter, total_duration, n_verses,
+         |  CAST(CASE WHEN chapter % 3 = 0 THEN 0.05 ELSE 0.9 END AS DOUBLE)
+         |    AS overall_confidence,
+         |  audio_duration,
+         |  FLOOR(total_duration / audio_duration * 10000 + 0.5) / 10000
+         |    AS duration_ratio,
+         |  total_duration <= audio_duration * 1.1 AS valid_strict,
+         |  (n_verses > 0
+         |   AND CAST(CASE WHEN chapter % 3 = 0 THEN 0.05 ELSE 0.9 END AS DOUBLE) >= 0.1
+         |   AND total_duration <= audio_duration * 1.2) AS valid_lenient
+         |FROM ch ORDER BY book, chapter""".stripMargin,
+
+    "q62_align_estimated" ->
+      s"""WITH w AS (
+         |  SELECT 'b' || CAST(doc_id % 5 AS VARCHAR) AS book,
+         |    CAST((doc_id // 5) % 10 + 1 AS INTEGER) AS chapter,
+         |    generate_subscripts(toks, 1) - 1 AS pos,
+         |    unnest(toks) AS word
+         |  FROM (
+         |    SELECT doc_id, list_filter(string_split(
+         |      translate(lower(text), '$latin', '$hebrew'), ' '),
+         |      x -> x <> '') AS toks
+         |    FROM documents WHERE doc_id < 50)),
+         |v AS (
+         |  SELECT book, chapter, pos, word,
+         |    CAST(pos // 8 + 1 AS INTEGER) AS verse_num,
+         |    CAST(pos % 8 AS INTEGER) AS word_idx
+         |  FROM w),
+         |ch AS (
+         |  SELECT book, chapter,
+         |    CAST(COUNT(*) AS DOUBLE) * 0.5 + 2.0 AS duration,
+         |    COUNT(DISTINCT CAST(pos // 8 AS INTEGER)) AS n_verses
+         |  FROM w GROUP BY book, chapter),
+         |vs AS (
+         |  SELECT book, chapter, verse_num, COUNT(*) AS n_words
+         |  FROM v GROUP BY book, chapter, verse_num)
+         |SELECT v.book, v.chapter,
+         |  FLOOR(duration * 100 + 0.5) / 100 AS total_duration,
+         |  CAST(0.1 AS DOUBLE) AS overall_confidence,
+         |  v.verse_num,
+         |  FLOOR((v.verse_num - 1) * (duration / n_verses) * 100 + 0.5) / 100
+         |    AS verse_start,
+         |  FLOOR(v.verse_num * (duration / n_verses) * 100 + 0.5) / 100
+         |    AS verse_end,
+         |  v.word_idx AS wpos, v.word,
+         |  FLOOR(((v.verse_num - 1) * (duration / n_verses)
+         |    + v.word_idx * (duration / n_verses / n_words)) * 100 + 0.5) / 100
+         |    AS start,
+         |  FLOOR(((v.verse_num - 1) * (duration / n_verses)
+         |    + (v.word_idx + 1) * (duration / n_verses / n_words)) * 100 + 0.5) / 100
+         |    AS "end",
+         |  CAST(0.1 AS DOUBLE) AS confidence
+         |FROM v
+         |JOIN ch USING (book, chapter)
+         |JOIN vs USING (book, chapter, verse_num)
+         |ORDER BY book, chapter, verse_num, wpos""".stripMargin,
+
+    "q63_align_density" ->
+      s"""WITH w AS (
+         |  SELECT 'b' || CAST(doc_id % 5 AS VARCHAR) AS book,
+         |    CAST((doc_id // 5) % 10 + 1 AS INTEGER) AS chapter,
+         |    generate_subscripts(toks, 1) - 1 AS pos,
+         |    unnest(toks) AS word
+         |  FROM (
+         |    SELECT doc_id, list_filter(string_split(
+         |      translate(lower(text), '$latin', '$hebrew'), ' '),
+         |      x -> x <> '') AS toks
+         |    FROM documents WHERE doc_id < 50)),
+         |v AS (
+         |  SELECT book, chapter, pos, word,
+         |    CAST(pos // 8 + 1 AS INTEGER) AS verse_num,
+         |    CAST(pos % 8 AS INTEGER) AS word_idx
+         |  FROM w),
+         |ch AS (
+         |  SELECT book, chapter,
+         |    CAST(COUNT(*) AS DOUBLE) * 0.5 + 2.0 AS duration,
+         |    COUNT(*) AS total_words
+         |  FROM w GROUP BY book, chapter),
+         |vs AS (
+         |  SELECT book, chapter, verse_num, COUNT(*) AS n_words
+         |  FROM v GROUP BY book, chapter, verse_num),
+         |vd AS (
+         |  SELECT vs.book, vs.chapter, vs.verse_num, vs.n_words,
+         |    GREATEST(CAST(vs.n_words AS DOUBLE) / total_words * duration,
+         |      CAST(1.0 AS DOUBLE)) AS verse_dur,
+         |    duration
+         |  FROM vs JOIN ch USING (book, chapter)),
+         |cum AS (
+         |  SELECT *, COALESCE(SUM(verse_dur) OVER (
+         |    PARTITION BY book, chapter ORDER BY verse_num
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    CAST(0.0 AS DOUBLE)) AS verse_start_raw
+         |  FROM vd)
+         |SELECT v.book, v.chapter,
+         |  FLOOR(duration * 100 + 0.5) / 100 AS total_duration,
+         |  CAST(0.1 AS DOUBLE) AS overall_confidence,
+         |  v.verse_num,
+         |  FLOOR(verse_start_raw * 100 + 0.5) / 100 AS verse_start,
+         |  FLOOR((verse_start_raw + verse_dur) * 100 + 0.5) / 100 AS verse_end,
+         |  v.word_idx AS wpos, v.word,
+         |  FLOOR((verse_start_raw + v.word_idx * (verse_dur / cum.n_words))
+         |    * 100 + 0.5) / 100 AS start,
+         |  FLOOR((verse_start_raw + (v.word_idx + 1) * (verse_dur / cum.n_words))
+         |    * 100 + 0.5) / 100 AS "end",
+         |  CAST(0.1 AS DOUBLE) AS confidence
+         |FROM v
+         |JOIN cum USING (book, chapter, verse_num)
+         |ORDER BY book, chapter, verse_num, wpos""".stripMargin,
+
     "q82_align_estimated_sql" ->
       s"""WITH w AS (
          |  SELECT 'b' || CAST(doc_id % 5 AS VARCHAR) AS book,
