@@ -63,6 +63,56 @@ object Dedup {
       .filter(col("group_size") > 1)
   }
 
+  /** Real b×r MinHash banding (default 16 salted signatures in 4 bands
+    * of 4): docs agreeing on ALL r signatures within ANY band become
+    * candidate pairs — the classic LSH candidate generator with catch
+    * probability 1−(1−j^r)^b at Jaccard j (r=4, b=4: ≈0.99 at j=0.9,
+    * ≈0.50 at j≈0.68), the recall the single full-signature band
+    * misses. Candidates are then verified with exact token-set Jaccard
+    * and filtered at `minJaccard`.
+    *
+    * Scale shape: signatures materialize inline during the scan (zero
+    * shuffle); the band join is an equi-join on (band, band_sig) — hash-
+    * partitioned by band key, never all-pairs; the verify join rejoins
+    * only the candidate ids to their token sets. Bucket sizes stay
+    * bounded at 100 TB because r-of-r signature agreement within a band
+    * only happens for genuinely similar docs.
+    */
+  def minhashBandPairs(df: DataFrame, textCol: String, idCol: String,
+      salts: Seq[String] = ('a' to 'p').map(_.toString),
+      bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    require(salts.nonEmpty && salts.size % bands == 0,
+      s"salts (${salts.size}) must split evenly into $bands bands")
+    val r = salts.size / bands
+    val toks = tokenSet(col(textCol))
+    val sigCols = salts.map(s =>
+      array_min(transform(toks, t => md5(concat(lit(s), t)))))
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        concat(sigCols.slice(b * r, (b + 1) * r): _*).as("band_sig")))
+    val bandRows = df
+      .select(col(idCol).as("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"),
+        col("bs.band_sig").as("band_sig"))
+    val cands = bandRows.as("x")
+      .join(bandRows.as("y"), Seq("band", "band_sig"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+    val tokSets = df.select(col(idCol).as("id"), toks.as("toks"))
+    val inter = size(array_intersect(col("toks1"), col("toks2")))
+    cands
+      .join(tokSets.select(col("id").as("id1"), col("toks").as("toks1")),
+        "id1")
+      .join(tokSets.select(col("id").as("id2"), col("toks").as("toks2")),
+        "id2")
+      .select(col("id1"), col("id2"),
+        round(inter /
+          (size(col("toks1")) + size(col("toks2")) - inter).cast("double"),
+          4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** 16-bit SimHash from md5 hex digits of distinct tokens: bit j is the
     * sign of Σ_tokens (digit_j(md5(tok)) >= '8' ? +1 : -1). Portable
     * across engines; near-dup docs land on nearby codes.

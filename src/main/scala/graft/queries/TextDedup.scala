@@ -107,6 +107,13 @@ object TextDedup {
         .orderBy("sig_a", "sig_b", "sig_c", "sig_d")
     }),
 
+    // b×r MinHash banding (16 sigs, 4 bands of 4) + exact-Jaccard verify:
+    // recalls near-dup pairs the full-signature grouping (q48) misses.
+    "q84_minhash_band_pairs" -> ((s, d) => {
+      Dedup.minhashBandPairs(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("id1", "id2")
+    }),
+
     // 16-bit SimHash codes.
     "q49_simhash" -> ((s, d) => {
       Dedup.simhash16(Tables.documents(s, d), "text", "doc_id")
@@ -122,6 +129,13 @@ object TextDedup {
 
   def oracle: Map[String, String] = {
     val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val salts16 = ('a' to 'p').map(_.toString)
+    val sig16 = salts16.zipWithIndex.map { case (s, i) =>
+      s"MIN(md5('$s' || tok)) AS s$i" }.mkString(",\n  |    ")
+    val bands16 = (0 until 4).map(b =>
+      s"SELECT id, $b AS band, s${4 * b} || s${4 * b + 1} || " +
+        s"s${4 * b + 2} || s${4 * b + 3} AS band_sig FROM sig")
+      .mkString("\n  |  UNION ALL ")
     val simhashSums = (1 to 16).map(j =>
       s"SUM(CASE WHEN substring(md5(tok), $j, 1) >= '8' THEN 1 ELSE -1 END) AS b$j"
     ).mkString(", ")
@@ -200,6 +214,32 @@ object TextDedup {
            |  GROUP BY doc_id)
            |GROUP BY sig_a, sig_b, sig_c, sig_d HAVING COUNT(*) > 1
            |ORDER BY sig_a, sig_b, sig_c, sig_d""".stripMargin,
+
+      "q84_minhash_band_pairs" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id AS id, $duckTokens AS toks FROM documents),
+           |t AS (SELECT id, unnest(toks) AS tok FROM tok),
+           |sig AS (SELECT id,
+           |    $sig16
+           |  FROM t GROUP BY id),
+           |bands AS (
+           |  $bands16),
+           |cand AS (
+           |  SELECT DISTINCT x.id AS id1, y.id AS id2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.band_sig = y.band_sig
+           |      AND x.id < y.id),
+           |j AS (
+           |  SELECT id1, id2,
+           |    ROUND(len(list_intersect(t1.toks, t2.toks)) /
+           |      CAST(len(t1.toks) + len(t2.toks)
+           |        - len(list_intersect(t1.toks, t2.toks)) AS DOUBLE), 4)
+           |      AS jaccard
+           |  FROM cand
+           |  JOIN tok t1 ON t1.id = cand.id1
+           |  JOIN tok t2 ON t2.id = cand.id2)
+           |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5
+           |ORDER BY id1, id2""".stripMargin,
 
       "q49_simhash" ->
         s"""SELECT doc_id, $simhashBits AS simhash FROM (
