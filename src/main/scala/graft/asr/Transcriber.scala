@@ -101,4 +101,27 @@ object TranscribeOp {
     import spark.implicits._
     audio.mapPartitions(rows => rows.flatMap(transcriber.transcribe))
   }
+
+  /** Fake-transcription derived DISTRIBUTIVELY from the reference verses:
+    * groups a chapter's words executor-side and runs the FakeTranscriber
+    * kernel per group — no driver-side `collect()` of the corpus (at
+    * 100× the corpus a collected verse map OOMs the driver). Timing
+    * output is byte-identical to `transcribe(audio, FakeTranscriber(m))`.
+    */
+  def transcribeFromVerses(verses: Dataset[Verse],
+      wordsPerSecond: Double = 2.0, dropEvery: Int = 0,
+      confidence: Double = 0.9): Dataset[TranscribedWord] = {
+    val spark = verses.sparkSession
+    import spark.implicits._
+    verses.groupByKey(v => (v.book, v.chapter))
+      .flatMapGroups { (key: (String, Int), vs: Iterator[Verse]) =>
+        val (book, chapter) = key
+        val words = vs.toSeq.sortBy(_.verseNum).flatMap(_.words)
+        FakeTranscriber(Map((book, chapter) -> words), wordsPerSecond,
+          dropEvery, confidence)
+          .transcribe(ChapterAudio(book, chapter, s"${book}_$chapter",
+            16000, 0.0, Seq.empty))
+          .iterator
+      }
+  }
 }

@@ -3,7 +3,7 @@ package graft.cli
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.align.AlignerDataset
-import graft.asr.{FakeTranscriber, TranscribeOp}
+import graft.asr.TranscribeOp
 import graft.io.{AlignmentWriter, BibleReader}
 import graft.model.ChapterAudio
 import graft.ops.BookResolve
@@ -50,17 +50,9 @@ object Main {
             .as[ChapterAudio]
           AlignerDataset.alignEstimated(verses, audio, method)
         case m =>
-          val ref = verses.collect()
-            .groupBy(v => (v.book, v.chapter))
-            .map { case (k, vs) =>
-              k -> vs.sortBy(_.verseNum).flatMap(_.words).toSeq }
-          val audio = verses.select("book", "chapter").distinct()
-            .select(col("book"), col("chapter"),
-              concat(col("book"), lit("_"), col("chapter")).as("path"),
-              lit(16000).as("sampleRate"), lit(0.0).as("duration"),
-              array().cast("array<float>").as("samples"))
-            .as[ChapterAudio]
-          val trans = TranscribeOp.transcribe(audio, FakeTranscriber(ref))
+          // fake transcription derived distributively per chapter — no
+          // driver-side collect of the corpus
+          val trans = TranscribeOp.transcribeFromVerses(verses)
           AlignerDataset.alignChapters(verses, trans, m)
       }
       AlignmentWriter.write(aligned, outDir)

@@ -67,32 +67,45 @@ object Similarity {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"), min(col(idCol)).as("min_id"))
 
-  /** IVF-style cell assignment: each vector joins its nearest centroid
-    * (small broadcast list, deterministic id tie-break). At scale the
-    * cell id becomes the partition column; probing searches only the
-    * query's cell(s). Centroids here are caller-supplied (e.g. a fixed
-    * sample or an offline k-means output) — assignment itself is one
-    * broadcast join + per-row argmin, no shuffle.
+  /** IVF-style cell assignment: each row folds over the centroid
+    * codebook and keeps the nearest (smallest-id tie-break). At scale
+    * the cell id becomes the partition column; probing searches only
+    * the query's cell(s).
+    *
+    * The codebook is tiny by construction (an IVF index has 10²-10⁴
+    * centroids for billions of vectors), so it is collected once and
+    * shipped inside the plan as a literal array; the argmin is a per-row
+    * `aggregate` fold — ZERO shuffle, zero join, no row replication.
+    * (The previous crossJoin + row_number().over(partitionBy(id)) form
+    * shuffled n×k rows just to pick each row's min — a scale-killer.)
     */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String)
   : DataFrame = {
-    val c = broadcast(centroids.select(
-      col(centroidIdCol).as("_cid"),
-      asDouble(col(centroidVecCol)).as("_cvec")))
-    val dist2 = aggregate(
-      zip_with(asDouble(col(vecCol)), col("_cvec"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("_dist").asc, col("_cid").asc)
-    emb.crossJoin(c)
-      .withColumn("_dist", dist2)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(emb.columns.map(col) :+ col("_cid").as("cell") :+
-        round(col("_dist"), 5).as("cell_dist2"): _*)
+    val cents: Seq[(Long, Seq[Double])] = centroids
+      .select(col(centroidIdCol).cast("long"),
+        asDouble(col(centroidVecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .toSeq
+    require(cents.nonEmpty, "ivfAssign: empty centroid codebook")
+    val codebook = typedLit(cents) // array<struct<_1:bigint,_2:array<double>>>
+    val v = asDouble(col(vecCol))
+    // fold state: struct(cid, d) — strict < keeps the first (smallest
+    // cid, codebook sorted) on ties, matching the old (dist, cid) sort
+    val best = aggregate(codebook,
+      struct(lit(-1L).as("cid"), lit(Double.MaxValue).as("d")),
+      (acc, c) => {
+        val d = aggregate(
+          zip_with(v, c.getField("_2"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (s, e) => s + e)
+        val cand = struct(c.getField("_1").as("cid"), d.as("d"))
+        when(cand.getField("d") < acc.getField("d"), cand).otherwise(acc)
+      })
+    emb.withColumn("_best", best)
+      .select(emb.columns.map(col) :+ col("_best.cid").as("cell") :+
+        round(col("_best.d"), 5).as("cell_dist2"): _*)
   }
 
   /** ANN restricted to the query's LSH bucket: the scale path — the scan
