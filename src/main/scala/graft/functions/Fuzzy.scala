@@ -151,26 +151,50 @@ object Fuzzy {
   }
 
   /** fuzz.partial_ratio: best `ratio` of the shorter string against any
-    * same-length window of the longer one (sliding alignment).
+    * alignment window of the longer one — the |s|-length interior
+    * windows AND the truncated boundary windows (prefixes/suffixes of
+    * the longer string shorter than |s|), matching rapidfuzz's sliding
+    * alignment exactly: rapidfuzz scores s sliding from −(|s|−1) to
+    * |l|−1 with the window clipped to l's bounds, so e.g.
+    * partial_ratio("abcd", "xxxab") = ratio("abcd", "ab") ≈ 66.7, not
+    * the 50 the best interior window gives. The reference's 0.6/0.7
+    * thresholds were tuned against these semantics. Equal-length inputs
+    * return the plain ratio (one full window, fuzzywuzzy-compatible).
     *
     * Shorter string ≤ 64 chars (the common case — words and verses):
-    * match masks build ONCE and every window runs the single-word
-    * bit-parallel recurrence with zero allocation; the per-window cost is
-    * |s| word ops, so the whole scan is O((|l|−|s|)·|s|/64) words.
+    * match masks build ONCE and every interior window runs the
+    * single-word bit-parallel recurrence with zero allocation; the
+    * per-window cost is |s| word ops, so the whole scan is
+    * O((|l|−|s|)·|s|/64) words. Boundary windows cost O(|s|²/64) total.
     */
   def partialRatio(a: String, b: String): Double = {
     val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
     if (s.isEmpty) return if (l.isEmpty) 100.0 else 0.0
     if (s.length == l.length) return ratio(s, l)
-    if (s.length <= 64) return partialRatioBitParallel(s, l)
-    var best = 0.0
-    var i = 0
-    val last = l.length - s.length
-    while (i <= last && best < 100.0) {
-      val w = l.substring(i, i + s.length)
-      val r = ratio(s, w)
-      if (r > best) best = r
-      i += 1
+    val interior =
+      if (s.length <= 64) partialRatioBitParallel(s, l)
+      else {
+        var best = 0.0
+        var i = 0
+        val last = l.length - s.length
+        while (i <= last && best < 100.0) {
+          val w = l.substring(i, i + s.length)
+          val r = ratio(s, w)
+          if (r > best) best = r
+          i += 1
+        }
+        best
+      }
+    if (interior >= 100.0) return 100.0
+    // truncated boundary alignments: s sliding off either end of l
+    var best = interior
+    var k = 1
+    while (k < s.length) {
+      val pre = ratio(s, l.substring(0, k)) // s overlapping l's start
+      if (pre > best) best = pre
+      val suf = ratio(s, l.substring(l.length - k)) // ... l's end
+      if (suf > best) best = suf
+      k += 1
     }
     best
   }

@@ -37,4 +37,47 @@ object SkewJoin {
     bigSalted.join(smallSalted, keyCols :+ "_salt", joinType)
       .drop("_salt")
   }
+
+  /** Salting gated on DETECTED hot keys: sample the big side's keys,
+    * estimate per-key counts, and salt ONLY keys whose estimated total
+    * exceeds `hotThreshold` — cold keys keep salt 0 and the small side
+    * replicates only its hot-key rows. With no hot keys detected this
+    * returns the PLAIN join (AQE handles residual runtime skew), so
+    * non-skewed workloads never pay the k× shuffle amplification that
+    * blanket salting costs. The detection pass is one sampled
+    * scan+agg of the big side's key columns (column-pruned).
+    */
+  def saltedJoinHot(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+      spreaderCol: String, k: Int = 8, joinType: String = "inner",
+      sampleFraction: Double = 0.01, hotThreshold: Long = 1000000L,
+      maxHotKeys: Int = 1000): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(safeJoinTypes.contains(jt),
+      s"saltedJoinHot: joinType '$joinType' is not row-identical under " +
+        "salting; use inner, left, left_semi, or left_anti")
+    val sampleCutoff = math.max(1L, (hotThreshold * sampleFraction).toLong)
+    val hot = big.select(keyCols.map(col): _*)
+      .sample(withReplacement = false, sampleFraction, seed = 42)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= sampleCutoff)
+      .orderBy(col("_cnt").desc)
+      .limit(maxHotKeys)
+      .drop("_cnt")
+      .withColumn("_hot", lit(true))
+    if (hot.isEmpty) return big.join(small, keyCols, joinType)
+    val hotB = broadcast(hot)
+    val bigSalted = big.join(hotB, keyCols, "left")
+      .withColumn("_salt",
+        when(col("_hot"), pmod(hash(col(spreaderCol)), lit(k)))
+          .otherwise(0))
+      .drop("_hot")
+    val smallSalted = small.join(hotB, keyCols, "left")
+      .withColumn("_salt",
+        explode(when(col("_hot"), sequence(lit(0), lit(k - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("_hot")
+    bigSalted.join(smallSalted, keyCols :+ "_salt", joinType)
+      .drop("_salt")
+  }
 }

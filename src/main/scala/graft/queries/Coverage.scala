@@ -18,7 +18,8 @@ object Coverage {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_asof_join" -> ((s, d) => asofQuery(s, d)),
-    "q75_salted_join" -> ((s, d) => saltedQuery(s, d)),
+    "q75_salted_join" -> ((s, d) => saltedQuery(s, d, forced = false)),
+    "q85_salted_forced" -> ((s, d) => saltedQuery(s, d, forced = true)),
 
     // HLL sketch counts for corpus stats (SURVEY §2.4 note). Rows-only:
     // Spark's HLL++ and DuckDB's HLL differ by construction; the exact
@@ -133,14 +134,26 @@ object Coverage {
   }
 
   /** Salted join must be row-identical to the plain join — the oracle is
-    * the UNsalted SQL.
+    * the UNsalted SQL for both variants. q75 is the production shape:
+    * salting GATED on detected hot keys, which on this (non-skewed)
+    * bench data degenerates to the plain AQE join — blanket salting
+    * would pay 8× small-side shuffle amplification for nothing. q85
+    * forces the salt on every key to keep the salting machinery itself
+    * oracle-checked and to bench the contrast.
     */
-  private def saltedQuery(s: SparkSession, d: String): DataFrame = {
+  private def saltedQuery(s: SparkSession, d: String, forced: Boolean)
+  : DataFrame = {
     import graft.ops.SkewJoin
     val l = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    SkewJoin.saltedJoin(l, o, Seq("l_orderkey"), "l_linenumber", k = 8)
+    val joined =
+      if (forced)
+        SkewJoin.saltedJoin(l, o, Seq("l_orderkey"), "l_linenumber", k = 8)
+      else
+        SkewJoin.saltedJoinHot(l, o, Seq("l_orderkey"), "l_linenumber",
+          k = 8, hotThreshold = 100000L)
+    joined
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
@@ -160,6 +173,11 @@ object Coverage {
         |ORDER BY c.user_id, c.event_id""".stripMargin,
 
     "q75_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q85_salted_forced" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

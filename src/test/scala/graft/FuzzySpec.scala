@@ -66,14 +66,29 @@ class FuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("partial_ratio scores truncated boundary alignments " +
+    "(rapidfuzz semantics)") {
+    // ADVICE golden: best interior window of "xxxab" gives 50; the
+    // suffix overlap "ab" gives ratio("abcd","ab") = 2·2/(4+2) ≈ 66.7
+    assert(Fuzzy.partialRatio("abcd", "xxxab") == 200.0 * 2 / 6)
+    // prefix overlap: "cd" at the start of the longer string
+    assert(Fuzzy.partialRatio("abcd", "cdxxx") == 200.0 * 2 / 6)
+    // boundary windows never beat a perfect interior window
+    assert(Fuzzy.partialRatio("ab", "zabz") == 100.0)
+  }
+
   test("bit-parallel partialRatio equals naive windowed-DP oracle") {
     def naive(a: String, b: String): Double = {
       val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
       if (s.isEmpty) return if (l.isEmpty) 100.0 else 0.0
-      (0 to l.length - s.length).map { i =>
-        val w = l.substring(i, i + s.length)
-        200.0 * Fuzzy.lcsLengthDp(s, w) / (s.length + w.length)
-      }.max
+      if (s.length == l.length)
+        return 200.0 * Fuzzy.lcsLengthDp(s, l) / (s.length + l.length)
+      val windows =
+        (0 to l.length - s.length).map(i => l.substring(i, i + s.length)) ++
+          (1 until s.length).flatMap(k =>
+            Seq(l.substring(0, k), l.substring(l.length - k)))
+      windows.map(w =>
+        200.0 * Fuzzy.lcsLengthDp(s, w) / (s.length + w.length)).max
     }
     val rnd = new scala.util.Random(123)
     for (alpha <- Seq("ab", "אבגד", "abcdefgh"); _ <- 1 to 80) {

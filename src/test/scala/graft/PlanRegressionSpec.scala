@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Similarity, SkewJoin}
+
+/** Physical-plan regression gates: the properties that make the headline
+  * queries scale (pushdown reaching the scan, dims broadcast, zero-
+  * shuffle IVF assignment, hot-key-gated salting) asserted on the plans
+  * themselves, so a rewrite can't silently trade them away.
+  */
+class PlanRegressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: filters are pushed to the parquet scan and columns pruned") {
+    val plan = planOf(SparkEntry.queries("q02_scan_pushdown")(spark, sf))
+    assert(plan.contains("PushedFilters: ["), plan.take(800))
+    assert(!plan.contains("PushedFilters: []"),
+      "scan lost its pushed filters")
+    // projection is 4 columns — the scan must not read the full schema
+    assert(plan.contains("l_shipdate") && !plan.contains("l_comment"),
+      "column pruning lost: scan reads unprojected columns")
+  }
+
+  test("q08 and q12: dimension joins broadcast") {
+    for (q <- Seq("q08_dim_resolve", "q12_range_join")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcast")
+    }
+  }
+
+  test("ivfAssign introduces no Exchange (zero-shuffle assignment)") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+      centroids, "cid", "cvec")
+    val plan = assigned.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"),
+      "IVF assignment reintroduced a shuffle")
+  }
+
+  test("saltedJoinHot: plain join on uniform keys, salted on hot keys") {
+    import spark.implicits._
+    val uniformBig = (1 to 2000).map(i => (i % 50, i)).toDF("key", "v")
+    val skewedBig = ((1 to 2000).map(i => (1, i)) ++
+      (1 to 50).map(i => (i + 1, i))).toDF("key", "v")
+    val small = (1 to 60).map(i => (i, s"n$i")).toDF("key", "name")
+
+    val uniform = SkewJoin.saltedJoinHot(uniformBig, small, Seq("key"),
+      "v", k = 4, sampleFraction = 0.5, hotThreshold = 500L)
+    // no hot keys detected ⇒ the plan is the plain join: no Generate
+    // (explode) node anywhere
+    assert(!uniform.queryExecution.sparkPlan.toString.contains("Generate"),
+      "uniform keys still pay small-side replication")
+    assert(uniform.count() ==
+      uniformBig.join(small, Seq("key")).count())
+
+    val skewed = SkewJoin.saltedJoinHot(skewedBig, small, Seq("key"),
+      "v", k = 4, sampleFraction = 0.5, hotThreshold = 500L)
+    // key 1 (2000 rows) detected hot ⇒ salting engages (explode present)
+    assert(skewed.queryExecution.sparkPlan.toString.contains("Generate"),
+      "hot key not detected")
+    val plain = skewedBig.join(small, Seq("key"))
+    assert(skewed.count() == plain.count())
+    assert(skewed.exceptAll(plain).isEmpty && plain.exceptAll(skewed).isEmpty)
+  }
+}
