@@ -90,6 +90,30 @@ object AudioOps {
       .drop("_rn")
   }
 
+  /** §1.6 alternate record shape: the trimmer writes TWO record types
+    * under one config key space — range records {trim_start, trim_end?}
+    * (hebrew_audio_trimmer.py:186-194) and by_length records
+    * {trim_method:'by_length', keep_duration, trim_from}
+    * (hebrew_audio_trimmer.py:252-260). The union schema travels with
+    * nullable columns (upsertConfig's unionByName handles the missing
+    * ones); this derives the canonical range view: trim_from='start'
+    * keeps the LAST keep_duration seconds (start = original − keep,
+    * end = original), 'end' keeps the FIRST (start = 0, end = keep).
+    */
+  def byLengthAsRange(config: DataFrame): DataFrame =
+    config
+      .withColumn("eff_trim_start",
+        when(col("trim_method") === "by_length",
+          when(col("trim_from") === "start",
+            col("original_duration") - col("keep_duration"))
+            .otherwise(lit(0.0)))
+          .otherwise(col("trim_start")))
+      .withColumn("eff_trim_end",
+        when(col("trim_method") === "by_length",
+          when(col("trim_from") === "start", col("original_duration"))
+            .otherwise(col("keep_duration")))
+          .otherwise(col("trim_end")))
+
   /** A8: trim statistics (hebrew_audio_trimmer.py:504-527). */
   def trimStats(config: DataFrame): DataFrame =
     config.agg(

@@ -51,15 +51,41 @@ object Similarity {
       .limit(k)
   }
 
-  /** Sign-LSH bucket id from the first `nBits` vector components:
-    * bucket = Σ 2^i · [v_i > 0]. A cheap, portable stand-in for random
-    * hyperplane projections (components of a dense random-ish embedding
-    * are already near-isotropic).
+  /** Sign-LSH bucket id from `nBits` vector components starting at
+    * `offset`: bucket = Σ 2^i · [v_(offset+i) > 0]. A cheap, portable
+    * stand-in for random hyperplane projections (components of a dense
+    * random-ish embedding are already near-isotropic).
     */
-  def signBucket(vec: Column, nBits: Int = 3): Column =
+  def signBucket(vec: Column, nBits: Int = 3, offset: Int = 0): Column =
     (0 until nBits).map(i =>
-      when(element_at(vec, i + 1) > 0, 1 << (nBits - 1 - i)).otherwise(0))
+      when(element_at(vec, offset + i + 1) > 0, 1 << (nBits - 1 - i))
+        .otherwise(0))
       .reduce(_ + _)
+
+  /** Multi-table sign-LSH candidate pairs: `bands` independent bucket
+    * tables, table b keyed by the sign pattern of components
+    * [b·bitsPerBand, (b+1)·bitsPerBand); a pair is a candidate when it
+    * collides in ANY table. Catch probability 1−(1−(1−θ/π)^r)^b for
+    * angle θ — the multi-table recall a single coarse table lacks,
+    * while each table's 2^bitsPerBand buckets keep the within-bucket
+    * pair space ~2^bitsPerBand× smaller than a single small-bit table:
+    * the equi-join on (band, bucket) stays bounded at 100 TB instead of
+    * going quadratic over 1/2^smallBits of the corpus.
+    */
+  def signBandPairs(emb: DataFrame, idCol: String, vecCol: String,
+      bands: Int = 4, bitsPerBand: Int = 8): DataFrame = {
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        signBucket(col(vecCol), bitsPerBand, b * bitsPerBand).as("bucket")))
+    val rows = emb
+      .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    rows.as("x").join(rows.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+  }
 
   /** Bucket histogram — the partition layout an IVF/LSH index would use. */
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String): DataFrame =

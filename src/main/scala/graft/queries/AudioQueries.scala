@@ -28,6 +28,38 @@ object AudioQueries {
         .orderBy("key")
     }),
 
+    // §1.6: both trim-config record shapes (range + by_length) through
+    // one keyed upsert — newer by_length updates overwrite range records
+    // per key — then the canonical range view of the merged config.
+    "q86_trim_bylength" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(concat(lit("doc_"), col("doc_id")).as("key"),
+          col("doc_id"),
+          (col("n_chars").cast("double") / 100.0).as("orig"))
+      val existing = base.select(col("key"),
+        lit(null).cast("string").as("trim_method"),
+        lit(null).cast("string").as("trim_from"),
+        lit(null).cast("double").as("keep_duration"),
+        ((col("doc_id") % 10) * 0.5).as("trim_start"),
+        when(col("doc_id") % 3 === 0, lit(null).cast("double"))
+          .otherwise(col("orig") * 0.8).as("trim_end"),
+        col("orig").as("original_duration"),
+        (col("orig") - (col("doc_id") % 10) * 0.5).as("new_duration"),
+        col("doc_id").as("ts"))
+      val updates = base.filter(col("doc_id") % 2 === 0)
+        .select(col("key"), lit("by_length").as("trim_method"),
+          when(col("doc_id") % 4 === 0, "start").otherwise("end")
+            .as("trim_from"),
+          (col("orig") * 0.6).as("keep_duration"),
+          lit(null).cast("double").as("trim_start"),
+          lit(null).cast("double").as("trim_end"),
+          col("orig").as("original_duration"),
+          (col("orig") * 0.6).as("new_duration"),
+          (col("doc_id") + 1000000).as("ts"))
+      AudioOps.byLengthAsRange(AudioOps.upsertConfig(existing, updates))
+        .orderBy("key")
+    }),
+
     // A8: trim statistics over a config derived from events.
     "q67_trim_stats" -> ((s, d) => {
       val config = Tables.events(s, d)
@@ -88,6 +120,52 @@ object AudioQueries {
         |      PARTITION BY user_id || ':' || event_type
         |      ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY key""".stripMargin,
+
+    "q86_trim_bylength" ->
+      """WITH base AS (
+        |  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS key, doc_id,
+        |    CAST(n_chars AS DOUBLE) / 100.0 AS orig
+        |  FROM documents),
+        |existing AS (
+        |  SELECT key, CAST(NULL AS VARCHAR) AS trim_method,
+        |    CAST(NULL AS VARCHAR) AS trim_from,
+        |    CAST(NULL AS DOUBLE) AS keep_duration,
+        |    CAST(doc_id % 10 AS DOUBLE) * 0.5 AS trim_start,
+        |    CASE WHEN doc_id % 3 = 0 THEN CAST(NULL AS DOUBLE)
+        |         ELSE orig * 0.8 END AS trim_end,
+        |    orig AS original_duration,
+        |    orig - CAST(doc_id % 10 AS DOUBLE) * 0.5 AS new_duration,
+        |    doc_id AS ts
+        |  FROM base),
+        |updates AS (
+        |  SELECT key, 'by_length' AS trim_method,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'start' ELSE 'end' END
+        |      AS trim_from,
+        |    orig * 0.6 AS keep_duration,
+        |    CAST(NULL AS DOUBLE) AS trim_start,
+        |    CAST(NULL AS DOUBLE) AS trim_end,
+        |    orig AS original_duration,
+        |    orig * 0.6 AS new_duration,
+        |    doc_id + 1000000 AS ts
+        |  FROM base WHERE doc_id % 2 = 0),
+        |merged AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY key ORDER BY ts DESC) AS rn
+        |    FROM (SELECT * FROM existing UNION ALL SELECT * FROM updates))
+        |  WHERE rn = 1)
+        |SELECT key, trim_method, trim_from, keep_duration, trim_start,
+        |  trim_end, original_duration, new_duration, ts,
+        |  CASE WHEN trim_method = 'by_length' THEN
+        |    CASE WHEN trim_from = 'start'
+        |         THEN original_duration - keep_duration
+        |         ELSE CAST(0.0 AS DOUBLE) END
+        |  ELSE trim_start END AS eff_trim_start,
+        |  CASE WHEN trim_method = 'by_length' THEN
+        |    CASE WHEN trim_from = 'start' THEN original_duration
+        |         ELSE keep_duration END
+        |  ELSE trim_end END AS eff_trim_end
+        |FROM merged ORDER BY key""".stripMargin,
 
     "q67_trim_stats" ->
       """SELECT COUNT(*) AS n_trims,

@@ -93,21 +93,24 @@ object Coverage {
         .orderBy("doc_id")
     }),
 
-    // Embedding-cosine near-dup pairs inside LSH buckets: the
-    // bucket-equi-join bounds the pair space; threshold keeps true
-    // near-dups. (Self-join on bucket = the scale-path dedup join.)
+    // Embedding-cosine near-dup pairs via multi-table sign-LSH banding
+    // (4 tables × 8 sign bits): candidates collide in ANY table's
+    // 256-bucket space — multi-table recall with buckets 16× finer than
+    // the old single 4-bit table, whose within-bucket self-join went
+    // quadratic over 1/16 of the corpus. Cosine verify keeps true
+    // near-dups.
     "q39_cosine_dup_pairs" -> ((s, d) => {
       import graft.ops.Similarity
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v"),
-          Similarity.signBucket(col("embedding"), 4).as("bucket"))
-      val a = emb.select(col("vec_id").as("id1"), col("v").as("v1"),
-        col("bucket"))
-      val b = emb.select(col("vec_id").as("id2"), col("v").as("v2"),
-        col("bucket"))
-      a.join(b, Seq("bucket"))
-        .filter(col("id1") < col("id2"))
+      val raw = Tables.embeddings(s, d)
+      val pairs = Similarity.signBandPairs(raw, "vec_id", "embedding",
+        bands = 4, bitsPerBand = 8)
+      val vecs = raw.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      pairs
+        .join(vecs.select(col("vec_id").as("id1"), col("v").as("v1")),
+          "id1")
+        .join(vecs.select(col("vec_id").as("id2"), col("v").as("v2")),
+          "id2")
         .select(col("id1"), col("id2"),
           round(Similarity.cosine(col("v1"), col("v2")), 5).as("cos_sim"))
         .filter(col("cos_sim") > 0.85)
@@ -221,27 +224,35 @@ object Coverage {
         |    AS INTEGER) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q39_cosine_dup_pairs" ->
-      """WITH b AS (
-        |  SELECT vec_id, embedding,
-        |    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
-        |     CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
-        |     CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
-        |     CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
-        |  FROM embeddings),
-        |ax AS (
-        |  SELECT vec_id, bucket, generate_subscripts(embedding, 1) AS i,
-        |         unnest(embedding)::DOUBLE AS x
-        |  FROM b),
-        |pairs AS (
-        |  SELECT a.vec_id AS id1, c.vec_id AS id2,
-        |    sum(a.x * c.x) AS dot,
-        |    sqrt(sum(a.x * a.x)) AS n1, sqrt(sum(c.x * c.x)) AS n2
-        |  FROM ax a JOIN ax c ON a.i = c.i AND a.bucket = c.bucket
-        |    AND a.vec_id < c.vec_id
-        |  GROUP BY 1, 2)
-        |SELECT id1, id2, ROUND(dot / (n1 * n2), 5) AS cos_sim
-        |FROM pairs WHERE ROUND(dot / (n1 * n2), 5) > 0.85
-        |ORDER BY id1, id2""".stripMargin
+    "q39_cosine_dup_pairs" -> {
+      def bandBucket(band: Int): String =
+        (0 until 8).map(i =>
+          s"CASE WHEN embedding[${band * 8 + i + 1}] > 0 " +
+            s"THEN ${1 << (7 - i)} ELSE 0 END").mkString(" + ")
+      val bandsSql = (0 until 4).map(b =>
+        s"SELECT vec_id, $b AS band, ${bandBucket(b)} AS bucket " +
+          "FROM embeddings").mkString("\n  |  UNION ALL ")
+      s"""WITH bands AS (
+         |  $bandsSql),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |      AND x.vec_id < y.vec_id),
+         |ax AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |         unnest(embedding)::DOUBLE AS x
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT c.id1, c.id2, sum(a.x * b2.x) AS dot,
+         |    sqrt(sum(a.x * a.x)) AS n1, sqrt(sum(b2.x * b2.x)) AS n2
+         |  FROM cand c
+         |  JOIN ax a ON a.vec_id = c.id1
+         |  JOIN ax b2 ON b2.vec_id = c.id2 AND b2.i = a.i
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, ROUND(dot / (n1 * n2), 5) AS cos_sim
+         |FROM pairs WHERE ROUND(dot / (n1 * n2), 5) > 0.85
+         |ORDER BY id1, id2""".stripMargin
+    }
   )
 }

@@ -54,6 +54,77 @@ object RecognitionState {
     * micro-batches continuously, so tests (and sources that always send
     * `session_stopped`) run quiescent with NoTimeout.
     */
+  /** A recognition callback stamped with its EVENT time — the variant
+    * the watermarked sessionization consumes.
+    */
+  case class TimedRecognitionEvent(
+      book: String,
+      chapter: Int,
+      kind: String,
+      text: String,
+      start: Double,
+      end: Double,
+      confidence: Double,
+      eventTime: java.sql.Timestamp)
+
+  case class TimedSessionBuffer(
+      words: Seq[RecognitionEvent],
+      stopped: Boolean,
+      lastEventMs: Long)
+
+  /** Event-time sessionization: the watermark bounds how late a callback
+    * may arrive, and a session times out `gapMs` after its LAST event in
+    * EVENT time — deterministic and replayable on historical streams,
+    * where the ProcessingTimeTimeout variant depends on the wall clock
+    * of the replay (the gap a re-run cannot reproduce). The timed-out
+    * emission is the same NoMatch-analog partial result
+    * (`completed=false`).
+    *
+    * Scale: identical bounded per-chapter state; late events beyond
+    * `watermarkDelay` are dropped by the engine instead of resurrecting
+    * finished sessions.
+    */
+  def sessionizeEventTime(events: Dataset[TimedRecognitionEvent],
+      watermarkDelay: String = "10 seconds",
+      gapMs: Long = 300000L): Dataset[RecognitionResult] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("eventTime", watermarkDelay)
+      .groupByKey(e => (e.book, e.chapter))
+      .flatMapGroupsWithState[TimedSessionBuffer, RecognitionResult](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, evts, state: GroupState[TimedSessionBuffer]) =>
+          if (state.hasTimedOut) {
+            val buf = state.getOption
+              .getOrElse(TimedSessionBuffer(Nil, false, 0L))
+            state.remove()
+            Iterator(rollup(key, SessionBuffer(buf.words, buf.stopped),
+              completed = false))
+          } else {
+            val prev = state.getOption
+              .getOrElse(TimedSessionBuffer(Nil, false, 0L))
+            val incoming = evts.toSeq
+            val words = prev.words ++ incoming.filter(_.kind == "word")
+              .sortBy(_.start)
+              .map(e => RecognitionEvent(e.book, e.chapter, e.kind,
+                e.text, e.start, e.end, e.confidence))
+            val stopped = prev.stopped ||
+              incoming.exists(_.kind == "session_stopped")
+            if (stopped) {
+              state.remove()
+              Iterator(rollup(key, SessionBuffer(words, true),
+                completed = true))
+            } else {
+              val lastMs = math.max(prev.lastEventMs,
+                incoming.map(_.eventTime.getTime).max)
+              state.update(TimedSessionBuffer(words, stopped = false, lastMs))
+              state.setTimeoutTimestamp(lastMs + gapMs)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   def sessionize(events: Dataset[RecognitionEvent],
       timeout: Option[String] = Some("300 seconds"))
   : Dataset[RecognitionResult] = {

@@ -48,6 +48,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("RecognitionState event-time: session times out on watermark, " +
+    "not wall clock") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.RecognitionState.TimedRecognitionEvent
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[TimedRecognitionEvent]
+    val out = RecognitionState.sessionizeEventTime(stream.toDS(),
+      watermarkDelay = "10 seconds", gapMs = 300000L)
+    val q = out.writeStream.format("memory").queryName("rec_et_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_et").toString)
+      .start()
+    try {
+      stream.addData(
+        TimedRecognitionEvent("Gen", 1, "word", "א", 0.0, 0.5, 0.9,
+          ts("2024-01-01 00:00:00")),
+        TimedRecognitionEvent("Gen", 1, "word", "ב", 0.5, 1.0, 0.7,
+          ts("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      assert(spark.sql("select * from rec_et_out").count() == 0)
+
+      // a much-later event on ANOTHER chapter advances the watermark past
+      // Gen 1's (last event + 300 s) timeout — event time, not wall clock
+      stream.addData(
+        TimedRecognitionEvent("Gen", 2, "word", "ג", 0.0, 0.4, 0.8,
+          ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      // timeout processing fires on the NEXT batch after the watermark
+      // advances
+      stream.addData(
+        TimedRecognitionEvent("Gen", 2, "word", "ד", 0.4, 0.8, 0.8,
+          ts("2024-01-01 00:10:01")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select book, chapter, wordCount, completed from rec_et_out")
+        .collect()
+      assert(rows.length == 1)
+      assert(rows.head.getString(0) == "Gen" && rows.head.getInt(1) == 1)
+      assert(rows.head.getInt(2) == 2 && !rows.head.getBoolean(3))
+    } finally q.stop()
+  }
+
   test("ChapterFileStream: file arrival → normalize → aligned batch") {
     val srcDir = Files.createTempDirectory("payloads")
     val payload =
