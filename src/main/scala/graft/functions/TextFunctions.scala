@@ -86,4 +86,19 @@ object TextFunctions {
     */
   def hebrewCharCount(c: Column): Column =
     charClassCount(c, "[\\u0590-\\u05FF]")
+
+  /** Word n-gram shingle set: overlapping n-token windows joined with a
+    * space, distinct. The canonical MinHash unit for near-dup text:
+    * token SETS ignore word order entirely; shingles preserve local
+    * order, so reshuffled documents stop colliding. Computed with array
+    * HOFs inline in the scan — no explode, no shuffle.
+    */
+  def wordShingles(c: Column, n: Int = 3): Column = {
+    val toks = tokens(c)
+    val last = size(toks) - n
+    array_distinct(
+      when(last >= 0, transform(sequence(lit(0), last), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
 }

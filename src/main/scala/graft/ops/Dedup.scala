@@ -80,11 +80,21 @@ object Dedup {
     */
   def minhashBandPairs(df: DataFrame, textCol: String, idCol: String,
       salts: Seq[String] = ('a' to 'p').map(_.toString),
+      bands: Int = 4, minJaccard: Double = 0.5): DataFrame =
+    minhashBandPairsOver(df, tokenSet(col(textCol)), idCol, salts, bands,
+      minJaccard)
+
+  /** The banding machinery over an arbitrary shingle/token-set
+    * expression (`graft.functions.TextFunctions.wordShingles` gives the
+    * order-sensitive shingle→minhash→band→bucket-join pipeline).
+    */
+  def minhashBandPairsOver(df: DataFrame, tokensExpr: Column,
+      idCol: String, salts: Seq[String] = ('a' to 'p').map(_.toString),
       bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
     require(salts.nonEmpty && salts.size % bands == 0,
       s"salts (${salts.size}) must split evenly into $bands bands")
     val r = salts.size / bands
-    val toks = tokenSet(col(textCol))
+    val toks = tokensExpr
     val sigCols = salts.map(s =>
       array_min(transform(toks, t => md5(concat(lit(s), t)))))
     val bandStructs = (0 until bands).map(b =>

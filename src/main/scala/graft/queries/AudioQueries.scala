@@ -71,7 +71,11 @@ object AudioQueries {
 
     // A6/A7/X15 pipeline on synthesized per-doc PCM: quiet intro length
     // derived from n_chars, then loud alternating samples; the trimmer
-    // must find the intro boundary. Rows-only.
+    // must find the intro boundary. Oracle: closed-form per-segment RMS
+    // (q quiet + 200−q loud samples per 200-sample segment) — the
+    // engine's sequential fold and the closed form differ only by
+    // summation-order ulps, far below every threshold margin, and the
+    // OUTPUT is quantized to exact decimals ((firstLoud−1)·2 − 0.5).
     "q65_trim_suggest" -> ((s, d) => {
       val sr = 100
       val quietLen = (col("n_chars") % 300 + 100).cast("int")
@@ -120,6 +124,33 @@ object AudioQueries {
         |      PARTITION BY user_id || ':' || event_type
         |      ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY key""".stripMargin,
+
+    "q65_trim_suggest" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars % 300 + 100 AS q FROM documents),
+        |c AS (
+        |  SELECT CAST(CAST(0.01 AS REAL) AS DOUBLE) AS qv,
+        |         CAST(CAST(0.8 AS REAL) AS DOUBLE) AS lv),
+        |seg AS (
+        |  SELECT doc_id, s.s,
+        |    sqrt((LEAST(GREATEST(q - s.s * 200, 0), 200) * qv * qv +
+        |          (200 - LEAST(GREATEST(q - s.s * 200, 0), 200)) * lv * lv)
+        |         / 200) AS rms
+        |  FROM d, (SELECT unnest([0, 1, 2, 3, 4]) AS s) s, c),
+        |thr AS (
+        |  SELECT doc_id,
+        |    SUM(rms) FILTER (WHERE s >= 2) / 3 * 0.3 AS thr
+        |  FROM seg GROUP BY doc_id),
+        |first AS (
+        |  SELECT seg.doc_id, MIN(s) + 1 AS first_loud
+        |  FROM seg JOIN thr USING (doc_id)
+        |  WHERE rms > thr.thr GROUP BY seg.doc_id)
+        |SELECT d.doc_id,
+        |  GREATEST(CAST(0.0 AS DOUBLE),
+        |    CAST(first_loud - 1 AS DOUBLE) * 2.0 - 0.5) AS suggested,
+        |  CAST(700 AS INTEGER) AS trimmed_len
+        |FROM d LEFT JOIN first USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q86_trim_bylength" ->
       """WITH base AS (

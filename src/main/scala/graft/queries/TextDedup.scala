@@ -114,6 +114,16 @@ object TextDedup {
         .orderBy("id1", "id2")
     }),
 
+    // Shingle (3-word-gram) MinHash banding — the order-SENSITIVE
+    // near-dup pipeline: token-set banding (q84) treats reshuffled docs
+    // as identical; shingles only collide on preserved local order.
+    "q87_shingle_band_pairs" -> ((s, d) => {
+      Dedup.minhashBandPairsOver(Tables.documents(s, d),
+        TextFunctions.wordShingles(col("text"), 3), "doc_id",
+        minJaccard = 0.3)
+        .orderBy("id1", "id2")
+    }),
+
     // 16-bit SimHash codes.
     "q49_simhash" -> ((s, d) => {
       Dedup.simhash16(Tables.documents(s, d), "text", "doc_id")
@@ -239,6 +249,37 @@ object TextDedup {
            |  JOIN tok t1 ON t1.id = cand.id1
            |  JOIN tok t2 ON t2.id = cand.id2)
            |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5
+           |ORDER BY id1, id2""".stripMargin,
+
+      "q87_shingle_band_pairs" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id AS id,
+           |    list_distinct(list_transform(range(1, len(t) - 1),
+           |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS toks
+           |  FROM (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |    FROM documents)),
+           |t AS (SELECT id, unnest(toks) AS tok FROM tok),
+           |sig AS (SELECT id,
+           |    $sig16
+           |  FROM t GROUP BY id),
+           |bands AS (
+           |  $bands16),
+           |cand AS (
+           |  SELECT DISTINCT x.id AS id1, y.id AS id2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.band_sig = y.band_sig
+           |      AND x.id < y.id),
+           |j AS (
+           |  SELECT id1, id2,
+           |    ROUND(len(list_intersect(t1.toks, t2.toks)) /
+           |      CAST(len(t1.toks) + len(t2.toks)
+           |        - len(list_intersect(t1.toks, t2.toks)) AS DOUBLE), 4)
+           |      AS jaccard
+           |  FROM cand
+           |  JOIN tok t1 ON t1.id = cand.id1
+           |  JOIN tok t2 ON t2.id = cand.id2)
+           |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.3
            |ORDER BY id1, id2""".stripMargin,
 
       "q49_simhash" ->

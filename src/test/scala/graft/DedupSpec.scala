@@ -87,4 +87,37 @@ class DedupSpec extends AnyFunSuite {
     assert(q(1L) > 0.9)
     assert(q(2L) < q(1L) && q(3L) < q(1L))
   }
+
+  test("wordShingles: overlapping windows, short docs get empty sets") {
+    import spark.implicits._
+    val rows = Seq("a b c d", "a b", "")
+      .toDF("text")
+      .select(TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1).isEmpty && rows(2).isEmpty)
+  }
+
+  test("shingle banding is order-sensitive where token-set banding " +
+    "is not") {
+    import spark.implicits._
+    val words = (1 to 24).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.mkString(" ")), // identical
+      (3L, words.reverse.mkString(" "))) // same token SET, reversed
+      .toDF("doc_id", "text")
+    val tokenPairs = Dedup.minhashBandPairs(docs, "text", "doc_id")
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // token sets identical for all three → every pair, jaccard 1.0
+    assert(tokenPairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val shinglePairs = Dedup.minhashBandPairsOver(docs,
+      TextFunctions.wordShingles(col("text"), 3), "doc_id",
+      minJaccard = 0.3)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reversal destroys every 3-gram: only the true duplicate survives
+    assert(shinglePairs == Set((1L, 2L)))
+  }
 }
