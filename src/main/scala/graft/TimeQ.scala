@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Scratch: time named queries once-warm at a given SF (dev helper). */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      fn(spark, sfDir).count()
+      val t0 = System.nanoTime()
+      val c = fn(spark, sfDir).count()
+      println(f"$n: ${(System.nanoTime() - t0) / 1e9}%.2f s, $c rows")
+    }
+    spark.stop()
+  }
+}

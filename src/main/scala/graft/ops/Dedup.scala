@@ -79,29 +79,57 @@ object Dedup {
     * only happens for genuinely similar docs.
     */
   def minhashBandPairs(df: DataFrame, textCol: String, idCol: String,
-      salts: Seq[String] = ('a' to 'p').map(_.toString),
-      bands: Int = 4, minJaccard: Double = 0.5): DataFrame =
-    minhashBandPairsOver(df, tokenSet(col(textCol)), idCol, salts, bands,
-      minJaccard)
+      numHashes: Int = 16, bands: Int = 4, minJaccard: Double = 0.5)
+  : DataFrame =
+    minhashBandPairsOver(df, tokenSet(col(textCol)), idCol, numHashes,
+      bands, minJaccard)
+
+  /** The XOR-permutation constants for the k minhash functions —
+    * golden-ratio multiples masked to 60 bits (below the base-hash
+    * range, overflow-free in both engines). Public so the DuckDB
+    * oracles derive the identical family from one source of truth.
+    */
+  def xorConstants(n: Int): Seq[Long] =
+    (1 to n).map(i => (0x9E3779B97F4A7C15L * i) & 0x0FFFFFFFFFFFFFFFL)
 
   /** The banding machinery over an arbitrary shingle/token-set
     * expression (`graft.functions.TextFunctions.wordShingles` gives the
     * order-sensitive shingle→minhash→band→bucket-join pipeline).
+    *
+    * Hash family: ONE cryptographic hash per token (first 60 bits of
+    * md5), then `numHashes` XOR permutations of it — the standard
+    * MinHash construction (k cheap mixes of one strong hash, not k full
+    * hashes; XOR by a constant is a bijection of the hash space). At
+    * corpus scale this is the difference between 1 and k md5 passes
+    * over every shingle array. Portable: DuckDB derives the same 60-bit
+    * base hash via CAST('0x'||substring(md5(t),1,15) AS BIGINT).
+    *
+    * Scale notes: candidates and output are bounded by the corpus's
+    * TRUE near-dup structure — a dup-heavy corpus yields many pairs by
+    * definition. Token-SET jaccard saturates on template-generated text
+    * (shared vocabulary ⇒ half of all pairs can exceed 0.5); the
+    * shingle variant stays discriminative there.
     */
   def minhashBandPairsOver(df: DataFrame, tokensExpr: Column,
-      idCol: String, salts: Seq[String] = ('a' to 'p').map(_.toString),
-      bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
-    require(salts.nonEmpty && salts.size % bands == 0,
-      s"salts (${salts.size}) must split evenly into $bands bands")
-    val r = salts.size / bands
-    val toks = tokensExpr
-    val sigCols = salts.map(s =>
-      array_min(transform(toks, t => md5(concat(lit(s), t)))))
+      idCol: String, numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must split evenly into $bands bands")
+    val r = numHashes / bands
+    // base hash materialized via a dedicated projection: md5 runs ONCE
+    // per token, the k sigs fold over the hashed array
+    val hashed = df.select(col(idCol).as("id"),
+      transform(tokensExpr, t =>
+        conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("_h"))
+      .filter(size(col("_h")) > 0) // empty docs: no sigs, no bands
+    val sigCols = xorConstants(numHashes).map(c =>
+      array_min(transform(col("_h"), h => h.bitwiseXOR(lit(c)))))
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
-        concat(sigCols.slice(b * r, (b + 1) * r): _*).as("band_sig")))
-    val bandRows = df
-      .select(col(idCol).as("id"), explode(array(bandStructs: _*)).as("bs"))
+        concat_ws("_", sigCols.slice(b * r, (b + 1) * r)
+          .map(_.cast("string")): _*).as("band_sig")))
+    val bandRows = hashed
+      .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"),
         col("bs.band_sig").as("band_sig"))
     val cands = bandRows.as("x")
@@ -109,7 +137,7 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
-    val tokSets = df.select(col(idCol).as("id"), toks.as("toks"))
+    val tokSets = df.select(col(idCol).as("id"), tokensExpr.as("toks"))
     val inter = size(array_intersect(col("toks1"), col("toks2")))
     cands
       .join(tokSets.select(col("id").as("id1"), col("toks").as("toks1")),

@@ -139,12 +139,16 @@ object TextDedup {
 
   def oracle: Map[String, String] = {
     val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-    val salts16 = ('a' to 'p').map(_.toString)
-    val sig16 = salts16.zipWithIndex.map { case (s, i) =>
-      s"MIN(md5('$s' || tok)) AS s$i" }.mkString(",\n  |    ")
+    // identical hash family to Dedup.minhashBandPairsOver: one 60-bit
+    // md5-derived base hash per token, 16 XOR permutations
+    val sig16 = Dedup.xorConstants(16).zipWithIndex.map { case (c, i) =>
+      s"MIN(xor(CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT), " +
+        s"$c)) AS s$i" }.mkString(",\n  |    ")
     val bands16 = (0 until 4).map(b =>
-      s"SELECT id, $b AS band, s${4 * b} || s${4 * b + 1} || " +
-        s"s${4 * b + 2} || s${4 * b + 3} AS band_sig FROM sig")
+      s"SELECT id, $b AS band, " +
+        (0 until 4).map(j => s"CAST(s${4 * b + j} AS VARCHAR)")
+          .mkString(" || '_' || ") +
+        " AS band_sig FROM sig")
       .mkString("\n  |  UNION ALL ")
     val simhashSums = (1 to 16).map(j =>
       s"SUM(CASE WHEN substring(md5(tok), $j, 1) >= '8' THEN 1 ELSE -1 END) AS b$j"
