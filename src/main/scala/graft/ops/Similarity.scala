@@ -134,6 +134,41 @@ object Similarity {
         round(col("_best.d"), 5).as("cell_dist2"): _*)
   }
 
+  /** IVF probe search: assign every vector to its cell (zero-shuffle
+    * fold), pick the query's `nProbe` nearest centroids driver-side
+    * (codebook + one query row — the broadcast pattern), and search
+    * ONLY those cells. The scan touches ~nProbe/|codebook| of the
+    * corpus; on a cell-partitioned layout the cell filter is
+    * partition-prunable, which is the entire point of an IVF index.
+    */
+  def ivfSearch(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vecCol, centroids,
+      centroidIdCol, centroidVecCol)
+    val cents = centroids
+      .select(col(centroidIdCol).cast("long"), asDouble(col(centroidVecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val qVec = emb.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol))).collect()(0).getSeq[Double](0)
+    val probes = cents.map { case (cid, cv) =>
+      (cv.zip(qVec).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+    }.sorted.take(nProbe).map(_._2)
+    val q = broadcast(emb.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec"))))
+    assigned
+      .filter(col("cell").isin(probes: _*) && col(idCol) =!= queryId)
+      .crossJoin(q)
+      .select(col(idCol), col("cell"),
+        round(dot(asDouble(col(vecCol)), col("qvec")) /
+          (l2Norm(asDouble(col(vecCol))) * col("qnorm")), 5).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN restricted to the query's LSH bucket: the scale path — the scan
     * touches only ~1/2^nBits of the corpus (partition-prunable on a
     * bucket-partitioned layout).

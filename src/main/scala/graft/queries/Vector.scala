@@ -57,6 +57,16 @@ object Vector {
         .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_id"),
           round(avg(col("cell_dist2")), 4).as("avg_dist2"))
         .orderBy("cell")
+    }),
+
+    // IVF probe search: top-5 cosine neighbors of vec_id 0 scanning only
+    // the query's 2 nearest cells.
+    "q88_ivf_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfSearch(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", queryId = 0L, k = 5, nProbe = 2)
     })
   )
 
@@ -66,6 +76,37 @@ object Vector {
       | CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q88_ivf_search" ->
+      """WITH ax AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
+        |dists AS (
+        |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
+        |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d ASC, cid ASC) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |probe AS (
+        |  SELECT cid FROM dists WHERE vec_id = 0
+        |  ORDER BY d ASC, cid ASC LIMIT 2),
+        |qx AS (SELECT i, x FROM ax WHERE vec_id = 0),
+        |nq AS (SELECT sqrt(sum(x * x)) AS n FROM qx),
+        |cand AS (
+        |  SELECT vec_id, cell FROM assigned
+        |  WHERE cell IN (SELECT cid FROM probe) AND vec_id <> 0),
+        |dots AS (
+        |  SELECT a.vec_id, sum(a.x * q.x) AS dot, sqrt(sum(a.x * a.x)) AS na
+        |  FROM ax a JOIN qx q USING (i)
+        |  WHERE a.vec_id IN (SELECT vec_id FROM cand)
+        |  GROUP BY a.vec_id)
+        |SELECT d2.vec_id, c.cell, ROUND(dot / (na * nq.n), 5) AS cos_sim
+        |FROM dots d2 JOIN cand c ON c.vec_id = d2.vec_id, nq
+        |ORDER BY cos_sim DESC, d2.vec_id LIMIT 5""".stripMargin,
+
     "q59_ivf_cells" ->
       """WITH ax AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
