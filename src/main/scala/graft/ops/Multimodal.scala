@@ -48,6 +48,35 @@ object Multimodal {
     })
   }
 
+  case class DecodedPcm(media_id: Long, n_samples: Int, duration: Double,
+      rms: Double)
+
+  /** REAL decode for the codec-free format: raw little-endian float32
+    * PCM bytes (the format [[graft.io.AudioSink]] writes) → sample
+    * count, duration, RMS. Runs for real in CI — no codec library
+    * involved — and demonstrates the actual batch decode loop the
+    * stubbed codec formats plug into: binary column in, typed row out,
+    * one partition iterator per task, zero shuffle.
+    */
+  def decodePcm(media: Dataset[MediaRow], sampleRate: Int = 16000)
+  : Dataset[DecodedPcm] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val samples = graft.io.AudioSink.bytesToFloats(
+        if (m.content == null) Array.empty[Byte] else m.content)
+      var sumSq = 0.0
+      var i = 0
+      while (i < samples.length) {
+        sumSq += samples(i).toDouble * samples(i).toDouble
+        i += 1
+      }
+      DecodedPcm(m.media_id, samples.length,
+        samples.length.toDouble / sampleRate,
+        if (samples.isEmpty) 0.0 else math.sqrt(sumSq / samples.length))
+    })
+  }
+
   /** Resize: metadata transform (real resize happens in the decode
     * kernel in production; the plan shape — a projection — is identical).
     */

@@ -80,6 +80,24 @@ class MultimodalSpec extends AnyFunSuite {
         .head.getAs[Int]("n_frames"))
   }
 
+  test("decodePcm: real float32-LE round trip with exact RMS") {
+    import spark.implicits._
+    // 4 samples: 0.5, -0.5, 1.0, 0.0 → rms = sqrt(1.5/4)
+    val bytes = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Seq(0.5f, -0.5f, 1.0f, 0.0f).foreach(bb.putFloat)
+      bb.array()
+    }
+    val out = Multimodal.decodePcm(
+      Seq(MediaRow(7, "audio", bytes), MediaRow(8, "audio", Array.empty))
+        .toDS(), sampleRate = 4).collect().map(d => d.media_id -> d).toMap
+    assert(out(7L).n_samples == 4)
+    assert(out(7L).duration == 1.0)
+    assert(math.abs(out(7L).rms - math.sqrt(1.5 / 4)) < 1e-12)
+    assert(out(8L).n_samples == 0 && out(8L).rms == 0.0)
+  }
+
   test("embed is deterministic and cosine-joinable") {
     import spark.implicits._
     val rows = Seq(
