@@ -26,7 +26,8 @@ object Bench {
     "q59_ivf_cells", "q60_align_greedy", "q64_align_verse_fuzzy",
     "q68_fuzzy_native", "q73_sliding_window", "q74_asof_join",
     "q75_salted_join", // hot-key-gated: plain AQE join on non-skewed data
-    "q85_salted_forced") // blanket salting, benched for contrast
+    "q83_duration_sanity", "q85_salted_forced", // blanket-salting contrast
+    "q86_trim_bylength", "q88_ivf_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -55,8 +55,24 @@ object Main {
           val trans = TranscribeOp.transcribeFromVerses(verses)
           AlignerDataset.alignChapters(verses, trans, m)
       }
+      // P12: the reference validates every chapter's aligned duration
+      // against the audio before accepting it (process_chapter →
+      // _validate_output); here the audio duration is the word-count
+      // estimate the align path already uses
+      val rollup = aligned.toDF().select(col("book"), col("chapter"),
+        col("totalDuration").as("total_duration"),
+        col("overallConfidence").as("overall_confidence"),
+        size(col("verses")).as("n_verses"))
+      val audioDur = verses.groupBy("book", "chapter")
+        .agg((sum("wordCount") / 2.0).as("audio_duration"))
+      val flagged = graft.ops.DurationSanity.validate(rollup, audioDur,
+        Seq("book", "chapter"), "total_duration", "overall_confidence",
+        "n_verses", "audio_duration")
+        .filter(!col("valid_strict") || !col("valid_lenient"))
+        .count()
       AlignmentWriter.write(aligned, outDir)
-      println(s"aligned ${aligned.count()} chapters -> $outDir")
+      println(s"aligned ${aligned.count()} chapters -> $outDir" +
+        (if (flagged > 0) s" ($flagged failed duration sanity)" else ""))
       if (own) spark.stop()
 
     case "diagnose" :: bible :: Nil =>
