@@ -27,7 +27,8 @@ object Bench {
     "q68_fuzzy_native", "q73_sliding_window", "q74_asof_join",
     "q75_salted_join", // hot-key-gated: plain AQE join on non-skewed data
     "q83_duration_sanity", "q85_salted_forced", // blanket-salting contrast
-    "q86_trim_bylength", "q88_ivf_search")
+    "q86_trim_bylength", "q88_ivf_search",
+    "q89_skew_salted") // hot key detected + salted on genuinely skewed data
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

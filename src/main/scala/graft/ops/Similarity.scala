@@ -169,6 +169,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** One Lloyd (k-means) iteration — the offline IVF codebook builder:
+    * assign every vector with the zero-shuffle broadcast fold, then
+    * recompute each cell's per-dimension mean. ONE shuffle keyed by
+    * (cell, dim) with map-side partial aggregation; the codebook stays
+    * driver-sized, so iterating to convergence is a driver loop over
+    * this step with no growing lineage state.
+    *
+    * Output is long-form (cell, dim, mean, n) — `dim` 1-based.
+    */
+  def kmeansStep(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String)
+  : DataFrame =
+    ivfAssign(emb, idCol, vecCol, centroids, centroidIdCol, centroidVecCol)
+      .select(col("cell"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim0", "x")))
+      .groupBy(col("cell"), (col("dim0") + 1).as("dim"))
+      .agg(round(avg(col("x")), 5).as("mean"), count(lit(1)).as("n"))
+
   /** ANN restricted to the query's LSH bucket: the scale path — the scan
     * touches only ~1/2^nBits of the corpus (partition-prunable on a
     * bucket-partitioned layout).

@@ -20,6 +20,7 @@ object Coverage {
     "q74_asof_join" -> ((s, d) => asofQuery(s, d)),
     "q75_salted_join" -> ((s, d) => saltedQuery(s, d, forced = false)),
     "q85_salted_forced" -> ((s, d) => saltedQuery(s, d, forced = true)),
+    "q89_skew_salted" -> ((s, d) => skewSaltedQuery(s, d)),
 
     // HLL sketch counts for corpus stats (SURVEY §2.4 note). Rows-only:
     // Spark's HLL++ and DuckDB's HLL differ by construction; the exact
@@ -164,7 +165,41 @@ object Coverage {
       .orderBy("o_orderpriority")
   }
 
+  /** GENUINE skew: ~2/3 of lineitem collapses onto one hot key (every
+    * line number > 1), the rest spreads over 100 keys. saltedJoinHot
+    * must detect key 1 from the sample and spread it over the salt
+    * space; the oracle is the plain unsalted SQL — gating and salting
+    * change the plan, never the rows.
+    */
+  private def skewSaltedQuery(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.SkewJoin
+    val big = Tables.lineitem(s, d)
+      .withColumn("skew_key",
+        when(col("l_linenumber") > 1, lit(1L))
+          .otherwise(pmod(col("l_orderkey"), lit(100)).cast("long")))
+    val dim = s.range(0, 100)
+      .select(col("id").as("skew_key"),
+        concat(lit("g"), col("id") % 7).as("grp"))
+    SkewJoin.saltedJoinHot(big, dim, Seq("skew_key"), "l_orderkey",
+      k = 8, hotThreshold = 1000L, sampleFraction = 0.05)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy("grp")
+  }
+
   def oracle: Map[String, String] = Map(
+    "q89_skew_salted" ->
+      """SELECT grp, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM (SELECT CASE WHEN l_linenumber > 1 THEN 1
+        |             ELSE l_orderkey % 100 END AS skew_key, l_quantity
+        |      FROM lineitem) l
+        |JOIN (SELECT i AS skew_key, 'g' || CAST(i % 7 AS VARCHAR) AS grp
+        |      FROM range(0, 100) t(i)) d USING (skew_key)
+        |GROUP BY grp ORDER BY grp""".stripMargin,
+
     "q74_asof_join" ->
       """SELECT c.user_id, c.event_id, p.event_id AS purchase_id,
         |  p.value AS purchase_value

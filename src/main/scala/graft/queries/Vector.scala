@@ -67,6 +67,17 @@ object Vector {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Similarity.ivfSearch(emb, "vec_id", "embedding",
         centroids, "cid", "cvec", queryId = 0L, k = 5, nProbe = 2)
+    }),
+
+    // One Lloyd iteration over the 8-centroid codebook: the offline
+    // k-means step that builds the IVF index.
+    "q90_kmeans_step" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.kmeansStep(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec")
+        .orderBy("cell", "dim")
     })
   )
 
@@ -76,6 +87,25 @@ object Vector {
       | CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q90_kmeans_step" ->
+      """WITH ax AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
+        |dists AS (
+        |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
+        |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d ASC, cid ASC) AS rn
+        |    FROM dists) WHERE rn = 1)
+        |SELECT cell, CAST(i AS INTEGER) AS dim, ROUND(AVG(x), 5) AS mean,
+        |  COUNT(*) AS n
+        |FROM assigned JOIN ax USING (vec_id)
+        |GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
+
     "q88_ivf_search" ->
       """WITH ax AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
