@@ -134,6 +134,44 @@ object TextDedup {
     "q50_jaccard_adjacent" -> ((s, d) => {
       Dedup.jaccardAdjacent(Tables.documents(s, d), "text", "doc_id")
         .orderBy("id1")
+    }),
+
+    // The composed curation pipeline — exact-dedup keep ∧ quality floor,
+    // rolled up by predicted language: the canonical pre-training filter
+    // chain as ONE plan (flags, scoring, and lang-ID all fuse into the
+    // scan + one hash shuffle for the dedup window + one for the rollup).
+    "q91_corpus_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sc = TextFunctions.langScores(col("text"))
+      val (en, de, es, fr) = (sc("en"), sc("de"), sc("es"), sc("fr"))
+      val scored = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        when(en >= de && en >= es && en >= fr, "en")
+          .when(de >= es && de >= fr, "de")
+          .when(es >= fr, "es").otherwise("fr").as("predicted"))
+      val flags = Dedup.exactDedupFlags(docs, "text", "doc_id")
+        .select(col("doc_id"), col("keep"))
+      scored.join(flags, "doc_id")
+        .filter(col("keep") && col("quality") >= 0.3)
+        .groupBy(col("predicted"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+        .orderBy("predicted")
+    }),
+
+    // Near-dup REMOVAL from band pairs: greedy keep-smallest-id — every
+    // doc that appears as the larger id of a verified near-dup pair is
+    // dropped (the standard curation step; no iterative connected
+    // components needed for a keep/drop decision).
+    "q92_neardup_removal" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dropped = Dedup.minhashBandPairs(docs, "text", "doc_id",
+        minJaccard = 0.8)
+        .select(col("id2").as("doc_id")).distinct()
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_kept"),
+          max(col("doc_id")).as("max_kept"))
     })
   )
 
@@ -228,6 +266,69 @@ object TextDedup {
            |  GROUP BY doc_id)
            |GROUP BY sig_a, sig_b, sig_c, sig_d HAVING COUNT(*) > 1
            |ORDER BY sig_a, sig_b, sig_c, sig_d""".stripMargin,
+
+      "q91_corpus_curation" ->
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n_tok,
+           |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+           |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+           |    length(text) AS len_t,
+           |    ${duckHits("the")} + ${duckHits("and")} + ${duckHits("of")} AS en,
+           |    ${duckHits("der")} + ${duckHits("und")} + ${duckHits("die")} AS de,
+           |    ${duckHits("el")} + ${duckHits("la")} + ${duckHits("de")} AS es,
+           |    ${duckHits("le")} + ${duckHits("et")} + ${duckHits("les")} AS fr
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id,
+           |    ROUND(GREATEST(0.0,
+           |      LEAST(n_tok / 50.0, 1.0)
+           |      - LEAST(punct / GREATEST(CAST(len_t AS DOUBLE), 1.0) * 5.0, 1.0) * 0.5
+           |      - LEAST(digits / GREATEST(CAST(len_t AS DOUBLE), 1.0), 1.0) * 0.2), 4) AS quality,
+           |    CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+           |         WHEN de >= es AND de >= fr THEN 'de'
+           |         WHEN es >= fr THEN 'es' ELSE 'fr' END AS predicted
+           |  FROM base),
+           |keepers AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id,
+           |      doc_id = MIN(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS keep
+           |    FROM documents) WHERE keep)
+           |SELECT predicted, COUNT(*) AS n_docs,
+           |  ROUND(AVG(quality), 4) AS avg_quality
+           |FROM scored JOIN keepers USING (doc_id)
+           |WHERE quality >= 0.3
+           |GROUP BY predicted ORDER BY predicted""".stripMargin,
+
+      "q92_neardup_removal" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id AS id, $duckTokens AS toks FROM documents),
+           |t AS (SELECT id, unnest(toks) AS tok FROM tok),
+           |sig AS (SELECT id,
+           |    $sig16
+           |  FROM t GROUP BY id),
+           |bands AS (
+           |  $bands16),
+           |cand AS (
+           |  SELECT DISTINCT x.id AS id1, y.id AS id2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.band_sig = y.band_sig
+           |      AND x.id < y.id),
+           |j AS (
+           |  SELECT id1, id2,
+           |    len(list_intersect(t1.toks, t2.toks)) /
+           |      CAST(len(t1.toks) + len(t2.toks)
+           |        - len(list_intersect(t1.toks, t2.toks)) AS DOUBLE)
+           |      AS raw_j
+           |  FROM cand
+           |  JOIN tok t1 ON t1.id = cand.id1
+           |  JOIN tok t2 ON t2.id = cand.id2),
+           |dropped AS (
+           |  SELECT DISTINCT id2 FROM j WHERE ROUND(raw_j, 4) >= 0.8)
+           |SELECT COUNT(*) AS n_kept, MIN(doc_id) AS min_kept,
+           |  MAX(doc_id) AS max_kept
+           |FROM documents
+           |WHERE doc_id NOT IN (SELECT id2 FROM dropped)""".stripMargin,
 
       "q84_minhash_band_pairs" ->
         s"""WITH tok AS (
