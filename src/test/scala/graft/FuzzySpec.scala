@@ -99,6 +99,15 @@ class FuzzySpec extends AnyFunSuite {
       assert(Fuzzy.partialRatio(a, b) == naive(a, b),
         s"partial mismatch a=$a b=$b")
     }
+    // >64-char shorter strings: the substring-window interior path plus
+    // boundary windows
+    for (_ <- 1 to 20) {
+      val a = (1 to 66 + rnd.nextInt(60)).map(_ => "abcd"(rnd.nextInt(4)))
+        .mkString
+      val b = (1 to 130 + rnd.nextInt(80)).map(_ => "abcd"(rnd.nextInt(4)))
+        .mkString
+      assert(Fuzzy.partialRatio(a, b) == naive(a, b))
+    }
   }
 
   test("hebrew normalize strips nikkud, keeps letters") {

@@ -54,6 +54,69 @@ class JoinOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: as-of join equals a naive per-row scan on random " +
+    "data with nulls and ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map { i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(100).toDouble, i)
+    }.toDF("k", "t", "lid")
+    val rightRows = (1 to 200).map { j =>
+      (s"k${rnd.nextInt(6)}", rnd.nextInt(100).toDouble,
+        if (rnd.nextBoolean()) Some(j) else None, s"p$j")
+    }
+    val right = rightRows.toDF("k", "rt", "a", "b")
+
+    val got = AsOfJoin.nearestPrior(left, right, Seq("k"), "t", "rt",
+      Seq("a", "b"))
+      .select("k", "t", "lid", "a", "b").collect()
+      .map(r => (r.getInt(2), Option(r.get(3)), Option(r.get(4)))).toSet
+
+    // naive: latest right row with rt <= t; ties on rt broken by
+    // later-in-union order — the window orders (ts, side) only, so among
+    // equal-ts right rows last() takes the final one in encounter order;
+    // restrict the fixture check to rows whose best rt is unique
+    val naive = left.collect().map { lr =>
+      val (k, t, lid) = (lr.getString(0), lr.getDouble(1), lr.getInt(2))
+      val prior = rightRows.filter(r => r._1 == k && r._2 <= t)
+      if (prior.isEmpty) (lid, None: Option[Any], None: Option[Any])
+      else {
+        val bestT = prior.map(_._2).max
+        val best = prior.filter(_._2 == bestT)
+        if (best.size > 1) (lid, Some("AMBIG"): Option[Any],
+          Some("AMBIG"): Option[Any]) // skip ambiguous ties
+        else (lid, best.head._3.map(x => x: Any),
+          Some(best.head._4): Option[Any])
+      }
+    }.toSet
+    val ambiguous = naive.collect { case (lid, Some("AMBIG"), _) => lid }
+    val gotClean = got.filterNot(r => ambiguous.contains(r._1))
+    val naiveClean = naive.filterNot(r => ambiguous.contains(r._1))
+    assert(gotClean == naiveClean)
+    assert(naiveClean.nonEmpty)
+  }
+
+  test("property: saltedJoinHot equals the plain join across random " +
+    "skew patterns and join types") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val hotShare = rnd.nextInt(800)
+      val big = ((1 to hotShare).map(i => (999, i)) ++
+        (1 to 400).map(i => (rnd.nextInt(40), i)))
+        .toDF("key", "v")
+      val small = (0 to 45).map(i => (i, s"n$i")).toDF("key", "name") // 999 unmatched
+      for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+        val plain = big.join(small, Seq("key"), jt)
+        val salted = SkewJoin.saltedJoinHot(big, small, Seq("key"), "v",
+          k = 4, joinType = jt, sampleFraction = 0.5, hotThreshold = 200L)
+        assert(salted.count() == plain.count(), s"trial=$trial jt=$jt")
+        assert(salted.exceptAll(plain).isEmpty &&
+          plain.exceptAll(salted).isEmpty, s"trial=$trial jt=$jt")
+      }
+    }
+  }
+
   test("salted join rejects outer join types (k-way duplicate hazard)") {
     import spark.implicits._
     val big = Seq((1, 1)).toDF("key", "v")
