@@ -92,6 +92,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: session rollups validated against the " +
+    "static audio catalog by the same batch operator") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[RecognitionEvent]
+    val sessions = RecognitionState.sessionize(stream.toDS(), timeout = None)
+    val audio = Seq(("Gen", 1, 2.0), ("Gen", 2, 10.0))
+      .toDF("book", "chapter", "audio_duration")
+    // DurationSanity.validate is stream-agnostic: the static side joins
+    // into each micro-batch (broadcast), the gates are row-local
+    val out = graft.ops.DurationSanity.validate(sessions.toDF(), audio,
+      Seq("book", "chapter"), "totalDuration", "confidence", "wordCount",
+      "audio_duration")
+    val q = out.writeStream.format("memory").queryName("val_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_vs").toString)
+      .start()
+    try {
+      stream.addData(
+        RecognitionEvent("Gen", 1, "word", "א", 0.0, 2.5, 0.9),
+        RecognitionEvent("Gen", 1, "session_stopped", "", 0, 0, 0),
+        RecognitionEvent("Gen", 2, "word", "ב", 0.0, 1.0, 0.9),
+        RecognitionEvent("Gen", 2, "session_stopped", "", 0, 0, 0))
+      q.processAllAvailable()
+      val rows = spark.sql("select chapter, valid_strict from val_out")
+        .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+      // Gen 1 aligned to 2.5 s vs 2.0 s audio (> ×1.1) — strict reject;
+      // Gen 2 well inside its audio
+      assert(rows == Map(1 -> false, 2 -> true))
+    } finally q.stop()
+  }
+
   test("ChapterFileStream: file arrival → normalize → aligned batch") {
     val srcDir = Files.createTempDirectory("payloads")
     val payload =
