@@ -11,11 +11,14 @@ object TimeQ {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { n =>
-      val fn = SparkEntry.queries(n)
-      fn(spark, sfDir).count()
-      val t0 = System.nanoTime()
-      val c = fn(spark, sfDir).count()
-      println(f"$n: ${(System.nanoTime() - t0) / 1e9}%.2f s, $c rows")
+      SparkEntry.queries.get(n) match {
+        case None => System.err.println(s"unknown query: $n")
+        case Some(fn) =>
+          fn(spark, sfDir).count()
+          val t0 = System.nanoTime()
+          val c = fn(spark, sfDir).count()
+          println(f"$n: ${(System.nanoTime() - t0) / 1e9}%.2f s, $c rows")
+      }
     }
     spark.stop()
   }

@@ -55,10 +55,15 @@ object Main {
           val trans = TranscribeOp.transcribeFromVerses(verses)
           AlignerDataset.alignChapters(verses, trans, m)
       }
+      // cache: the validate pass, the sink, and the count all consume
+      // the alignment — without it the cogroup pipeline runs three times
+      aligned.cache()
       // P12: the reference validates every chapter's aligned duration
       // against the audio before accepting it (process_chapter →
-      // _validate_output); here the audio duration is the word-count
-      // estimate the align path already uses
+      // _validate_output). With the deterministic fake provider the two
+      // timelines agree by construction, so this is expected to pass —
+      // the gate is wired for the real-provider path, where ASR drift
+      // is exactly what it catches.
       val rollup = aligned.toDF().select(col("book"), col("chapter"),
         col("totalDuration").as("total_duration"),
         col("overallConfidence").as("overall_confidence"),
@@ -73,6 +78,7 @@ object Main {
       AlignmentWriter.write(aligned, outDir)
       println(s"aligned ${aligned.count()} chapters -> $outDir" +
         (if (flagged > 0) s" ($flagged failed duration sanity)" else ""))
+      aligned.unpersist()
       if (own) spark.stop()
 
     case "diagnose" :: bible :: Nil =>

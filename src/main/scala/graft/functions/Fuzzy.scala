@@ -158,8 +158,10 @@ object Fuzzy {
     * |l|−1 with the window clipped to l's bounds, so e.g.
     * partial_ratio("abcd", "xxxab") = ratio("abcd", "ab") ≈ 66.7, not
     * the 50 the best interior window gives. The reference's 0.6/0.7
-    * thresholds were tuned against these semantics. Equal-length inputs
-    * return the plain ratio (one full window, fuzzywuzzy-compatible).
+    * thresholds were tuned against these semantics. Boundary windows
+    * apply at EVERY length combination — equal-length inputs also slide
+    * past both ends (partial_ratio("ab","ba") ≈ 66.7, not 50), so there
+    * is no discontinuity between |l| = |s| and |l| = |s|+1.
     *
     * Shorter string ≤ 64 chars (the common case — words and verses):
     * match masks build ONCE and every interior window runs the
@@ -170,7 +172,6 @@ object Fuzzy {
   def partialRatio(a: String, b: String): Double = {
     val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
     if (s.isEmpty) return if (l.isEmpty) 100.0 else 0.0
-    if (s.length == l.length) return ratio(s, l)
     val interior =
       if (s.length <= 64) partialRatioBitParallel(s, l)
       else {

@@ -107,8 +107,16 @@ object Similarity {
     */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String)
-  : DataFrame = {
-    val cents: Seq[(Long, Seq[Double])] = centroids
+  : DataFrame =
+    ivfAssignLocal(emb, vecCol, collectCodebook(centroids,
+      centroidIdCol, centroidVecCol))
+
+  /** Pull the (tiny) codebook to the driver once; callers that need it
+    * both for assignment and probe selection collect a single time.
+    */
+  private def collectCodebook(centroids: DataFrame, centroidIdCol: String,
+      centroidVecCol: String): Seq[(Long, Seq[Double])] = {
+    val cents = centroids
       .select(col(centroidIdCol).cast("long"),
         asDouble(col(centroidVecCol)))
       .collect()
@@ -116,6 +124,11 @@ object Similarity {
       .sortBy(_._1)
       .toSeq
     require(cents.nonEmpty, "ivfAssign: empty centroid codebook")
+    cents
+  }
+
+  private def ivfAssignLocal(emb: DataFrame, vecCol: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val codebook = typedLit(cents) // array<struct<_1:bigint,_2:array<double>>>
     val v = asDouble(col(vecCol))
     // fold state: struct(cid, d) — strict < keeps the first (smallest
@@ -144,27 +157,23 @@ object Similarity {
   def ivfSearch(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
-    val assigned = ivfAssign(emb, idCol, vecCol, centroids,
-      centroidIdCol, centroidVecCol)
-    val cents = centroids
-      .select(col(centroidIdCol).cast("long"), asDouble(col(centroidVecCol)))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
+    // one codebook collect (shared with assignment), one query-row scan;
+    // the query vector ships as a literal — no second source scan, no
+    // crossJoin
+    val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
+    val assigned = ivfAssignLocal(emb, vecCol, cents)
     val qVec = emb.filter(col(idCol) === queryId)
       .select(asDouble(col(vecCol))).collect()(0).getSeq[Double](0)
     val probes = cents.map { case (cid, cv) =>
       (cv.zip(qVec).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
     }.sorted.take(nProbe).map(_._2)
-    val q = broadcast(emb.filter(col(idCol) === queryId)
-      .select(asDouble(col(vecCol)).as("qvec"))
-      .withColumn("qnorm", l2Norm(col("qvec"))))
+    val qLit = typedLit(qVec)
+    val qNorm = lit(math.sqrt(qVec.foldLeft(0.0)((a, x) => a + x * x)))
     assigned
       .filter(col("cell").isin(probes: _*) && col(idCol) =!= queryId)
-      .crossJoin(q)
       .select(col(idCol), col("cell"),
-        round(dot(asDouble(col(vecCol)), col("qvec")) /
-          (l2Norm(asDouble(col(vecCol))) * col("qnorm")), 5).as("cos_sim"))
+        round(dot(asDouble(col(vecCol)), qLit) /
+          (l2Norm(asDouble(col(vecCol))) * qNorm), 5).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }

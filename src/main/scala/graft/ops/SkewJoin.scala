@@ -56,7 +56,11 @@ object SkewJoin {
       s"saltedJoinHot: joinType '$joinType' is not row-identical under " +
         "salting; use inner, left, left_semi, or left_anti")
     val sampleCutoff = math.max(1L, (hotThreshold * sampleFraction).toLong)
-    val hot = big.select(keyCols.map(col): _*)
+    // detection runs EXACTLY once: the (≤ maxHotKeys)-row result is
+    // collected to the driver and re-ships as a local relation — leaving
+    // it lazy would re-execute the sampled scan+agg inside each
+    // broadcast of the join plan
+    val hotLocal = big.select(keyCols.map(col): _*)
       .sample(withReplacement = false, sampleFraction, seed = 42)
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_cnt"))
@@ -65,8 +69,10 @@ object SkewJoin {
       .limit(maxHotKeys)
       .drop("_cnt")
       .withColumn("_hot", lit(true))
-    if (hot.isEmpty) return big.join(small, keyCols, joinType)
-    val hotB = broadcast(hot)
+    val hotRows = hotLocal.collect()
+    if (hotRows.isEmpty) return big.join(small, keyCols, joinType)
+    val hotB = broadcast(big.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), hotLocal.schema))
     val bigSalted = big.join(hotB, keyCols, "left")
       .withColumn("_salt",
         when(col("_hot"), pmod(hash(col(spreaderCol)), lit(k)))

@@ -75,14 +75,14 @@ class FuzzySpec extends AnyFunSuite {
     assert(Fuzzy.partialRatio("abcd", "cdxxx") == 200.0 * 2 / 6)
     // boundary windows never beat a perfect interior window
     assert(Fuzzy.partialRatio("ab", "zabz") == 100.0)
+    // equal lengths also slide past both ends (no length discontinuity)
+    assert(Fuzzy.partialRatio("ab", "ba") == 200.0 * 1 / 3)
   }
 
   test("bit-parallel partialRatio equals naive windowed-DP oracle") {
     def naive(a: String, b: String): Double = {
       val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
       if (s.isEmpty) return if (l.isEmpty) 100.0 else 0.0
-      if (s.length == l.length)
-        return 200.0 * Fuzzy.lcsLengthDp(s, l) / (s.length + l.length)
       val windows =
         (0 to l.length - s.length).map(i => l.substring(i, i + s.length)) ++
           (1 until s.length).flatMap(k =>
