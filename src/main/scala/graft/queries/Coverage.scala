@@ -22,6 +22,36 @@ object Coverage {
     "q85_salted_forced" -> ((s, d) => saltedQuery(s, d, forced = true)),
     "q89_skew_salted" -> ((s, d) => skewSaltedQuery(s, d)),
 
+    // The grammar pipeline's REAL text half with a full oracle: inject
+    // deterministic diacritics (qamats on א, dagesh on ב) into the
+    // transliterated corpus, then NFC, undiacritized projection,
+    // nikud/dagesh counts, Hebrew-token filter, and the unicode QA
+    // booleans — DuckDB derives all of it independently (nfc_normalize,
+    // RE2 classes). Only the OCR/NER stubs remain outside the oracle.
+    "q93_grammar_text" -> ((s, d) => {
+      import graft.ops.GrammarPipeline
+      import graft.functions.TextFunctions.charClassCount
+      val heb = translate(lower(col("text")), latin, hebrew)
+      val marked = regexp_replace(
+        regexp_replace(heb, "א", "אָ"), "ב", "בּ")
+      val nfc = GrammarPipeline.nfcNormalize(marked)
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          substring(GrammarPipeline.undiacritized(nfc), 1, 30)
+            .as("undia_head"),
+          charClassCount(nfc, "[\\u05B0-\\u05C7]").cast("int")
+            .as("n_nikud"),
+          charClassCount(nfc, "[\\u05BC]").cast("int").as("n_dagesh"),
+          size(filter(split(nfc, "\\s+"),
+            t => t.rlike("^[\\u0590-\\u05FF]+$"))).as("n_heb_tokens"),
+          GrammarPipeline.validation(nfc)
+            .getField("proper_normalization").as("proper_nfc"),
+          GrammarPipeline.validation(nfc)
+            .getField("hebrew_character_presence").as("has_hebrew"))
+        .orderBy("doc_id")
+    }),
+
     // HLL sketch counts for corpus stats (SURVEY §2.4 note). Rows-only:
     // Spark's HLL++ and DuckDB's HLL differ by construction; the exact
     // counts sit alongside for the error-bound sanity check.
@@ -190,6 +220,27 @@ object Coverage {
   }
 
   def oracle: Map[String, String] = Map(
+    "q93_grammar_text" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    nfc_normalize(replace(replace(
+         |      translate(lower(text), '$latin', '$hebrew'),
+         |      'א', 'אָ'), 'ב', 'בּ')) AS nfc
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT doc_id,
+         |  substring(regexp_replace(nfc, '[\\x{05B0}-\\x{05C7}]', '', 'g'),
+         |    1, 30) AS undia_head,
+         |  CAST(length(nfc) - length(regexp_replace(nfc,
+         |    '[\\x{05B0}-\\x{05C7}]', '', 'g')) AS INTEGER) AS n_nikud,
+         |  CAST(length(nfc) - length(regexp_replace(nfc,
+         |    '[\\x{05BC}]', '', 'g')) AS INTEGER) AS n_dagesh,
+         |  CAST(len(list_filter(regexp_split_to_array(nfc, '\\s+'),
+         |    t -> regexp_matches(t, '^[\\x{0590}-\\x{05FF}]+$$')))
+         |    AS INTEGER) AS n_heb_tokens,
+         |  nfc_normalize(nfc) = nfc AS proper_nfc,
+         |  regexp_matches(nfc, '[\\x{0590}-\\x{05FF}]') AS has_hebrew
+         |FROM m ORDER BY doc_id""".stripMargin,
+
     "q89_skew_salted" ->
       """SELECT grp, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
