@@ -5,11 +5,21 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs the headline queries on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Protocol: each query runs once as warm-up (JIT + codegen cache +
-  * file-index warm), then 3 timed runs, reporting the MEDIAN. The
-  * sandbox host shows 15-30× CPU-steal spikes that migrate across
-  * queries between runs; a median of 3 absorbs a single stalled run
-  * where min-of-2 did not (both runs can land inside one stall).
+  * Timing protocol:
+  *  - Each run materializes the FULL result through the `noop` sink
+  *    (`df.write.format("noop")`): every output column of every row is
+  *    computed and delivered to the writer, so Catalyst cannot prune the
+  *    kernel under test. (Timing `count()` let the optimizer delete
+  *    projection-only work — e.g. q31's levenshtein and q47's entire
+  *    MinHash computation vanished from the count plan, so those rounds
+  *    measured a bare parquet scan.)
+  *  - Each query runs once as warm-up (JIT + codegen cache + file-index
+  *    warm), then 3 timed runs, reporting the MEDIAN. The sandbox host
+  *    shows 15-30× CPU-steal spikes that migrate across queries between
+  *    runs; a median of 3 absorbs a single stalled run where min-of-2
+  *    did not (both runs can land inside one stall). The three raw
+  *    samples are persisted in the JSON (`samples`) so a spike is
+  *    distinguishable from a regression without a re-run.
   */
 object Bench {
 
@@ -28,7 +38,8 @@ object Bench {
     "q75_salted_join", // hot-key-gated: plain AQE join on non-skewed data
     "q83_duration_sanity", "q85_salted_forced", // blanket-salting contrast
     "q86_trim_bylength", "q88_ivf_search",
-    "q89_skew_salted") // hot key detected + salted on genuinely skewed data
+    "q89_skew_salted", // hot key detected + salted on genuinely skewed data
+    "q94_simhash_neighbors") // Hamming-banded SimHash near-dup lookup
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,28 +54,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Full materialization: every column of every row reaches the writer.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     val qs = SparkEntry.queries
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
       try {
-        fn(spark, sfDir).count() // warm-up: codegen + file index + JIT
+        materialize(fn(spark, sfDir)) // warm-up: codegen + file index + JIT
         // median of 3 timed runs — a single host-noise stall is discarded
         val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          materialize(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
-        }.sorted
-        name -> times(1)
+        }
+        name -> times
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+          name -> Seq(-1.0)
       }
     }
-    val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    val qJson = results.map { case (k, ts) =>
+      "\"" + k + f"\":${median(ts)}%.3f" }.mkString("{", ",", "}")
+    val sJson = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val total = results.map(r => median(r._2)).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"samples":$sJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,6 +27,14 @@ object AsOfJoin {
     * match from different right rows when payloads contain nulls (and
     * would resurrect an older non-null value over a genuinely-null
     * latest one) — the whole-row struct matches DuckDB ASOF semantics.
+    *
+    * Ties: two right rows with identical (key, ts) would otherwise be
+    * picked by shuffle arrival order — run-to-run nondeterminism. The
+    * window ordering therefore appends the payload struct itself
+    * (value-based, shuffle-independent): among equal-ts right rows the
+    * LARGEST payload (struct field order, nulls-first) wins, a total
+    * order on the output — identical payload rows are indistinguishable,
+    * so either pick yields the same bytes.
     */
   def nearestPrior(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTime: String, rightTime: String, payloadCols: Seq[String])
@@ -41,7 +49,7 @@ object AsOfJoin {
       .withColumn("_side", lit(0))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col("_ts"), col("_side"), col("_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("_payload",
       last(col("_payload"), ignoreNulls = true).over(w))

@@ -82,7 +82,8 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4, minJaccard: Double = 0.5)
   : DataFrame =
     minhashBandPairsOver(df, tokenSet(col(textCol)), idCol, numHashes,
-      bands, minJaccard)
+      bands, minJaccard,
+      collapseExactOn = Some(fingerprint(col(textCol))))
 
   /** The XOR-permutation constants for the k minhash functions —
     * golden-ratio multiples masked to 60 bits (below the base-hash
@@ -109,16 +110,28 @@ object Dedup {
     * definition. Token-SET jaccard saturates on template-generated text
     * (shared vocabulary ⇒ half of all pairs can exceed 0.5); the
     * shingle variant stays discriminative there.
+    *
+    * `collapseExactOn`: exact-dup pre-collapse key (e.g. the content
+    * fingerprint). When set, only the smallest-id row per key is banded
+    * — identical docs collapse to ONE representative BEFORE the band
+    * join, so a group of g byte-identical docs contributes 0 candidate
+    * pairs instead of g·(g−1)/2. On template/duplicate-heavy corpora
+    * this is the difference between a bounded candidate set and a
+    * quadratic blow-up; exact duplicates are already fully handled by
+    * [[exactDedupFlags]], which reports every member. Costs one window
+    * shuffle on the key — the same shuffle exactDedupFlags pays.
     */
   def minhashBandPairsOver(df: DataFrame, tokensExpr: Column,
       idCol: String, numHashes: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, collapseExactOn: Option[Column] = None)
+  : DataFrame = {
     require(numHashes > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must split evenly into $bands bands")
     val r = numHashes / bands
+    val source = collapseExactOn.fold(df)(keepersByKey(df, _, idCol))
     // base hash materialized via a dedicated projection: md5 runs ONCE
     // per token, the k sigs fold over the hashed array
-    val hashed = df.select(col(idCol).as("id"),
+    val hashed = source.select(col(idCol).as("id"),
       transform(tokensExpr, t =>
         conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("_h"))
       .filter(size(col("_h")) > 0) // empty docs: no sigs, no bands
@@ -137,7 +150,7 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
-    val tokSets = df.select(col(idCol).as("id"), tokensExpr.as("toks"))
+    val tokSets = source.select(col(idCol).as("id"), tokensExpr.as("toks"))
     val inter = size(array_intersect(col("toks1"), col("toks2")))
     cands
       .join(tokSets.select(col("id").as("id1"), col("toks").as("toks1")),
@@ -151,22 +164,98 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Smallest-id row per exact key — the shared pre-collapse step: one
+    * window shuffle on the key (the shuffle [[exactDedupFlags]] already
+    * pays), after which duplicate groups are a single representative.
+    */
+  private def keepersByKey(df: DataFrame, key: Column, idCol: String)
+  : DataFrame =
+    df.withColumn("_ck", key)
+      .withColumn("_keep", col(idCol) ===
+        min(col(idCol)).over(Window.partitionBy(col("_ck"))))
+      .filter(col("_keep")).drop("_ck", "_keep")
+
   /** 16-bit SimHash from md5 hex digits of distinct tokens: bit j is the
     * sign of Σ_tokens (digit_j(md5(tok)) >= '8' ? +1 : -1). Portable
     * across engines; near-dup docs land on nearby codes.
     */
-  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(tokenSet(col(textCol))).as("tok"))
+  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashOver(df, tokenSet(col(textCol)), idCol, nBits = 16)
+
+  /** Generalized SimHash: bit j of the code is the sign of
+    * Σ_tokens (digit_j(md5(tok)) >= '8' ? +1 : −1), for up to 32 bits
+    * (md5 supplies 32 hex digits). One md5 per token, one hash-keyed
+    * groupBy — signatures materialize in-scan at corpus scale.
+    */
+  def simhashOver(df: DataFrame, tokensExpr: Column, idCol: String,
+      nBits: Int = 32): DataFrame = {
+    require(nBits >= 1 && nBits <= 32, "md5 supplies 32 hex digits")
+    val toks = df.select(col(idCol), explode(tokensExpr).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val bitSums = (1 to 16).map(j =>
+    val bitSums = (1 to nBits).map(j =>
       sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1))
         .as(s"b$j"))
-    val bits = (1 to 16).map(j =>
+    val bits = (1 to nBits).map(j =>
       when(col(s"b$j") > 0, "1").otherwise("0"))
     toks.groupBy(col(idCol))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol), concat(bits: _*).as("simhash"))
+  }
+
+  /** SimHash Hamming-neighbor pairs — the lookup the codes exist for:
+    * split the code into `bands` bit-ranges; by pigeonhole any pair
+    * within Hamming distance < bands agrees EXACTLY on at least one
+    * band, so the candidate search is an equi-join on (band, band_bits)
+    * — never all-pairs — followed by an exact popcount verify at
+    * `maxHamming`. Same b×r trick as MinHash banding, in Hamming space.
+    *
+    * Defaults are the scale shape: a 32-bit code over 3-word SHINGLES in
+    * 4 bands of 8 bits. Shingles keep the code discriminative on
+    * template-heavy corpora where token-SET codes collapse (shared
+    * vocabulary ⇒ near-identical bit sums for almost all docs), and
+    * 8-bit bands give 256 buckets/band where 4-bit bands give 16 — the
+    * difference between a bounded candidate join and corpus²/16. Exact
+    * dups are pre-collapsed (identical docs ⇒ distance 0 — they would
+    * dominate candidates and are already reported by
+    * [[exactDedupFlags]]). The code travels WITH the band rows, so the
+    * verify needs no rejoin to the corpus.
+    */
+  def simhashNeighbors(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 2): DataFrame =
+    simhashNeighborsOver(df, wordShingles(col(textCol), 3), idCol,
+      maxHamming = maxHamming,
+      collapseExactOn = Some(fingerprint(col(textCol))))
+
+  def simhashNeighborsOver(df: DataFrame, tokensExpr: Column,
+      idCol: String, nBits: Int = 32, bands: Int = 4, maxHamming: Int = 2,
+      collapseExactOn: Option[Column] = None): DataFrame = {
+    require(nBits % bands == 0,
+      s"nBits ($nBits) must split evenly into $bands bands")
+    require(maxHamming < bands,
+      s"pigeonhole: $bands bands only guarantee recall for distance < $bands")
+    val r = nBits / bands
+    val src = collapseExactOn.fold(df)(keepersByKey(df, _, idCol))
+    val codes = simhashOver(src, tokensExpr, idCol, nBits)
+      .select(col(idCol).as("id"), col("simhash"))
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        substring(col("simhash"), b * r + 1, r).as("bits")))
+    val bandRows = codes
+      .select(col("id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val cands = bandRows.as("x")
+      .join(bandRows.as("y"), Seq("band", "bits"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+      .distinct()
+    val ham = (1 to nBits).map(j =>
+      when(substring(col("s1"), j, 1) =!= substring(col("s2"), j, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    cands.select(col("id1"), col("id2"), ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Token-set Jaccard similarity for id-adjacent pairs (a linear-cost

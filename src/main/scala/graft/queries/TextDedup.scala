@@ -109,6 +109,10 @@ object TextDedup {
 
     // b×r MinHash banding (16 sigs, 4 bands of 4) + exact-Jaccard verify:
     // recalls near-dup pairs the full-signature grouping (q48) misses.
+    // Exact dups are pre-collapsed to one representative before banding
+    // (a g-member identical group adds 0 pairs, not g²/2 — the bound
+    // that keeps template-heavy corpora from going quadratic); their
+    // members are reported by q45, not here.
     "q84_minhash_band_pairs" -> ((s, d) => {
       Dedup.minhashBandPairs(Tables.documents(s, d), "text", "doc_id")
         .orderBy("id1", "id2")
@@ -117,10 +121,12 @@ object TextDedup {
     // Shingle (3-word-gram) MinHash banding — the order-SENSITIVE
     // near-dup pipeline: token-set banding (q84) treats reshuffled docs
     // as identical; shingles only collide on preserved local order.
+    // Same exact-dup pre-collapse as q84.
     "q87_shingle_band_pairs" -> ((s, d) => {
       Dedup.minhashBandPairsOver(Tables.documents(s, d),
         TextFunctions.wordShingles(col("text"), 3), "doc_id",
-        minJaccard = 0.3)
+        minJaccard = 0.3,
+        collapseExactOn = Some(TextFunctions.fingerprint(col("text"))))
         .orderBy("id1", "id2")
     }),
 
@@ -128,6 +134,14 @@ object TextDedup {
     "q49_simhash" -> ((s, d) => {
       Dedup.simhash16(Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // SimHash Hamming-neighbor pairs: 32-bit shingle codes, 4×8-bit
+    // banded candidate join + exact popcount verify (pigeonhole-complete
+    // for d ≤ 3) — the lookup that makes SimHash codes a dedup index.
+    "q94_simhash_neighbors" -> ((s, d) => {
+      Dedup.simhashNeighbors(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("id1", "id2")
     }),
 
     // Token-set Jaccard for id-adjacent pairs.
@@ -159,15 +173,19 @@ object TextDedup {
         .orderBy("predicted")
     }),
 
-    // Near-dup REMOVAL from band pairs: greedy keep-smallest-id — every
-    // doc that appears as the larger id of a verified near-dup pair is
-    // dropped (the standard curation step; no iterative connected
-    // components needed for a keep/drop decision).
+    // Dup REMOVAL, exact + near composed: exact non-keepers drop via the
+    // content-hash window; banding then runs over representatives only,
+    // and every representative appearing as the larger id of a verified
+    // near-dup pair drops too (greedy keep-smallest-id — no iterative
+    // connected components needed for a keep/drop decision).
     "q92_neardup_removal" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dropped = Dedup.minhashBandPairs(docs, "text", "doc_id",
+      val exactDropped = Dedup.exactDedupFlags(docs, "text", "doc_id")
+        .filter(!col("keep")).select(col("doc_id"))
+      val nearDropped = Dedup.minhashBandPairs(docs, "text", "doc_id",
         minJaccard = 0.8)
-        .select(col("id2").as("doc_id")).distinct()
+        .select(col("id2").as("doc_id"))
+      val dropped = exactDropped.union(nearDropped).distinct()
       docs.join(dropped, Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("n_kept"),
           min(col("doc_id")).as("min_kept"),
@@ -177,6 +195,14 @@ object TextDedup {
 
   def oracle: Map[String, String] = {
     val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    // exact-dup pre-collapse mirror: band only the smallest-id row per
+    // content hash (Dedup.minhashBandPairsOver collapseExactOn)
+    val keepCte =
+      s"""keep AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      doc_id = MIN(doc_id) OVER (PARTITION BY md5($norm)) AS k
+         |    FROM documents) WHERE k)""".stripMargin
     // identical hash family to Dedup.minhashBandPairsOver: one 60-bit
     // md5-derived base hash per token, 16 XOR permutations
     val sig16 = Dedup.xorConstants(16).zipWithIndex.map { case (c, i) =>
@@ -301,8 +327,9 @@ object TextDedup {
            |GROUP BY predicted ORDER BY predicted""".stripMargin,
 
       "q92_neardup_removal" ->
-        s"""WITH tok AS (
-           |  SELECT doc_id AS id, $duckTokens AS toks FROM documents),
+        s"""WITH $keepCte,
+           |tok AS (
+           |  SELECT doc_id AS id, $duckTokens AS toks FROM keep),
            |t AS (SELECT id, unnest(toks) AS tok FROM tok),
            |sig AS (SELECT id,
            |    $sig16
@@ -324,15 +351,21 @@ object TextDedup {
            |  JOIN tok t1 ON t1.id = cand.id1
            |  JOIN tok t2 ON t2.id = cand.id2),
            |dropped AS (
-           |  SELECT DISTINCT id2 FROM j WHERE ROUND(raw_j, 4) >= 0.8)
+           |  SELECT DISTINCT id2 AS id FROM j WHERE ROUND(raw_j, 4) >= 0.8
+           |  UNION
+           |  SELECT doc_id AS id FROM (
+           |    SELECT doc_id,
+           |      doc_id = MIN(doc_id) OVER (PARTITION BY md5($norm)) AS k
+           |    FROM documents) WHERE NOT k)
            |SELECT COUNT(*) AS n_kept, MIN(doc_id) AS min_kept,
            |  MAX(doc_id) AS max_kept
            |FROM documents
-           |WHERE doc_id NOT IN (SELECT id2 FROM dropped)""".stripMargin,
+           |WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin,
 
       "q84_minhash_band_pairs" ->
-        s"""WITH tok AS (
-           |  SELECT doc_id AS id, $duckTokens AS toks FROM documents),
+        s"""WITH $keepCte,
+           |tok AS (
+           |  SELECT doc_id AS id, $duckTokens AS toks FROM keep),
            |t AS (SELECT id, unnest(toks) AS tok FROM tok),
            |sig AS (SELECT id,
            |    $sig16
@@ -357,13 +390,14 @@ object TextDedup {
            |ORDER BY id1, id2""".stripMargin,
 
       "q87_shingle_band_pairs" ->
-        s"""WITH tok AS (
+        s"""WITH $keepCte,
+           |tok AS (
            |  SELECT doc_id AS id,
            |    list_distinct(list_transform(range(1, len(t) - 1),
            |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS toks
            |  FROM (SELECT doc_id,
            |    list_filter(string_split(text, ' '), x -> x <> '') AS t
-           |    FROM documents)),
+           |    FROM keep)),
            |t AS (SELECT id, unnest(toks) AS tok FROM tok),
            |sig AS (SELECT id,
            |    $sig16
@@ -393,6 +427,46 @@ object TextDedup {
            |  FROM (SELECT doc_id, unnest($duckTokens) AS tok FROM documents)
            |  GROUP BY doc_id)
            |ORDER BY doc_id""".stripMargin,
+
+      "q94_simhash_neighbors" -> {
+        // 32-bit shingle SimHash, 4 bands of 8 bits — mirrors
+        // Dedup.simhashNeighbors defaults
+        val sums32 = (1 to 32).map(j =>
+          s"SUM(CASE WHEN substring(md5(tok), $j, 1) >= '8' " +
+            s"THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+        val bits32 = (1 to 32).map(j =>
+          s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+        val hamSum = (1 to 32).map(j =>
+          s"CASE WHEN substring(s1, $j, 1) <> substring(s2, $j, 1) " +
+            "THEN 1 ELSE 0 END").mkString(" + ")
+        val shBands = (0 until 4).map(b =>
+          s"SELECT id, simhash, $b AS band, " +
+            s"substring(simhash, ${b * 8 + 1}, 8) AS bits FROM sh")
+          .mkString("\n           |  UNION ALL ")
+        s"""WITH $keepCte,
+           |shingle AS (
+           |  SELECT doc_id AS id,
+           |    list_distinct(list_transform(range(1, len(t) - 1),
+           |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS toks
+           |  FROM (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |    FROM keep)),
+           |sh AS (
+           |  SELECT id, $bits32 AS simhash FROM (
+           |    SELECT id, $sums32
+           |    FROM (SELECT id, unnest(toks) AS tok FROM shingle)
+           |    GROUP BY id)),
+           |bands AS (
+           |  $shBands),
+           |cand AS (
+           |  SELECT DISTINCT x.id AS id1, y.id AS id2,
+           |    x.simhash AS s1, y.simhash AS s2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bits = y.bits AND x.id < y.id)
+           |SELECT id1, id2, $hamSum AS hamming
+           |FROM cand WHERE $hamSum <= 2
+           |ORDER BY id1, id2""".stripMargin
+      },
 
       "q50_jaccard_adjacent" ->
         s"""WITH tok AS (

@@ -110,14 +110,68 @@ class DedupSpec extends AnyFunSuite {
     val tokenPairs = Dedup.minhashBandPairs(docs, "text", "doc_id")
       .select("id1", "id2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // token sets identical for all three → every pair, jaccard 1.0
-    assert(tokenPairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // doc 2 (byte-identical to 1) pre-collapses into 1 — exact dups are
+    // exactDedupFlags' job; the reversed doc 3 still pairs on token set
+    assert(tokenPairs == Set((1L, 3L)))
+    // without the collapse, every pair surfaces at jaccard 1.0
+    val uncollapsed = Dedup.minhashBandPairsOver(docs,
+      TextFunctions.tokenSet(col("text")), "doc_id")
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncollapsed == Set((1L, 2L), (1L, 3L), (2L, 3L)))
     val shinglePairs = Dedup.minhashBandPairsOver(docs,
       TextFunctions.wordShingles(col("text"), 3), "doc_id",
       minJaccard = 0.3)
       .select("id1", "id2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // reversal destroys every 3-gram: only the true duplicate survives
+    // reversal destroys every 3-gram: without collapse only the true
+    // duplicate pair survives
     assert(shinglePairs == Set((1L, 2L)))
+  }
+
+  test("simhashNeighbors: banded Hamming lookup finds near-identical " +
+    "docs, pre-collapses exact dups, misses order-destroyed ones") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"w$i")
+    val nearDup = (words :+ "extra").mkString(" ") // ONE added shingle
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.mkString(" ")), // byte-identical → collapsed
+      (3L, nearDup), // one extra shingle → few sign flips
+      (4L, words.reverse.mkString(" "))) // reversed → distant code
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashNeighbors(docs, "text", "doc_id",
+      maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 3L)), "near-dup pair missed")
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L),
+      "exact dup not collapsed")
+    assert(!got.contains((1L, 4L)), "reversed doc should be distant")
+  }
+
+  test("simhashNeighbors verify matches a brute-force Hamming scan " +
+    "for all recall-guaranteed distances") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = (1 to 30).map(i => s"t$i")
+    // random small perturbations → a spread of Hamming distances
+    val docs = (1L to 20L).map { id =>
+      val mutated = base.map(w =>
+        if (rnd.nextInt(10) == 0) w + "x" + id else w)
+      (id, mutated.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = graft.functions.TextFunctions.wordShingles(col("text"), 3)
+    val got = Dedup.simhashNeighborsOver(docs, sh, "doc_id",
+      maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+      .toMap
+    val codes = Dedup.simhashOver(docs, sh, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val naive = (for {
+      i <- codes.keys; j <- codes.keys if i < j
+      d = codes(i).zip(codes(j)).count { case (a, b) => a != b }
+      if d <= 3 // pigeonhole guarantee: 4 bands cover d < 4 exactly
+    } yield ((i, j), d)).toMap
+    assert(got == naive)
   }
 }

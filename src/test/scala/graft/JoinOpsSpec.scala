@@ -72,10 +72,12 @@ class JoinOpsSpec extends AnyFunSuite {
       .select("k", "t", "lid", "a", "b").collect()
       .map(r => (r.getInt(2), Option(r.get(3)), Option(r.get(4)))).toSet
 
-    // naive: latest right row with rt <= t; ties on rt broken by
-    // later-in-union order — the window orders (ts, side) only, so among
-    // equal-ts right rows last() takes the final one in encounter order;
-    // restrict the fixture check to rows whose best rt is unique
+    // naive: latest right row with rt <= t; equal-rt ties broken by the
+    // payload struct's total order (nulls-first per field, field order)
+    // — the deterministic pick the window's (_ts, _side, _payload)
+    // ordering guarantees regardless of shuffle arrival order
+    implicit val payloadOrd: Ordering[(Option[Int], String)] =
+      Ordering.Tuple2(Ordering.Option(Ordering.Int), Ordering.String)
     val naive = left.collect().map { lr =>
       val (k, t, lid) = (lr.getString(0), lr.getDouble(1), lr.getInt(2))
       val prior = rightRows.filter(r => r._1 == k && r._2 <= t)
@@ -83,17 +85,15 @@ class JoinOpsSpec extends AnyFunSuite {
       else {
         val bestT = prior.map(_._2).max
         val best = prior.filter(_._2 == bestT)
-        if (best.size > 1) (lid, Some("AMBIG"): Option[Any],
-          Some("AMBIG"): Option[Any]) // skip ambiguous ties
-        else (lid, best.head._3.map(x => x: Any),
-          Some(best.head._4): Option[Any])
+          .maxBy(r => (r._3, r._4))(Ordering.by(identity[(Option[Int],
+            String)]))
+        (lid, best._3.map(x => x: Any), Some(best._4): Option[Any])
       }
     }.toSet
-    val ambiguous = naive.collect { case (lid, Some("AMBIG"), _) => lid }
-    val gotClean = got.filterNot(r => ambiguous.contains(r._1))
-    val naiveClean = naive.filterNot(r => ambiguous.contains(r._1))
-    assert(gotClean == naiveClean)
-    assert(naiveClean.nonEmpty)
+    assert(got == naive)
+    // the fixture must actually exercise equal-ts ties
+    val tied = rightRows.groupBy(r => (r._1, r._2)).exists(_._2.size > 1)
+    assert(tied, "fixture has no equal-(key,ts) right rows — ties untested")
   }
 
   test("property: saltedJoinHot equals the plain join across random " +
