@@ -44,6 +44,42 @@ class PlanRegressionSpec extends AnyFunSuite {
       "IVF assignment reintroduced a shuffle")
   }
 
+  test("IVF probe on a cell-partitioned layout prunes to the probed " +
+    "cells' files") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+      centroids, "cid", "cvec")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_layout")
+      .toFile.getAbsolutePath
+    // one file per cell directory ⇒ numFiles read == cells touched
+    assigned.coalesce(1).write.partitionBy("cell")
+      .mode("overwrite").parquet(dir)
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.length > 2, s"fixture produced ${cellDirs.length} cells")
+    val probes = cellDirs.take(2)
+      .map(_.stripPrefix("cell=").toLong).toSeq
+
+    val reread = spark.read.parquet(dir)
+    val probed = reread.filter(col("cell").isin(probes: _*))
+    probed.collect() // populate scan metrics
+    val planStr = probed.queryExecution.executedPlan.toString
+    // the cell restriction must be a PARTITION filter (metadata-only
+    // pruning), not a post-scan data filter
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.replaceAll("(?s).*PartitionFilters", "").contains("cell"),
+      planStr.take(1200))
+    val scan = probed.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScanExec leaf"))
+    assert(scan.metrics("numFiles").value == probes.length,
+      s"scan read ${scan.metrics("numFiles").value} files for " +
+        s"${probes.length} probed cells of ${cellDirs.length}")
+  }
+
   test("saltedJoinHot: plain join on uniform keys, salted on hot keys") {
     import spark.implicits._
     val uniformBig = (1 to 2000).map(i => (i % 50, i)).toDF("key", "v")

@@ -147,6 +147,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(collected.peek()._1 == "Gen")
   }
 
+  test("checkpoint recovery: restart resumes from the offset log; " +
+    "file sink output is exactly-once (no duplicate, no missing)") {
+    val srcDir = Files.createTempDirectory("payloads_recover")
+    val ckpt = Files.createTempDirectory("ckpt_recover").toString
+    val outDir = Files.createTempDirectory("out_recover").toString
+    def writeFile(n: Int): Unit =
+      Files.write(srcDir.resolve(s"Gen_$n.json"),
+        s"""{"chunks":[{"text":"t$n","timestamp":[0.0,1.0]}]}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the real deployment contract (handovernote-v1.txt:43 blob
+    // trigger): the process can die between arrivals; the offset log +
+    // the file sink's commit log must make a restart transparent
+    def runOnce(): Unit = {
+      val stream = ChapterFileStream.payloadStream(spark, srcDir.toString)
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    writeFile(1)
+    runOnce() // processes chapter 1, then the query stops ("crash")
+    writeFile(2); writeFile(3)
+    runOnce() // restart from the SAME checkpoint
+    val out = spark.read.parquet(outDir)
+      .select("book", "chapter").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    // chapter 1 must not reprocess (offset log) and must not vanish;
+    // 2 and 3 must both arrive exactly once
+    assert(out == Seq(("Gen", 1), ("Gen", 2), ("Gen", 3)),
+      s"restart broke exactly-once: $out")
+  }
+
   test("PollMonitor: attempt counting, terminal emit, budget exhaustion") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
