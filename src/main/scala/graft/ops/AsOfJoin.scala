@@ -30,11 +30,15 @@ object AsOfJoin {
     *
     * Ties: two right rows with identical (key, ts) would otherwise be
     * picked by shuffle arrival order — run-to-run nondeterminism. The
-    * window ordering therefore appends the payload struct itself
+    * window ordering therefore appends the payload's ORDERABLE columns
     * (value-based, shuffle-independent): among equal-ts right rows the
-    * LARGEST payload (struct field order, nulls-first) wins, a total
-    * order on the output — identical payload rows are indistinguishable,
-    * so either pick yields the same bytes.
+    * LARGEST orderable-payload tuple (field order, nulls-first) wins, a
+    * total order on the output — identical payload rows are
+    * indistinguishable, so either pick yields the same bytes.
+    * Non-orderable payload columns (maps) are carried but excluded from
+    * the tie-break; ties that differ ONLY in non-orderable columns
+    * remain arrival-order picks — the price of supporting map payloads
+    * at all (a window cannot order by a map).
     */
   def nearestPrior(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTime: String, rightTime: String, payloadCols: Seq[String])
@@ -48,8 +52,12 @@ object AsOfJoin {
         col(rightTime).cast("double").as("_ts"): _*)
       .withColumn("_side", lit(0))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val tieBreak = payloadCols
+      .filter(p => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(p).dataType))
+      .map(p => col("_payload").getField(p))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts"), col("_side"), col("_payload"))
+      .orderBy(col("_ts") +: col("_side") +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("_payload",
       last(col("_payload"), ignoreNulls = true).over(w))

@@ -77,6 +77,15 @@ object Dedup {
     * only the candidate ids to their token sets. Bucket sizes stay
     * bounded at 100 TB because r-of-r signature agreement within a band
     * only happens for genuinely similar docs.
+    *
+    * Exact duplicates are PRE-COLLAPSED: only the smallest-id row per
+    * normalized-content fingerprint is banded, so byte-identical docs
+    * never appear as pairs here (a group of g identical docs would
+    * otherwise contribute g·(g−1)/2 trivial jaccard-1.0 pairs — the
+    * quadratic blow-up on template corpora). Output pairs are between
+    * group REPRESENTATIVES only; full exact-dup membership comes from
+    * [[exactDedupFlags]]. Use [[minhashBandPairsOver]] with
+    * `collapseExactOn = None` to band every row.
     */
   def minhashBandPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4, minJaccard: Double = 0.5)
@@ -182,25 +191,40 @@ object Dedup {
   def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame =
     simhashOver(df, tokenSet(col(textCol)), idCol, nBits = 16)
 
-  /** Generalized SimHash: bit j of the code is the sign of
-    * Σ_tokens (digit_j(md5(tok)) >= '8' ? +1 : −1), for up to 32 bits
-    * (md5 supplies 32 hex digits). One md5 per token, one hash-keyed
-    * groupBy — signatures materialize in-scan at corpus scale.
+  /** SimHash code as a pure per-row COLUMN: bit j of the code is the
+    * sign of Σ_tokens (digit_j(md5(tok)) >= '8' ? +1 : −1), for up to
+    * 32 bits (md5 supplies 32 hex digits).
+    *
+    * Zero shuffle: one md5 per token (materialized first, so the bit
+    * fold never re-hashes), then a single `aggregate` fold accumulating
+    * the nBits signed digit sums and a sign map to the bit string — the
+    * signature materializes during the scan, like the MinHash
+    * signatures. The previous explode → nBits-sum groupBy shape paid a
+    * corpus-cardinality shuffle of (id, token-hash) rows for the same
+    * arithmetic; at 100 TB that shuffle IS the job.
+    */
+  def simhashCode(tokensExpr: Column, nBits: Int = 32): Column = {
+    require(nBits >= 1 && nBits <= 32, "md5 supplies 32 hex digits")
+    val hashes = transform(tokensExpr, t => md5(t))
+    val sums = aggregate(hashes,
+      array((1 to nBits).map(_ => lit(0)): _*),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(1), lit(nBits)), j =>
+          when(h.substr(j, lit(1)) >= "8", lit(1)).otherwise(lit(-1))),
+        (a, b) => a + b))
+    array_join(transform(sums, s =>
+      when(s > 0, "1").otherwise("0")), "")
+  }
+
+  /** Generalized SimHash per document. Empty token sets emit no row
+    * (parity with the historical explode shape: a doc with no tokens has
+    * no meaningful code).
     */
   def simhashOver(df: DataFrame, tokensExpr: Column, idCol: String,
-      nBits: Int = 32): DataFrame = {
-    require(nBits >= 1 && nBits <= 32, "md5 supplies 32 hex digits")
-    val toks = df.select(col(idCol), explode(tokensExpr).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val bitSums = (1 to nBits).map(j =>
-      sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1))
-        .as(s"b$j"))
-    val bits = (1 to nBits).map(j =>
-      when(col(s"b$j") > 0, "1").otherwise("0"))
-    toks.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), concat(bits: _*).as("simhash"))
-  }
+      nBits: Int = 32): DataFrame =
+    df.select(col(idCol), tokensExpr.as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col(idCol), simhashCode(col("_toks"), nBits).as("simhash"))
 
   /** SimHash Hamming-neighbor pairs — the lookup the codes exist for:
     * split the code into `bands` bit-ranges; by pigeonhole any pair
@@ -226,39 +250,61 @@ object Dedup {
       maxHamming = maxHamming,
       collapseExactOn = Some(fingerprint(col(textCol))))
 
+  /** `maxBucket` is the hot-bucket guard: band bits are NOT uniformly
+    * distributed (template-heavy corpora skew the sign sums), so a
+    * single bucket can approach corpus size. Buckets at or under the
+    * threshold expand to pairs via the grouped array pass; buckets OVER
+    * it are routed to a streamed equi-join on the bucket key instead —
+    * same pairs, but never a corpus-sized `collect_list` row on one
+    * executor. Both branches consume the same (band, bits)-partitioned
+    * window output, so the guard costs no extra shuffle.
+    */
   def simhashNeighborsOver(df: DataFrame, tokensExpr: Column,
       idCol: String, nBits: Int = 32, bands: Int = 4, maxHamming: Int = 2,
-      collapseExactOn: Option[Column] = None): DataFrame = {
+      collapseExactOn: Option[Column] = None, maxBucket: Int = 4096)
+  : DataFrame = {
     require(nBits % bands == 0,
       s"nBits ($nBits) must split evenly into $bands bands")
     require(maxHamming < bands,
       s"pigeonhole: $bands bands only guarantee recall for distance < $bands")
     val r = nBits / bands
-    val src = collapseExactOn.fold(df)(keepersByKey(df, _, idCol))
-    val codes = simhashOver(src, tokensExpr, idCol, nBits)
-      .select(col(idCol).as("id"), col("simhash"))
+    // Code AND collapse key materialize in-scan (simhashCode is a pure
+    // projection); the collapse window then shuffles only the narrow
+    // (id, key, code) rows — the document text never moves.
+    val coded = df
+      .select(col(idCol).as("id") +: tokensExpr.as("_toks") +:
+        collapseExactOn.map(_.as("_ck")).toSeq: _*)
+      .filter(size(col("_toks")) > 0)
+      .select(col("id") +: simhashCode(col("_toks"), nBits).as("simhash") +:
+        collapseExactOn.map(_ => col("_ck")).toSeq: _*)
+    val codes =
+      if (collapseExactOn.isEmpty) coded
+      else coded
+        .withColumn("_keep", col("id") ===
+          min(col("id")).over(Window.partitionBy(col("_ck"))))
+        .filter(col("_keep")).drop("_ck", "_keep")
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         substring(col("simhash"), b * r + 1, r).as("bits")))
+    // One shuffle on (band, bits); the bucket-size window rides it, and
+    // both guard branches below reuse the same exchange.
     val bandRows = codes
       .select(col("id"), col("simhash"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .withColumn("_g", count(lit(1))
+        .over(Window.partitionBy(col("band"), col("bits"))))
+      .filter(col("_g") > 1)
     // Within-bucket pairs via ONE grouped pass, not a self-join: a
     // DataFrame self-join would evaluate the whole upstream (scan →
-    // collapse window → shingle explode → md5 → nBits-sum agg) once per
-    // join side — Spark reuses exchanges, not arbitrary subplans, and
-    // the broadcast side is a second full pipeline. Here the corpus is
-    // scanned once; each (band, bits) bucket materializes as one row
-    // whose member list expands to its i<j pairs with array HOFs.
-    // Bucket size is bounded by the 2^r band spread + exact-dup
-    // pre-collapse (codes are tiny: id + nBits chars), the same bound
-    // the join variant's hot bucket would hit.
-    val buckets = bandRows
+    // collapse window → shingle md5 fold) once per join side — Spark
+    // reuses exchanges, not arbitrary subplans. Each (band, bits)
+    // bucket materializes as one row whose member list expands to its
+    // i<j pairs with array HOFs; `maxBucket` keeps that row bounded.
+    val buckets = bandRows.filter(col("_g") <= maxBucket)
       .groupBy(col("band"), col("bits"))
       .agg(collect_list(struct(col("id"), col("simhash"))).as("ms"))
-      .filter(size(col("ms")) > 1)
     val pairArr = flatten(transform(col("ms"), (m, i) =>
       transform(slice(col("ms"), i + lit(2), size(col("ms"))), n =>
         struct(
@@ -268,10 +314,19 @@ object Dedup {
             .otherwise(n.getField("simhash")).as("s1"),
           when(m.getField("id") < n.getField("id"), n.getField("simhash"))
             .otherwise(m.getField("simhash")).as("s2")))))
-    val cands = buckets.select(explode(pairArr).as("p"))
+    val smallCands = buckets.select(explode(pairArr).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
         col("p.s1").as("s1"), col("p.s2").as("s2"))
-      .distinct()
+    // Hot buckets: equi-join on the bucket key streams the g² pair
+    // enumeration through the shuffle machinery (spillable) instead of
+    // collecting g members into one aggregation row.
+    val hot = bandRows.filter(col("_g") > maxBucket)
+      .select(col("id"), col("simhash"), col("band"), col("bits"))
+    val hotCands = hot.as("x").join(hot.as("y"), Seq("band", "bits"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+    val cands = smallCands.unionByName(hotCands).distinct()
     val ham = (1 to nBits).map(j =>
       when(substring(col("s1"), j, 1) =!= substring(col("s2"), j, 1), 1)
         .otherwise(0)).reduce(_ + _)

@@ -174,4 +174,24 @@ class DedupSpec extends AnyFunSuite {
     } yield ((i, j), d)).toMap
     assert(got == naive)
   }
+
+  test("simhashNeighbors hot-bucket guard: the streamed join path " +
+    "returns the identical pair set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = (1 to 30).map(i => s"t$i")
+    val docs = (1L to 20L).map { id =>
+      val mutated = base.map(w =>
+        if (rnd.nextInt(10) == 0) w + "x" + id else w)
+      (id, mutated.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = graft.functions.TextFunctions.wordShingles(col("text"), 3)
+    def pairs(maxBucket: Int) =
+      Dedup.simhashNeighborsOver(docs, sh, "doc_id", maxHamming = 3,
+        maxBucket = maxBucket)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+        .toMap
+    // maxBucket=1 forces EVERY bucket through the equi-join branch
+    assert(pairs(1) == pairs(4096))
+  }
 }

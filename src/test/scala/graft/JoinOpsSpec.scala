@@ -39,6 +39,24 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("a")))
   }
 
+  test("as-of join accepts non-orderable (map) payload columns; " +
+    "orderable columns still break ties") {
+    import spark.implicits._
+    val left = Seq(("u1", 10.0)).toDF("k", "t")
+    // map column would fail analysis if the tie-break ordered the whole
+    // payload struct; it must be carried but excluded from the ordering
+    val right = Seq(
+      ("u1", 5.0, 1, Map("m" -> 1)),
+      ("u1", 5.0, 2, Map("m" -> 2)))
+      .toDF("k", "rt", "a", "attrs")
+    val out = AsOfJoin.nearestPrior(left, right, Seq("k"), "t", "rt",
+      Seq("a", "attrs")).select("a", "attrs").collect()
+    assert(out.length == 1)
+    // equal-ts tie resolved by the orderable column: largest `a` wins
+    assert(out(0).getInt(0) == 2)
+    assert(out(0).getMap[String, Int](1) == Map("m" -> 2))
+  }
+
   test("salted join equals unsalted for every safe join type") {
     import spark.implicits._
     val big = (1 to 200).map(i => (i % 7, i)).toDF("key", "v")

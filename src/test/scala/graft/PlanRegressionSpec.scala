@@ -51,7 +51,7 @@ class PlanRegressionSpec extends AnyFunSuite {
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
       centroids, "cid", "cvec")
-    val dir = java.nio.file.Files.createTempDirectory("ivf_layout")
+    val dir = TestDirs.tmp("ivf_layout")
       .toFile.getAbsolutePath
     // one file per cell directory ⇒ numFiles read == cells touched
     assigned.coalesce(1).write.partitionBy("cell")
@@ -90,7 +90,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val base = java.nio.file.Files.createTempDirectory("bucketed")
+      val base = TestDirs.tmp("bucketed")
         .toFile.getAbsolutePath
       val facts = (1 to 1000).map(i => (i % 100, i)).toDF("key", "v")
       val dims = (0 until 100).map(i => (i, s"d$i")).toDF("key", "name")

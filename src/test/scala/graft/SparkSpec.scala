@@ -12,3 +12,18 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 }
+
+/** Spec temp dirs, recursively deleted when the test JVM exits. */
+object TestDirs {
+  def tmp(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(p.toFile)
+    }
+    p
+  }
+}

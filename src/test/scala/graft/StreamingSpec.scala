@@ -21,7 +21,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = out.writeStream.format("memory").queryName("rec_out")
       .outputMode("append")
       .option("checkpointLocation",
-        Files.createTempDirectory("ckpt").toString)
+        TestDirs.tmp("ckpt").toString)
       .start()
     try {
       stream.addData(
@@ -60,7 +60,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = out.writeStream.format("memory").queryName("rec_et_out")
       .outputMode("append")
       .option("checkpointLocation",
-        Files.createTempDirectory("ckpt_et").toString)
+        TestDirs.tmp("ckpt_et").toString)
       .start()
     try {
       stream.addData(
@@ -108,7 +108,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = out.writeStream.format("memory").queryName("val_out")
       .outputMode("append")
       .option("checkpointLocation",
-        Files.createTempDirectory("ckpt_vs").toString)
+        TestDirs.tmp("ckpt_vs").toString)
       .start()
     try {
       stream.addData(
@@ -126,7 +126,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("ChapterFileStream: file arrival → normalize → aligned batch") {
-    val srcDir = Files.createTempDirectory("payloads")
+    val srcDir = TestDirs.tmp("payloads")
     val payload =
       """{"chunks":[{"text":"שלום","timestamp":[0.0,1.0]},
         |{"text":"עולם","timestamp":[1.0,2.0]}]}""".stripMargin
@@ -137,21 +137,21 @@ class StreamingSpec extends AnyFunSuite {
       (String, Int, Long)]()
     val stream = ChapterFileStream.payloadStream(spark, srcDir.toString)
     val q = ChapterFileStream.start(stream, Trigger.AvailableNow(),
-      Files.createTempDirectory("ckpt2").toString) { (batch, _) =>
+      TestDirs.tmp("ckpt2").toString) { (batch, _) =>
       val words = TranscriptNormalize.fromWhisper(batch)
       words.collect().foreach(r =>
         collected.add((r.getString(0), r.getInt(1), 1L)))
     }
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not finish within 60 s")
     assert(collected.size == 2)
     assert(collected.peek()._1 == "Gen")
   }
 
   test("checkpoint recovery: restart resumes from the offset log; " +
     "file sink output is exactly-once (no duplicate, no missing)") {
-    val srcDir = Files.createTempDirectory("payloads_recover")
-    val ckpt = Files.createTempDirectory("ckpt_recover").toString
-    val outDir = Files.createTempDirectory("out_recover").toString
+    val srcDir = TestDirs.tmp("payloads_recover")
+    val ckpt = TestDirs.tmp("ckpt_recover").toString
+    val outDir = TestDirs.tmp("out_recover").toString
     def writeFile(n: Int): Unit =
       Files.write(srcDir.resolve(s"Gen_$n.json"),
         s"""{"chunks":[{"text":"t$n","timestamp":[0.0,1.0]}]}"""
@@ -168,7 +168,7 @@ class StreamingSpec extends AnyFunSuite {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(60000), "stream did not finish within 60 s")
     }
     writeFile(1)
     runOnce() // processes chapter 1, then the query stops ("crash")
@@ -193,7 +193,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = out.writeStream.format("memory").queryName("poll_out")
       .outputMode("append")
       .option("checkpointLocation",
-        Files.createTempDirectory("ckpt3").toString)
+        TestDirs.tmp("ckpt3").toString)
       .start()
     try {
       stream.addData(
@@ -222,7 +222,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = deduped.writeStream.format("memory").queryName("dedup_out")
       .outputMode("append")
       .option("checkpointLocation",
-        Files.createTempDirectory("ckpt4").toString)
+        TestDirs.tmp("ckpt4").toString)
       .start()
     try {
       val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
