@@ -14,10 +14,13 @@ object TimeQ {
       SparkEntry.queries.get(n) match {
         case None => System.err.println(s"unknown query: $n")
         case Some(fn) =>
-          fn(spark, sfDir).count()
+          // noop sink: full materialization, no count()-plan pruning
+          def run(): Unit = fn(spark, sfDir).write
+            .format("noop").mode("overwrite").save()
+          run()
           val t0 = System.nanoTime()
-          val c = fn(spark, sfDir).count()
-          println(f"$n: ${(System.nanoTime() - t0) / 1e9}%.2f s, $c rows")
+          run()
+          println(f"$n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
     spark.stop()

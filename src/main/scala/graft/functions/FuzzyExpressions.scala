@@ -91,11 +91,36 @@ object GraftFunctions {
   def token_sort_ratio(a: Column, b: Column): Column =
     column(TokenSortRatio(expression(a), expression(b)))
 
+  // Vector kernels: the wrappers own the array<double> coercion (the
+  // expressions can't — AbstractDataType is private[sql] in Spark 4).
+  private def vd(c: Column): Expression =
+    expression(c.cast("array<double>"))
+  def vec_dot(a: Column, b: Column): Column =
+    column(DotProduct(vd(a), vd(b)))
+  def vec_norm(a: Column): Column = column(VecNorm(vd(a)))
+  def vec_sqdist(a: Column, b: Column): Column =
+    column(SquaredDistance(vd(a), vd(b)))
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSim(vd(a), vd(b)))
+
+  private def castD(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("indel_ratio", es => IndelRatio(es(0), es(1))),
     ("partial_ratio", es => PartialRatio(es(0), es(1))),
     ("token_set_ratio", es => TokenSetRatio(es(0), es(1))),
-    ("token_sort_ratio", es => TokenSortRatio(es(0), es(1))))
+    ("token_sort_ratio", es => TokenSortRatio(es(0), es(1))),
+    ("vec_dot", es => DotProduct(castD(es(0)), castD(es(1)))),
+    ("vec_norm", es => VecNorm(castD(es(0)))),
+    ("vec_sqdist", es => SquaredDistance(castD(es(0)), castD(es(1)))),
+    ("cosine_sim", es => CosineSim(castD(es(0)), castD(es(1)))),
+    ("simhash_code", es => SimhashCode(es(0), es(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+      case _ => throw new IllegalArgumentException(
+        "simhash_code(tokens, nBits): nBits must be an integer literal")
+    })))
 
   /** Register for `spark.sql("SELECT indel_ratio(a, b) ...")`. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,81 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sharded parquet output — the training-data layout step
+  * (generalizes the reference's per-book output tree,
+  * `hebrew_alignment_tool.py:152-160`, to a corpus-scale sink).
+  *
+  * The 100 TB problems this solves:
+  *  - **Small files**: a 32k-task shuffle writing 32k×shards tiny files
+  *    kills the downstream scan's file-listing. One range partition per
+  *    shard ⇒ exactly `numShards` files (+ `maxRecordsPerFile` splits
+  *    when a shard legitimately overflows).
+  *  - **Determinism**: within-shard sort order and global key order
+  *    across shards are always deterministic. Shard BOUNDARIES from
+  *    [[writeShards]] are not — Spark's RangePartitioner seeds its
+  *    reservoir sample by RDD id, so boundaries drift between runs
+  *    (balance holds, membership wiggles at the edges). When the
+  *    layout itself must be byte-stable (resumable training, diffable
+  *    snapshots — SURVEY.md §7.4 risk 3), use [[writeShardsPinned]]
+  *    with explicit boundaries: membership becomes a pure function of
+  *    the key.
+  *  - **Balance**: range partitioning samples key quantiles, so shards
+  *    are near-equal row counts even on skewed keys — a hash layout
+  *    can't promise that, and unbalanced shards stall data-parallel
+  *    training at the slowest reader.
+  */
+object ShardWriter {
+
+  /** Write `df` as `numShards` range-sharded files sorted by `keyCol`
+    * within each shard.
+    */
+  def writeShards(df: DataFrame, outDir: String, numShards: Int,
+      keyCol: String, maxRecordsPerFile: Long = 0L): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    df.repartitionByRange(numShards, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(SaveMode.Overwrite)
+      .parquet(outDir)
+  }
+
+  /** Byte-stable sharding: explicit sorted `boundaries` pin shard
+    * membership (shard i = count of boundaries < key), written as a
+    * `shard=` partitioned tree. Hash-repartitioning on the shard id
+    * lands each shard's rows in one task ⇒ one file per shard
+    * directory; rows are sorted by key within each file. Re-runs —
+    * including over a differently-partitioned upstream — produce the
+    * identical layout.
+    */
+  def writeShardsPinned(df: DataFrame, outDir: String,
+      keyCol: String, boundaries: Seq[Long]): Unit = {
+    require(boundaries == boundaries.sorted, "boundaries must be sorted")
+    val shard = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(keyCol) > lit(b), 1).otherwise(0)
+    }
+    df.withColumn("shard", shard)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(keyCol))
+      .write
+      .partitionBy("shard")
+      .mode(SaveMode.Overwrite)
+      .parquet(outDir)
+  }
+
+  /** Shard inventory of a written directory: one row per data file with
+    * its row count and key span — the manifest a training job consumes.
+    * The scan is pruned to the key column only.
+    */
+  def shardManifest(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, keyCol: String): DataFrame = {
+    spark.read.parquet(outDir)
+      .select(input_file_name().as("shard"), col(keyCol))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"))
+      .orderBy(col("key_min"))
+  }
+}

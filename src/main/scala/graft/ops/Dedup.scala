@@ -195,25 +195,20 @@ object Dedup {
     * sign of Σ_tokens (digit_j(md5(tok)) >= '8' ? +1 : −1), for up to
     * 32 bits (md5 supplies 32 hex digits).
     *
-    * Zero shuffle: one md5 per token (materialized first, so the bit
-    * fold never re-hashes), then a single `aggregate` fold accumulating
-    * the nBits signed digit sums and a sign map to the bit string — the
-    * signature materializes during the scan, like the MinHash
+    * Zero shuffle AND zero interpreted per-element work: the native
+    * codegen kernel ([[graft.functions.SimhashKernel]]) runs one MD5
+    * pass per token and accumulates the bit sums in a local int array —
+    * the signature materializes during the scan, like the MinHash
     * signatures. The previous explode → nBits-sum groupBy shape paid a
     * corpus-cardinality shuffle of (id, token-hash) rows for the same
-    * arithmetic; at 100 TB that shuffle IS the job.
+    * arithmetic (at 100 TB that shuffle IS the job), and an
+    * `aggregate`/`zip_with` fold pays ~nBits boxed lambda calls per
+    * token (Spark HOFs are CodegenFallback — measured 2.3× slower than
+    * even the shuffle shape).
     */
   def simhashCode(tokensExpr: Column, nBits: Int = 32): Column = {
-    require(nBits >= 1 && nBits <= 32, "md5 supplies 32 hex digits")
-    val hashes = transform(tokensExpr, t => md5(t))
-    val sums = aggregate(hashes,
-      array((1 to nBits).map(_ => lit(0)): _*),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(1), lit(nBits)), j =>
-          when(h.substr(j, lit(1)) >= "8", lit(1)).otherwise(lit(-1))),
-        (a, b) => a + b))
-    array_join(transform(sums, s =>
-      when(s > 0, "1").otherwise("0")), "")
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(graft.functions.SimhashCode(expression(tokensExpr), nBits))
   }
 
   /** Generalized SimHash per document. Empty token sets emit no row

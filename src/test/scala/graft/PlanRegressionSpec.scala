@@ -16,6 +16,21 @@ class PlanRegressionSpec extends AnyFunSuite {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Shuffle exchanges of the PREPARED plan. Two traps this avoids:
+    * `sparkPlan` is pre-EnsureRequirements (never contains an exchange —
+    * assertions on it are vacuous), and under AQE `executedPlan` is an
+    * AdaptiveSparkPlanExec LEAF that `.collect` cannot descend into
+    * (exchange searches silently return empty). AQE is disabled while
+    * the plan under test is built.
+    */
+  private def shufflesOf(mk: => org.apache.spark.sql.DataFrame) = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mk.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q02: filters are pushed to the parquet scan and columns pruned") {
     val plan = planOf(SparkEntry.queries("q02_scan_pushdown")(spark, sf))
     assert(plan.contains("PushedFilters: ["), plan.take(800))
@@ -39,8 +54,7 @@ class PlanRegressionSpec extends AnyFunSuite {
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
       centroids, "cid", "cvec")
-    val plan = assigned.queryExecution.sparkPlan.toString
-    assert(!plan.contains("Exchange"),
+    assert(shufflesOf(assigned).isEmpty,
       "IVF assignment reintroduced a shuffle")
   }
 
@@ -111,6 +125,18 @@ class PlanRegressionSpec extends AnyFunSuite {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       s.sql("DROP TABLE IF EXISTS graft_bucketed_facts")
       s.sql("DROP TABLE IF EXISTS graft_bucketed_dims")
+    }
+  }
+
+  test("q94 simhash: no shuffle ever carries document text (codes " +
+    "materialize in-scan; only narrow rows move)") {
+    val df = SparkEntry.queries("q94_simhash_neighbors")(spark, sf)
+    val exchanges = shufflesOf(df)
+    assert(exchanges.nonEmpty, "expected at least one shuffle in q94")
+    exchanges.foreach { e =>
+      val wide = e.output.filter(a => a.name == "text" || a.name == "_toks")
+      assert(wide.isEmpty,
+        s"shuffle carries wide columns ${wide.map(_.name)}:\n$e")
     }
   }
 

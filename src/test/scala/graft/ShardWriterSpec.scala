@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.io.ShardWriter
+
+class ShardWriterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("writeShards: exact shard count, sorted within shards, " +
+    "disjoint key ranges, near-balance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 10000).map(_ => rnd.nextInt(1000000))
+      .zipWithIndex.map { case (k, i) => (k.toLong * 7 + i % 3, s"doc$i") }
+      .toDF("doc_id", "text")
+    val out = TestDirs.tmp("shards").toString
+
+    ShardWriter.writeShards(df, out, numShards = 8, keyCol = "doc_id")
+    val manifest = ShardWriter.shardManifest(spark, out, "doc_id").collect()
+    assert(manifest.length == 8, s"expected 8 shards, got ${manifest.length}")
+    // ranges disjoint and ordered: each shard's max < next shard's min
+    manifest.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2),
+        s"overlapping shard ranges: ${a.getLong(3)} vs ${b.getLong(2)}")
+    case _ => ()
+    }
+    // near-balanced: range partitioning keeps shards within ~3x
+    val rows = manifest.map(_.getLong(1))
+    assert(rows.max < rows.min * 3,
+      s"unbalanced shards: ${rows.mkString(",")}")
+    // sorted within each shard file
+    val perFile = spark.read.parquet(out)
+      .select(input_file_name().as("f"), col("doc_id"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    perFile.values.foreach(ks => assert(ks == ks.sorted, "shard not sorted"))
+
+    // global key order across shards: shard N's max < shard N+1's min
+    // is the sliding check above; re-runs keep count/sort/balance (the
+    // sampled boundaries themselves may wiggle — that's what the pinned
+    // variant below is for)
+    val out2 = TestDirs.tmp("shards2").toString
+    ShardWriter.writeShards(df, out2, 8, "doc_id")
+    assert(ShardWriter.shardManifest(spark, out2, "doc_id").count() == 8)
+    assert(spark.read.parquet(out2).count() == 10000)
+  }
+
+  test("writeShardsPinned: shard membership is a pure function of the " +
+    "key — byte-stable across re-runs and upstream layouts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val df = (1 to 5000).map(i => (rnd.nextInt(100000).toLong, s"d$i"))
+      .toDF("doc_id", "text")
+    val bounds = Seq(25000L, 50000L, 75000L)
+    def run(input: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long)] = {
+      val out = TestDirs.tmp("pinned").toString
+      ShardWriter.writeShardsPinned(input, out, "doc_id", bounds)
+      spark.read.parquet(out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    }
+    val a = run(df)
+    val b = run(df.repartition(17)) // different upstream layout
+    assert(a == b, s"pinned layout drifted: $a vs $b")
+    assert(a.keySet == Set(0L, 1L, 2L, 3L))
+    // membership follows the boundaries exactly
+    assert(a(0L)._3 <= 25000L && a(1L)._2 > 25000L && a(3L)._2 > 75000L)
+    // one file per shard directory
+    val outDir = TestDirs.tmp("pinned_files").toString
+    ShardWriter.writeShardsPinned(df, outDir, "doc_id", bounds)
+    new java.io.File(outDir).listFiles()
+      .filter(_.getName.startsWith("shard=")).foreach { d =>
+        assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+          s"${d.getName} has more than one file")
+      }
+  }
+
+  test("maxRecordsPerFile splits an overflowing shard") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("doc_id")
+    val out = TestDirs.tmp("shards_split").toString
+    ShardWriter.writeShards(df, out, numShards = 2, keyCol = "doc_id",
+      maxRecordsPerFile = 200L)
+    val files = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files >= 5, s"expected >=5 files from 1000 rows / 200-cap, got $files")
+    assert(spark.read.parquet(out).count() == 1000)
+  }
+}
