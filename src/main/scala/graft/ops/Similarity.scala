@@ -194,6 +194,51 @@ object Similarity {
       .groupBy(col("cell"), (col("dim0") + 1).as("dim"))
       .agg(round(avg(col("x")), 5).as("mean"), count(lit(1)).as("n"))
 
+  /** Lloyd iterations to convergence — the offline IVF codebook builder
+    * as a driver loop over the [[kmeansStep]] shape: each round assigns
+    * every vector with the zero-shuffle broadcast fold, recomputes the
+    * per-cell means with ONE (cell, dim)-keyed shuffle (map-side
+    * partial agg), and pulls the codebook back to seed the next round.
+    * The per-round collect is |codebook|·dim rows — driver-sized by
+    * construction, the same bound [[collectCodebook]] documents.
+    * Lineage never grows: every iteration re-plans from the source with
+    * the new codebook shipped as a literal, so no checkpointing is
+    * needed no matter how many rounds run. Stops when the largest
+    * centroid L2 movement drops below `tol`; empty cells keep their
+    * previous centroid. Returns the final codebook (cid, centroid).
+    */
+  def kmeansIterate(emb: DataFrame, idCol: String, vecCol: String,
+      initCentroids: DataFrame, centroidIdCol: String,
+      centroidVecCol: String, maxIters: Int = 10, tol: Double = 1e-6)
+  : DataFrame = {
+    var cents = collectCodebook(initCentroids, centroidIdCol,
+      centroidVecCol)
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIters && moved > tol) {
+      val means = ivfAssignLocal(emb, vecCol, cents)
+        .select(col("cell"),
+          posexplode(asDouble(col(vecCol))).as(Seq("dim0", "x")))
+        .groupBy(col("cell"), col("dim0"))
+        .agg(avg(col("x")).as("mean"))
+        .collect()
+      val byCell = means.groupBy(_.getLong(0)).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      val next = cents.map { case (cid, old) =>
+        (cid, byCell.getOrElse(cid, old))
+      }
+      moved = cents.zip(next).map { case ((_, a), (_, b)) =>
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.max
+      cents = next
+      iter += 1
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.toDF(centroidIdCol, centroidVecCol)
+  }
+
   /** ANN restricted to the query's LSH bucket: the scale path — the scan
     * touches only ~1/2^nBits of the corpus (partition-prunable on a
     * bucket-partitioned layout).

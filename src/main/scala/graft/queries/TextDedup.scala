@@ -144,6 +144,25 @@ object TextDedup {
         .orderBy("id1", "id2")
     }),
 
+    // Pinned-boundary training shards, verified END TO END: write the
+    // sharded parquet tree, read it back, and report the layout — the
+    // oracle recomputes shard membership as the pure key function, so a
+    // drifting writer (wrong boundaries, lost/duplicated rows) fails
+    // the gate. Layout mechanics (one file per shard, in-file sort) are
+    // ShardWriterSpec's job.
+    "q95_shard_layout" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_shards").toString
+      graft.io.ShardWriter.writeShardsPinned(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        out, "doc_id", Seq(40L, 80L, 160L))
+      s.read.parquet(out)
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"))
+        .orderBy("shard")
+    }),
+
     // Token-set Jaccard for id-adjacent pairs.
     "q50_jaccard_adjacent" -> ((s, d) => {
       Dedup.jaccardAdjacent(Tables.documents(s, d), "text", "doc_id")
@@ -467,6 +486,13 @@ object TextDedup {
            |FROM cand WHERE $hamSum <= 2
            |ORDER BY id1, id2""".stripMargin
       },
+
+      "q95_shard_layout" ->
+        """SELECT ((doc_id > 40)::INT + (doc_id > 80)::INT +
+          |    (doc_id > 160)::INT) AS shard,
+          |  count(*) AS n_rows, min(doc_id) AS id_min,
+          |  max(doc_id) AS id_max
+          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
       "q50_jaccard_adjacent" ->
         s"""WITH tok AS (

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("kmeansIterate converges to the true cluster means from a bad " +
+    "init and stops early on tol") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def around(cx: Double, cy: Double, n: Int) =
+      (1 to n).map(_ => Seq(cx + rnd.nextGaussian() * 0.1,
+        cy + rnd.nextGaussian() * 0.1))
+    val pts = around(0.0, 0.0, 200) ++ around(10.0, 10.0, 200)
+    val emb = pts.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    // bad init: both centroids near one cluster, but on either side of
+    // the midline to it so the far cluster captures one of them
+    val init = Seq((0L, Seq(1.0, 1.0)), (1L, Seq(6.0, 6.0)))
+      .toDF("cid", "cvec")
+
+    val out = Similarity.kmeansIterate(emb, "vec_id", "embedding",
+      init, "cid", "cvec", maxIters = 20, tol = 1e-9)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val c0 = out(0L); val c1 = out(1L)
+    assert(math.abs(c0(0)) < 0.1 && math.abs(c0(1)) < 0.1,
+      s"centroid 0 off: $c0")
+    assert(math.abs(c1(0) - 10.0) < 0.1 && math.abs(c1(1) - 10.0) < 0.1,
+      s"centroid 1 off: $c1")
+  }
+
+  test("kmeansIterate: an empty cell keeps its previous centroid") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.2, 0.0)))
+      .toDF("vec_id", "embedding")
+    val init = Seq((0L, Seq(0.1, 0.0)), (1L, Seq(50.0, 50.0)))
+      .toDF("cid", "cvec")
+    val out = Similarity.kmeansIterate(emb, "vec_id", "embedding",
+      init, "cid", "cvec", maxIters = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq(50.0, 50.0), "empty cell centroid drifted")
+    assert(math.abs(out(0L)(0) - 0.1) < 1e-9)
+  }
+}
