@@ -108,4 +108,21 @@ object TextFunctions {
           concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*)))
           .otherwise(array().cast("array<string>")))
     }), 1)
+
+  /** Deterministic hash bucket in [0, nBuckets) from a key column — the
+    * train/val/test splitter and downsampler for training corpora.
+    * Unlike `df.sample`/`rand`, membership is a pure function of the
+    * KEY: stable across partitionings, re-runs, engines (DuckDB derives
+    * the identical bucket via
+    * `CAST('0x'||substring(md5(k),1,15) AS BIGINT) % n`), and incremental
+    * ingests (a document keeps its split forever). First 60 bits of md5
+    * — overflow-free in both engines, bias ≤ 2⁻⁴⁶ for sane nBuckets.
+    * Pure projection: a split/sample at 100 TB is a pushable filter on
+    * this column, not a shuffle.
+    */
+  def hashBucket(key: Column, nBuckets: Int = 100): Column = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long") % nBuckets
+  }
 }

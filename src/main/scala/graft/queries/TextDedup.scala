@@ -163,6 +163,22 @@ object TextDedup {
         .orderBy("shard")
     }),
 
+    // Deterministic 90/10 train-val split: membership is a pure
+    // function of doc_id (stable across partitionings, re-runs, and
+    // incremental ingests — df.sample can promise none of those), and
+    // the split predicate is a pushable filter, not a shuffle.
+    "q96_hash_split" -> ((s, d) => {
+      val split = when(
+        TextFunctions.hashBucket(col("doc_id"), 100) < 90, "train")
+        .otherwise("val")
+      Tables.documents(s, d)
+        .select(col("doc_id"), split.as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"))
+        .orderBy("split")
+    }),
+
     // Token-set Jaccard for id-adjacent pairs.
     "q50_jaccard_adjacent" -> ((s, d) => {
       Dedup.jaccardAdjacent(Tables.documents(s, d), "text", "doc_id")
@@ -493,6 +509,15 @@ object TextDedup {
           |  count(*) AS n_rows, min(doc_id) AS id_min,
           |  max(doc_id) AS id_max
           |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+      "q96_hash_split" ->
+        """SELECT CASE WHEN
+          |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+          |      AS BIGINT) % 100 < 90
+          |  THEN 'train' ELSE 'val' END AS split,
+          |  count(*) AS n_docs, min(doc_id) AS id_min,
+          |  max(doc_id) AS id_max
+          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
 
       "q50_jaccard_adjacent" ->
         s"""WITH tok AS (
