@@ -175,6 +175,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("native simhash kernel matches the md5-hex Column construction " +
+    "on multibyte text (Hebrew, niqqud, emoji)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "בְּרֵאשִׁית בָּרָא אֱלֹהִים אֵת הַשָּׁמַיִם"),
+      (2L, "וְאֵת הָאָרֶץ 🌍 mixed עם ascii"),
+      (3L, "שלום שלום שלום עולם"),
+      (4L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val toks = graft.functions.TextFunctions.tokenSet(col("text"))
+    val nBits = 32
+    // reference construction: Spark's own md5 (UTF-8 bytes → hex) via
+    // explode + per-digit sums — the arithmetic the DuckDB oracles run
+    val expected = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .groupBy(col("doc_id"))
+      .agg((1 to nBits).map(j =>
+        sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1))
+          .as(s"b$j")).head,
+        (1 to nBits).map(j =>
+          sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1))
+            .as(s"b$j")).tail: _*)
+      .select(col("doc_id"), concat((1 to nBits).map(j =>
+        when(col(s"b$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Dedup.simhashOver(docs, toks, "doc_id", nBits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected)
+  }
+
   test("simhashNeighbors hot-bucket guard: the streamed join path " +
     "returns the identical pair set") {
     import spark.implicits._
