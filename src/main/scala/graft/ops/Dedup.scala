@@ -321,12 +321,19 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"),
         col("x.simhash").as("s1"), col("y.simhash").as("s2"))
-    val cands = smallCands.unionByName(hotCands).distinct()
+    // Verify BEFORE the cross-band dedup: hamming is a pure function of
+    // the pair, so the distinct shuffles (id1, id2, hamming) — two longs
+    // and an int — instead of two nBits-char codes, and only for pairs
+    // that already passed the distance cut. A pair caught by ≤`bands`
+    // bands recomputes the popcount that many times; that's nBits char
+    // compares, far cheaper than shipping the codes through a shuffle.
     val ham = (1 to nBits).map(j =>
       when(substring(col("s1"), j, 1) =!= substring(col("s2"), j, 1), 1)
         .otherwise(0)).reduce(_ + _)
-    cands.select(col("id1"), col("id2"), ham.as("hamming"))
+    smallCands.unionByName(hotCands)
+      .select(col("id1"), col("id2"), ham.as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Token-set Jaccard similarity for id-adjacent pairs (a linear-cost

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.ops.Dedup
@@ -177,6 +178,32 @@ object TextDedup {
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"))
         .orderBy("split")
+    }),
+
+    // Greedy contiguous sequence packing: fill ~2000-token training
+    // bins in doc_id order WITHIN each predicted language — bin =
+    // floor(exclusive-prefix-tokens / 2000), i.e. a doc opens a new bin
+    // when the running total crosses the boundary. The window is
+    // partitioned by the language stratum, so packing parallelizes
+    // across strata instead of forcing one global ordered window — the
+    // scale shape for trainer shard prep.
+    "q97_pack_sequences" -> ((s, d) => {
+      val sc = TextFunctions.langScores(col("text"))
+      val (en, de, es, fr) = (sc("en"), sc("de"), sc("es"), sc("fr"))
+      val pred = when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es").otherwise("fr")
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        pred.as("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .withColumn("bin",
+          floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(2000.0)))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("lang", "bin")
     }),
 
     // Token-set Jaccard for id-adjacent pairs.
@@ -518,6 +545,31 @@ object TextDedup {
           |  count(*) AS n_docs, min(doc_id) AS id_min,
           |  max(doc_id) AS id_max
           |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+      "q97_pack_sequences" ->
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+           |      AS BIGINT) AS n_tok,
+           |    ${duckHits("the")} + ${duckHits("and")} + ${duckHits("of")} AS en,
+           |    ${duckHits("der")} + ${duckHits("und")} + ${duckHits("die")} AS de,
+           |    ${duckHits("el")} + ${duckHits("la")} + ${duckHits("de")} AS es,
+           |    ${duckHits("le")} + ${duckHits("et")} + ${duckHits("les")} AS fr
+           |  FROM documents),
+           |langed AS (
+           |  SELECT doc_id, n_tok,
+           |    CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+           |         WHEN de >= es AND de >= fr THEN 'de'
+           |         WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang
+           |  FROM base),
+           |binned AS (
+           |  SELECT lang, n_tok,
+           |    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang
+           |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+           |      / 2000.0) AS BIGINT) AS bin
+           |  FROM langed)
+           |SELECT lang, bin, count(*) AS n_docs, SUM(n_tok) AS n_tokens
+           |FROM binned GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
 
       "q50_jaccard_adjacent" ->
         s"""WITH tok AS (
