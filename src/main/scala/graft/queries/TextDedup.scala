@@ -152,8 +152,11 @@ object TextDedup {
     // the gate. Layout mechanics (one file per shard, in-file sort) are
     // ShardWriterSpec's job.
     "q95_shard_layout" -> ((s, d) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_shards").toString
+      // fixed per-SF path + Overwrite mode: re-runs replace rather than
+      // accumulate temp trees
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q95_" + java.lang.Integer.toHexString(d.hashCode))
+        .getAbsolutePath
       graft.io.ShardWriter.writeShardsPinned(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         out, "doc_id", Seq(40L, 80L, 160L))
