@@ -20,7 +20,8 @@ object SparkEntry {
     (graft.queries.MultimodalQueries.queries,
       graft.queries.MultimodalQueries.oracle),
     (graft.queries.Coverage.queries, graft.queries.Coverage.oracle),
-    (graft.queries.Functions.queries, graft.queries.Functions.oracle))
+    (graft.queries.Functions.queries, graft.queries.Functions.oracle),
+    (graft.queries.Curation.queries, graft.queries.Curation.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped pricing summary (SURVEY.md §2.4 A1).

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators a pre-training pipeline runs before shipping
+  * shards: benchmark decontamination, repetition-quality rules, PII-style
+  * redaction, stratified mixture sampling, column profiling, vocabulary
+  * building. All are DataFrame→DataFrame library operators; the
+  * `queries/Curation` entries wire them to the driver's oracle gate.
+  *
+  * Scale notes are per-operator; the common theme is that every per-doc
+  * statistic is an in-scan array fold (no explode+shuffle) and every
+  * sample/split decision is a pure hash of the key (pushable filter).
+  */
+object CurationOps {
+
+  /** Non-distinct word bigram array (the BAG of bigrams — repetition
+    * counting needs multiplicity, unlike the shingle SET used for
+    * MinHash). Token array is bound once as a column reference, same
+    * CSE-avoidance reasoning as TextFunctions.wordShingles.
+    */
+  private[graft] def bigramsOf(toks: Column): Column = {
+    val last = size(toks) - 2
+    when(last >= 0, transform(sequence(lit(0), last), i =>
+      concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Largest multiplicity in a string array, computed IN-SCAN: sort the
+    * array, then one `aggregate` fold counts the longest equal-run.
+    * O(n log n) per row, zero shuffle — the 100 TB alternative to
+    * explode → groupBy(doc, gram) → max, which shuffles every gram.
+    */
+  private[graft] def maxMultiplicity(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx")),
+      (s, x) => {
+        val run = when(x === s.getField("prev"), s.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(s.getField("mx"), run).as("mx"))
+      },
+      s => s.getField("mx"))
+
+  /** Benchmark decontamination: per-document count of 3-shingles shared
+    * with the union shingle set of the benchmark rows (`benchPred`).
+    * Returns (id, n_shared, contaminated) for docs with ≥ minShared.
+    *
+    * The benchmark side is an eval suite — tiny by construction — so it
+    * BROADCASTS: corpus shingles never shuffle; the only shuffle is the
+    * per-doc count, which partial-aggregates map-side. At 100 TB the
+    * corpus side stays a single scan.
+    */
+  def decontaminate(docs: DataFrame, textCol: String, idCol: String,
+      benchPred: Column, minShared: Int = 3, flagAt: Int = 8): DataFrame = {
+    val sh = docs.select(col(idCol),
+      TextFunctions.wordShingles(col(textCol), 3).as("shingles"))
+    val bench = sh.filter(benchPred)
+      .select(explode(col("shingles")).as("gram")).distinct()
+    val corpus = sh.filter(!benchPred)
+      .select(col(idCol), explode(col("shingles")).as("gram"))
+    corpus.join(broadcast(bench), "gram")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("contaminated", col("n_shared") >= flagAt)
+  }
+
+  /** Gopher-style repetition quality rules: duplicate-token fraction
+    * (1 - |set|/|bag|) and top-bigram fraction (max bigram multiplicity
+    * over total bigrams), both rounded to 4. Pure per-row array folds —
+    * the whole operator is one scan projection, no shuffle.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String,
+      dupTokenFlag: Double = 0.6, topBigramFlag: Double = 0.08): DataFrame =
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_dist"),
+        maxMultiplicity(bigramsOf(col("toks"))).as("max_bg"))
+      .select(col(idCol),
+        when(col("n_tok") > 0,
+          round(lit(1.0) - col("n_dist") / col("n_tok").cast("double"), 4))
+          .otherwise(0.0).as("dup_token_frac"),
+        when(col("n_tok") >= 2,
+          round(col("max_bg") / (col("n_tok") - 1).cast("double"), 4))
+          .otherwise(0.0).as("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("dup_token_frac") > dupTokenFlag ||
+          col("top_bigram_frac") > topBigramFlag)
+
+  /** PII-style redaction: count and mask every match of `pattern` in
+    * `payloadCol`. Pure regexp projection (codegen'd, no UDF) — a scrub
+    * pass at 100 TB is a map-only rewrite of the scan.
+    */
+  def redact(df: DataFrame, payloadCol: String,
+      pattern: String = "[0-9]+", replacement: String = "<NUM>"): DataFrame =
+    df.withColumn("n_redacted", regexp_count(col(payloadCol), lit(pattern)))
+      .withColumn("scrubbed",
+        regexp_replace(col(payloadCol), pattern, replacement))
+
+  /** Deterministic stratified sampling flag: keep a row iff its salted
+    * hash bucket falls under the stratum's per-mille... per-cent rate.
+    * Membership is a pure function of (salt, key): independent streams
+    * per salt, stable across re-runs/partitionings/incremental ingests,
+    * and a PUSHABLE FILTER — a 100 TB downsample never shuffles.
+    * `rates` maps stratum value → percentage in [0,100].
+    */
+  def stratifiedSampleFlag(strataCol: Column, keyCol: Column,
+      rates: Map[String, Int], defaultRate: Int, salt: String): Column = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(strataCol === k, r).otherwise(acc)
+    }
+    TextFunctions.hashBucket(
+      concat(lit(salt + ":"), keyCol.cast("string")), 100) < rate
+  }
+
+  /** Column profiling: per-column null and exact-distinct counts in ONE
+    * pass (Catalyst expands the multi-distinct into a single Expand+agg).
+    * At 100 TB swap countDistinct for approx_count_distinct — same plan
+    * shape without the Expand; exact here so DuckDB can oracle it.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      (count(lit(1)) - count(col(c))).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c")))
+    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_nulls, n_distinct)")
+  }
+
+  /** Vocabulary building: corpus-wide top-k tokens with a deterministic
+    * (count desc, token asc) tie-break. Partial aggregation collapses
+    * each partition's token counts before the single shuffle; the top-k
+    * is TakeOrdered, never a global sort.
+    */
+  def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+}

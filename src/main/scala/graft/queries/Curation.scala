@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.CurationOps
+
+/** Driver-gate wiring for the corpus-curation operators
+  * (`ops/CurationOps`): benchmark decontamination, repetition-quality
+  * rules, PII-style redaction, stratified mixture sampling, column
+  * profiling, vocabulary building. Every query has an exact DuckDB
+  * oracle.
+  *
+  * These generalize the reference's data-hygiene passes (duration
+  * sanity, confidence floors, Hebrew-char checks —
+  * hebrew_alignment_transcription_fixed.py:505-519) to the checks a
+  * 100 TB pre-training pipeline runs before shipping shards.
+  */
+object Curation {
+
+  // Deterministic benchmark membership: a pure function of doc_id, so
+  // the eval set is stable across runs/engines (stand-in for a real
+  // held-out benchmark table, which would be its own small input).
+  private val benchmarkPred: Column = col("doc_id") % 19 === 0
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q98_decontaminate" -> ((s, d) => {
+      CurationOps.decontaminate(Tables.documents(s, d), "text", "doc_id",
+        benchmarkPred, minShared = 3, flagAt = 8)
+        .orderBy("doc_id")
+    }),
+
+    "q99_repetition_stats" -> ((s, d) => {
+      CurationOps.repetitionStats(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Digit runs in the events props payload stand in for the PII
+    // patterns (ids, phone numbers) a real scrub pass masks.
+    "q100_pii_scrub" -> ((s, d) => {
+      CurationOps.redact(Tables.events(s, d), "props")
+        .select(col("event_id"), col("n_redacted"), col("scrubbed"))
+        .orderBy("event_id")
+    }),
+
+    // Per-language mixture rates: en downsampled hard (overrepresented),
+    // zh kept at half, everything else at a quarter.
+    "q101_stratified_sample" -> ((s, d) => {
+      val sampled = CurationOps.stratifiedSampleFlag(col("lang"),
+        col("doc_id"), Map("en" -> 10, "zh" -> 50), defaultRate = 25,
+        salt = "mix")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), sampled.as("sampled"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("sampled").cast("long")).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
+    "q102_column_profile" -> ((s, d) => {
+      CurationOps.columnProfile(Tables.events(s, d),
+        Seq("event_id", "user_id", "event_type", "value", "props"))
+        .orderBy("col_name")
+    }),
+
+    "q103_vocab_topk" -> ((s, d) => {
+      CurationOps.vocabTopK(Tables.documents(s, d), "text", 20)
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    "q98_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 19 = 0),
+        |corpus AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 19 <> 0)
+        |SELECT doc_id, count(*) AS n_shared, count(*) >= 8 AS contaminated
+        |FROM corpus JOIN bench USING (gram)
+        |GROUP BY doc_id HAVING count(*) >= 3
+        |ORDER BY doc_id""".stripMargin,
+
+    "q99_repetition_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_dist
+        |  FROM tok),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS g
+        |  FROM tok WHERE len(t) >= 2),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, max(c) AS max_bg FROM cnt GROUP BY 1),
+        |frac AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_tok > 0
+        |      THEN ROUND(1.0 - n_dist / CAST(n_tok AS DOUBLE), 4)
+        |      ELSE 0.0 END AS dup_token_frac,
+        |    CASE WHEN n_tok >= 2
+        |      THEN ROUND(COALESCE(max_bg, 0) / CAST(n_tok - 1 AS DOUBLE), 4)
+        |      ELSE 0.0 END AS top_bigram_frac
+        |  FROM base LEFT JOIN mx USING (doc_id))
+        |SELECT doc_id, dup_token_frac, top_bigram_frac,
+        |  (dup_token_frac > 0.6 OR top_bigram_frac > 0.08) AS repetitive
+        |FROM frac ORDER BY doc_id""".stripMargin,
+
+    "q100_pii_scrub" ->
+      """SELECT event_id,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_redacted,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q101_stratified_sample" ->
+      """SELECT lang, count(*) AS n_total,
+        |  SUM(CASE WHEN
+        |      CAST('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |        AS BIGINT) % 100 <
+        |      CASE WHEN lang = 'en' THEN 10
+        |           WHEN lang = 'zh' THEN 50 ELSE 25 END
+        |    THEN 1 ELSE 0 END) AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q102_column_profile" ->
+      """SELECT 'event_id' AS col_name, count(*) - count(event_id) AS n_nulls,
+        |  count(DISTINCT event_id) AS n_distinct FROM events
+        |UNION ALL SELECT 'user_id', count(*) - count(user_id),
+        |  count(DISTINCT user_id) FROM events
+        |UNION ALL SELECT 'event_type', count(*) - count(event_type),
+        |  count(DISTINCT event_type) FROM events
+        |UNION ALL SELECT 'value', count(*) - count("value"),
+        |  count(DISTINCT "value") FROM events
+        |UNION ALL SELECT 'props', count(*) - count(props),
+        |  count(DISTINCT props) FROM events
+        |ORDER BY col_name""".stripMargin,
+
+    "q103_vocab_topk" ->
+      """SELECT tok AS token, count(*) AS n
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        |  x -> x <> '')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, token LIMIT 20""".stripMargin
+  )
+}

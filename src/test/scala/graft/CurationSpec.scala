@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.CurationOps
+
+class CurationSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("maxMultiplicity counts the largest equal-run after sort") {
+    val df = Seq(
+      (1, Seq("b", "a", "b", "c", "b")), // b ×3
+      (2, Seq("x")),                     // singleton
+      (3, Seq.empty[String])             // empty → 0
+    ).toDF("id", "arr")
+      .select($"id", CurationOps.maxMultiplicity($"arr").as("m"))
+    assert(df.orderBy("id").as[(Int, Long)].collect().toSeq ===
+      Seq((1, 3L), (2, 1L), (3, 0L)))
+  }
+
+  test("repetitionStats: hand-computed fractions and flag") {
+    // "a b a b a b": 6 tokens, 2 distinct → dup 1 - 2/6 = 0.6667
+    // bigrams: ab ba ab ba ab → max mult 3 of 5 → top 3/5 = 0.6
+    val docs = Seq((1L, "a b a b a b"), (2L, "u v w x y z"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = CurationOps.repetitionStats(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Double, Double, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0.6667, 0.6, true),
+      (2L, 0.0, 0.2, true), // 1/5 bigram frac = 0.2 > 0.08
+      (3L, 0.0, 0.0, false)))
+  }
+
+  test("decontaminate finds planted benchmark overlap and honors flagAt") {
+    // doc 0 is the benchmark (pred id=0); doc 1 copies a 6-token span
+    // (4 shared 3-shingles), doc 2 shares nothing.
+    val docs = Seq(
+      (0L, "one two three four five six seven eight"),
+      (1L, "zz one two three four five six yy"),
+      (2L, "totally different words here entirely now")
+    ).toDF("doc_id", "text")
+    val got = CurationOps.decontaminate(docs, "text", "doc_id",
+      col("doc_id") === 0, minShared = 2, flagAt = 4)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq((1L, 4L, true)))
+  }
+
+  test("redact masks digit runs and counts them") {
+    val df = Seq((1L, """{"k": 42, "u": 1234}"""), (2L, "none")).toDF("id", "p")
+    val got = CurationOps.redact(df, "p")
+      .select($"id", $"n_redacted", $"scrubbed")
+      .orderBy("id").as[(Long, Int, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2, """{"k": <NUM>, "u": <NUM>}"""),
+      (2L, 0, "none")))
+  }
+
+  test("stratifiedSampleFlag is deterministic and salt-independent streams") {
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    def flags(salt: String) = df.select($"id",
+      CurationOps.stratifiedSampleFlag($"lang", $"id",
+        Map("en" -> 10), defaultRate = 50, salt = salt).as("f"))
+      .orderBy("id").as[(Long, Boolean)].collect().toSeq
+    val a = flags("mix")
+    assert(a === flags("mix"), "same salt must reproduce exactly")
+    assert(a !== flags("other"), "different salt must give a different stream")
+    // rates land near targets (hash uniformity, loose bounds)
+    val en = a.filter(_._1 % 2 == 0).count(_._2)
+    val de = a.filter(_._1 % 2 == 1).count(_._2)
+    assert(en >= 2 && en <= 25, s"en sampled $en of 100 at 10%")
+    assert(de >= 30 && de <= 70, s"de sampled $de of 100 at 50%")
+  }
+
+  test("columnProfile counts nulls and exact distincts per column") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), None), (Some(2), Some("b")), (None, Some("a"))
+    ).toDF("x", "y")
+    val got = CurationOps.columnProfile(df, Seq("x", "y"))
+      .orderBy("col_name").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("x", 1L, 2L), ("y", 1L, 2L)))
+  }
+
+  test("vocabTopK orders by count desc then token asc") {
+    val docs = Seq((1L, "b a b c a b"), (2L, "c a")).toDF("doc_id", "text")
+    val got = CurationOps.vocabTopK(docs, "text", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a", 3L), ("b", 3L))) // tie a/b → token asc
+  }
+}
