@@ -39,7 +39,11 @@ object Bench {
     "q83_duration_sanity", "q85_salted_forced", // blanket-salting contrast
     "q86_trim_bylength", "q88_ivf_search",
     "q89_skew_salted", // hot key detected + salted on genuinely skewed data
-    "q94_simhash_neighbors") // Hamming-banded SimHash near-dup lookup
+    "q94_simhash_neighbors", // Hamming-banded SimHash near-dup lookup
+    "q97_pack_sequences", // per-stratum token-bin packing window
+    "q98_decontaminate", // broadcast shingle-overlap decontamination
+    "q99_repetition_stats", // in-scan dup-token / top-bigram folds
+    "q103_vocab_topk") // exploded token counts, partial agg + TakeOrdered
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

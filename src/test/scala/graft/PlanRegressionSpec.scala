@@ -165,4 +165,42 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(skewed.count() == plain.count())
     assert(skewed.exceptAll(plain).isEmpty && plain.exceptAll(skewed).isEmpty)
   }
+
+  test("q98 decontaminate: the benchmark shingle set broadcasts (corpus " +
+    "side never shuffles its grams)") {
+    val plan = planOf(SparkEntry.queries("q98_decontaminate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark side lost its broadcast")
+    // shuffles: the bench-side distinct (tiny) and the per-doc count.
+    // Neither may carry document text or the shingle arrays, and at most
+    // one shuffle (the bench distinct) may carry exploded grams — the
+    // corpus side's grams must stay map-side.
+    val exchanges =
+      shufflesOf(SparkEntry.queries("q98_decontaminate")(spark, sf))
+    exchanges.foreach { e =>
+      val wide = e.output.filter(a =>
+        a.name == "text" || a.name == "shingles")
+      assert(wide.isEmpty, s"shuffle carries wide columns:\n$e")
+    }
+    assert(exchanges.count(_.output.exists(_.name == "gram")) <= 1,
+      "corpus-side grams entered a shuffle (only the bench distinct may)")
+  }
+
+  test("q99 repetition stats: zero shuffles — pure in-scan folds") {
+    // the operator itself (before the presentation orderBy) must not
+    // exchange: every statistic is a per-row array fold
+    val stats = graft.ops.CurationOps.repetitionStats(
+      Tables.documents(spark, sf), "text", "doc_id")
+    assert(shufflesOf(stats).isEmpty,
+      "repetitionStats reintroduced a shuffle")
+  }
+
+  test("q101 stratified sample flag is a pushable filter (no shuffle " +
+    "before the rollup; filter works at the scan)") {
+    val flag = graft.ops.CurationOps.stratifiedSampleFlag(col("lang"),
+      col("doc_id"), Map("en" -> 10), 25, "mix")
+    val sampled = Tables.documents(spark, sf).filter(flag)
+    assert(shufflesOf(sampled).isEmpty,
+      "sampling filter should be a pure scan-side predicate")
+  }
 }
