@@ -130,17 +130,15 @@ object Dedup {
     * [[exactDedupFlags]], which reports every member. Costs one window
     * shuffle on the key — the same shuffle exactDedupFlags pays.
     */
-  def minhashBandPairsOver(df: DataFrame, tokensExpr: Column,
-      idCol: String, numHashes: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.5, collapseExactOn: Option[Column] = None)
-  : DataFrame = {
-    require(numHashes > 0 && numHashes % bands == 0,
-      s"numHashes ($numHashes) must split evenly into $bands bands")
+  /** (id, band, band_sig) rows for the b×r banding join: one md5 per
+    * token materialized in a dedicated projection, k XOR-mixed min-sigs
+    * folded over the hashed array, bands exploded. Shared by the
+    * within-corpus pair search and the batch-vs-corpus incremental path.
+    */
+  private def bandRowsOf(df: DataFrame, tokensExpr: Column, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
-    val source = collapseExactOn.fold(df)(keepersByKey(df, _, idCol))
-    // base hash materialized via a dedicated projection: md5 runs ONCE
-    // per token, the k sigs fold over the hashed array
-    val hashed = source.select(col(idCol).as("id"),
+    val hashed = df.select(col(idCol).as("id"),
       transform(tokensExpr, t =>
         conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("_h"))
       .filter(size(col("_h")) > 0) // empty docs: no sigs, no bands
@@ -150,10 +148,20 @@ object Dedup {
       struct(lit(b).as("band"),
         concat_ws("_", sigCols.slice(b * r, (b + 1) * r)
           .map(_.cast("string")): _*).as("band_sig")))
-    val bandRows = hashed
+    hashed
       .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"),
         col("bs.band_sig").as("band_sig"))
+  }
+
+  def minhashBandPairsOver(df: DataFrame, tokensExpr: Column,
+      idCol: String, numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.5, collapseExactOn: Option[Column] = None)
+  : DataFrame = {
+    require(numHashes > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must split evenly into $bands bands")
+    val source = collapseExactOn.fold(df)(keepersByKey(df, _, idCol))
+    val bandRows = bandRowsOf(source, tokensExpr, idCol, numHashes, bands)
     val cands = bandRows.as("x")
       .join(bandRows.as("y"), Seq("band", "band_sig"))
       .filter(col("x.id") < col("y.id"))
@@ -335,6 +343,63 @@ object Dedup {
         greatest(col("xid"), col("yid")).as("id2"), ham.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Incremental-ingest dedup: flag each BATCH document as an exact
+    * and/or near duplicate of the existing CORPUS — the daily-ingest
+    * decision ("is this new document already in the training set?")
+    * without ever pairing batch docs against each other.
+    *
+    * Scale shape (batch ≪ corpus, the defining property of an ingest):
+    * every corpus-sided step is MAP-SIDE — the batch fingerprints, band
+    * rows, candidate ids, and token sets all broadcast, so the 100 TB
+    * corpus is scanned once and never shuffled. Exact membership is a
+    * broadcast semi-join on the content fingerprint; near-dup candidates
+    * come from the same b×r banding family as [[minhashBandPairsOver]]
+    * (identical signatures, so a corpus-side band INDEX materialized by
+    * a previous run is directly reusable), verified with exact token-set
+    * Jaccard at `minJaccard`.
+    */
+  def crossDedupFlags(batch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must split evenly into $bands bands")
+    val bToks = batch.select(col(idCol).as("id"),
+      fingerprint(col(textCol)).as("fp"), tokenSet(col(textCol)).as("toks"))
+    // exact: corpus scan, broadcast batch fingerprints, semi-join
+    val exactIds = corpus
+      .select(fingerprint(col(textCol)).as("fp"))
+      .join(broadcast(bToks.select(col("id"), col("fp"))), Seq("fp"))
+      .select(col("id")).distinct()
+    // near: corpus band rows ⋈ broadcast batch band rows
+    val cBands = bandRowsOf(corpus, tokenSet(col(textCol)), idCol,
+      numHashes, bands)
+    val bBands = bandRowsOf(bToks, col("toks"), "id", numHashes, bands)
+    val cands = cBands
+      .join(broadcast(bBands.withColumnRenamed("id", "bid")),
+        Seq("band", "band_sig"))
+      .select(col("bid"), col("id").as("cid")).distinct()
+    // verify: corpus token sets stay map-side (broadcast the candidate
+    // ids to prune the scan, then the batch token sets to score)
+    val verified = corpus
+      .select(col(idCol).as("cid"), tokenSet(col(textCol)).as("ctoks"))
+      .join(broadcast(cands), Seq("cid"))
+      .join(broadcast(bToks.select(col("id").as("bid"),
+        col("toks").as("btoks"))), Seq("bid"))
+    val inter = size(array_intersect(col("btoks"), col("ctoks")))
+    val nearIds = verified
+      .select(col("bid"),
+        (inter / (size(col("btoks")) + size(col("ctoks")) - inter)
+          .cast("double")).as("j"))
+      .filter(round(col("j"), 4) >= minJaccard)
+      .select(col("bid").as("id")).distinct()
+    batch.select(col(idCol).as("id"))
+      .join(exactIds.withColumn("exact_dup", lit(true)), Seq("id"), "left")
+      .join(nearIds.withColumn("near_dup", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"))
   }
 
   /** Token-set Jaccard similarity for id-adjacent pairs (a linear-cost

@@ -209,6 +209,19 @@ object TextDedup {
         .orderBy("lang", "bin")
     }),
 
+    // Incremental-ingest dedup: a deterministic 10% of docs plays the
+    // role of a freshly ingested batch checked against the existing
+    // corpus (the other 90%) — exact membership via broadcast
+    // fingerprint semi-join, near-dup via the banding family, batch side
+    // broadcast everywhere (the corpus is scanned, never shuffled).
+    "q104_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isBatch = col("doc_id") % 10 === 9
+      Dedup.crossDedupFlags(
+        docs.filter(isBatch), docs.filter(!isBatch), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Token-set Jaccard for id-adjacent pairs.
     "q50_jaccard_adjacent" -> ((s, d) => {
       Dedup.jaccardAdjacent(Tables.documents(s, d), "text", "doc_id")
@@ -273,12 +286,13 @@ object TextDedup {
     val sig16 = Dedup.xorConstants(16).zipWithIndex.map { case (c, i) =>
       s"MIN(xor(CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT), " +
         s"$c)) AS s$i" }.mkString(",\n  |    ")
-    val bands16 = (0 until 4).map(b =>
+    def bandsFrom(src: String): String = (0 until 4).map(b =>
       s"SELECT id, $b AS band, " +
         (0 until 4).map(j => s"CAST(s${4 * b + j} AS VARCHAR)")
           .mkString(" || '_' || ") +
-        " AS band_sig FROM sig")
+        s" AS band_sig FROM $src")
       .mkString("\n  |  UNION ALL ")
+    val bands16 = bandsFrom("sig")
     val simhashSums = (1 to 16).map(j =>
       s"SUM(CASE WHEN substring(md5(tok), $j, 1) >= '8' THEN 1 ELSE -1 END) AS b$j"
     ).mkString(", ")
@@ -573,6 +587,47 @@ object TextDedup {
            |  FROM langed)
            |SELECT lang, bin, count(*) AS n_docs, SUM(n_tok) AS n_tokens
            |FROM binned GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+
+      "q104_incremental_dedup" ->
+        s"""WITH bt AS (
+           |  SELECT doc_id AS id, md5($norm) AS fp, $duckTokens AS toks
+           |  FROM documents WHERE doc_id % 10 = 9),
+           |ct AS (
+           |  SELECT doc_id AS id, md5($norm) AS fp, $duckTokens AS toks
+           |  FROM documents WHERE doc_id % 10 <> 9),
+           |exact AS (
+           |  SELECT DISTINCT bt.id FROM bt
+           |  JOIN (SELECT DISTINCT fp FROM ct) c USING (fp)),
+           |btk AS (SELECT id, unnest(toks) AS tok FROM bt),
+           |ctk AS (SELECT id, unnest(toks) AS tok FROM ct),
+           |bsig AS (SELECT id,
+           |    $sig16
+           |  FROM btk GROUP BY id),
+           |csig AS (SELECT id,
+           |    $sig16
+           |  FROM ctk GROUP BY id),
+           |bbands AS (
+           |  ${bandsFrom("bsig")}),
+           |cbands AS (
+           |  ${bandsFrom("csig")}),
+           |cand AS (
+           |  SELECT DISTINCT b.id AS bid, c.id AS cid
+           |  FROM bbands b JOIN cbands c
+           |    ON b.band = c.band AND b.band_sig = c.band_sig),
+           |near AS (
+           |  SELECT DISTINCT bid AS id FROM (
+           |    SELECT cand.bid,
+           |      ROUND(len(list_intersect(b.toks, c.toks)) /
+           |        CAST(len(b.toks) + len(c.toks)
+           |          - len(list_intersect(b.toks, c.toks)) AS DOUBLE), 4)
+           |        AS j
+           |    FROM cand JOIN bt b ON b.id = cand.bid
+           |    JOIN ct c ON c.id = cand.cid)
+           |  WHERE j >= 0.5)
+           |SELECT bt.id AS doc_id,
+           |  bt.id IN (SELECT id FROM exact) AS exact_dup,
+           |  bt.id IN (SELECT id FROM near) AS near_dup
+           |FROM bt ORDER BY doc_id""".stripMargin,
 
       "q50_jaccard_adjacent" ->
         s"""WITH tok AS (

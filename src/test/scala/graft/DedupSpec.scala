@@ -225,4 +225,45 @@ class DedupSpec extends AnyFunSuite {
     // maxBucket=1 forces EVERY bucket through the equi-join branch
     assert(pairs(1) == pairs(4096))
   }
+
+  test("crossDedupFlags: exact via fingerprint, near via shared token " +
+    "set, independent flags") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "completely unrelated corpus words")).toDF("doc_id", "text")
+    val batch = Seq(
+      (9L, "alpha beta gamma delta"),   // byte-identical → exact + near
+      (19L, "delta gamma beta alpha"),  // same token SET → near only
+      (29L, "nothing shared here")      // neither
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.crossDedupFlags(batch, corpus, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Boolean, Boolean)].collect().toSeq
+    assert(got === Seq((9L, true, true), (19L, false, true),
+      (29L, false, false)))
+  }
+
+  test("crossDedupFlags plan: the corpus side joins only as broadcast " +
+    "probe (no corpus-keyed shuffle)") {
+    import spark.implicits._
+    val corpus = (0L until 100L).map(i => (i, s"w$i x$i y$i"))
+      .toDF("doc_id", "text")
+    val batch = Seq((900L, "w1 x1 y1")).toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val flags = graft.ops.Dedup.crossDedupFlags(batch, corpus,
+        "text", "doc_id")
+      val exchanges = flags.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // every shuffle in the plan carries batch-derived rows (candidate
+      // ids / flags) — none may carry corpus token sets or corpus text
+      exchanges.foreach { e =>
+        val wide = e.output.filter(a =>
+          a.name == "ctoks" || a.name == "text")
+        assert(wide.isEmpty, s"corpus-side data shuffled:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
