@@ -66,6 +66,25 @@ object Curation {
 
     "q103_vocab_topk" -> ((s, d) => {
       CurationOps.vocabTopK(Tables.documents(s, d), "text", 20)
+    }),
+
+    // Corpus length distribution per language: exact interpolated
+    // percentiles (Spark `percentile` and DuckDB `quantile_cont` are
+    // both type-7 — bit-identical results). Exact percentile buffers a
+    // group's values; at 100 TB the same query runs with
+    // approx_percentile (t-digest, mergeable partial aggs) — exact here
+    // so the oracle can hash-match.
+    "q105_length_percentiles" -> ((s, d) => {
+      import graft.functions.TextFunctions
+      Tables.documents(s, d)
+        .select(col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+        .groupBy("lang")
+        .agg(round(percentile(col("n"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("n"), lit(0.9)), 4).as("p90"),
+          round(percentile(col("n"), lit(0.99)), 4).as("p99"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
     })
   )
 
@@ -145,6 +164,18 @@ object Curation {
       """SELECT tok AS token, count(*) AS n
         |FROM (SELECT unnest(list_filter(string_split(text, ' '),
         |  x -> x <> '')) AS tok FROM documents)
-        |GROUP BY tok ORDER BY n DESC, token LIMIT 20""".stripMargin
+        |GROUP BY tok ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q105_length_percentiles" ->
+      """SELECT lang,
+        |  ROUND(quantile_cont(n, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(n, 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(n, 0.99), 4) AS p99,
+        |  count(*) AS n_docs
+        |FROM (SELECT lang,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS BIGINT) AS n
+        |  FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -238,6 +238,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest curation: stream-static dup flag vs the " +
+    "standing corpus + stateless quality/redaction projections") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // standing corpus (static side — at scale, the training set's
+    // fingerprint index; broadcast under the stream-static join)
+    val corpus = Seq("alpha beta gamma delta", "old corpus doc here")
+      .toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text"))
+        .as("fp"), lit(true).as("known"))
+    val stream = MemoryStream[(Long, String)]
+    val ingest = stream.toDS().toDF("doc_id", "text")
+      .withColumn("fp",
+        graft.functions.TextFunctions.fingerprint(col("text")))
+      .withColumn("quality",
+        graft.functions.TextFunctions.qualityScore(col("text")))
+      .withColumn("n_redacted",
+        regexp_count(col("text"), lit("[0-9]+")))
+      .join(broadcast(corpus), Seq("fp"), "left")
+      .withColumn("is_dup", coalesce(col("known"), lit(false)))
+      .select("doc_id", "quality", "n_redacted", "is_dup")
+    val q = ingest.writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, "alpha beta gamma delta"), // already in the corpus
+        (2L, "a fresh document with id 12345"), // new, one digit run
+        (3L, "another brand new clean document"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select doc_id, n_redacted, is_dup from ingest_out order by 1")
+        .as[(Long, Int, Boolean)].collect().toSeq
+      assert(rows === Seq((1L, 0, true), (2L, 1, false), (3L, 0, false)))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window aggregation (streaming)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
