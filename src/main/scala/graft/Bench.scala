@@ -43,7 +43,8 @@ object Bench {
     "q97_pack_sequences", // per-stratum token-bin packing window
     "q98_decontaminate", // broadcast shingle-overlap decontamination
     "q99_repetition_stats", // in-scan dup-token / top-bigram folds
-    "q103_vocab_topk") // exploded token counts, partial agg + TakeOrdered
+    "q103_vocab_topk", // exploded token counts, partial agg + TakeOrdered
+    "q104_incremental_dedup") // batch-vs-corpus broadcast dedup flags
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

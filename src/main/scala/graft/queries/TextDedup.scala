@@ -222,6 +222,36 @@ object TextDedup {
         .orderBy("doc_id")
     }),
 
+    // Materialized packed sequences: the q97 bins turned into actual
+    // training payloads — docs concatenated in doc_id order with an
+    // <eos> separator, one row per (lang, bin). The output carries the
+    // payload's md5 + length (not the text) so the gate stays narrow.
+    // Same per-stratum parallel shape as q97; the in-group order comes
+    // from array_sort over (doc_id, text) structs, not a global sort.
+    "q106_pack_payloads" -> ((s, d) => {
+      val sc = TextFunctions.langScores(col("text"))
+      val (en, de, es, fr) = (sc("en"), sc("de"), sc("es"), sc("fr"))
+      val pred = when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es").otherwise("fr")
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        pred.as("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val packed = base
+        .withColumn("bin",
+          floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(2000.0)))
+        .groupBy(col("lang"), col("bin"))
+        .agg(concat_ws(" <eos> ",
+          transform(array_sort(collect_list(struct(col("doc_id"),
+            col("text")))), x => x.getField("text"))).as("payload"))
+      packed.select(col("lang"), col("bin"),
+        length(col("payload")).as("payload_len"),
+        md5(col("payload")).as("payload_md5"))
+        .orderBy("lang", "bin")
+    }),
+
     // Token-set Jaccard for id-adjacent pairs.
     "q50_jaccard_adjacent" -> ((s, d) => {
       Dedup.jaccardAdjacent(Tables.documents(s, d), "text", "doc_id")
@@ -587,6 +617,36 @@ object TextDedup {
            |  FROM langed)
            |SELECT lang, bin, count(*) AS n_docs, SUM(n_tok) AS n_tokens
            |FROM binned GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+
+      "q106_pack_payloads" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, text,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+           |      AS BIGINT) AS n_tok,
+           |    ${duckHits("the")} + ${duckHits("and")} + ${duckHits("of")} AS en,
+           |    ${duckHits("der")} + ${duckHits("und")} + ${duckHits("die")} AS de,
+           |    ${duckHits("el")} + ${duckHits("la")} + ${duckHits("de")} AS es,
+           |    ${duckHits("le")} + ${duckHits("et")} + ${duckHits("les")} AS fr
+           |  FROM documents),
+           |langed AS (
+           |  SELECT doc_id, text, n_tok,
+           |    CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+           |         WHEN de >= es AND de >= fr THEN 'de'
+           |         WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang
+           |  FROM base),
+           |binned AS (
+           |  SELECT lang, doc_id, text,
+           |    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang
+           |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+           |      / 2000.0) AS BIGINT) AS bin
+           |  FROM langed),
+           |packed AS (
+           |  SELECT lang, bin,
+           |    string_agg(text, ' <eos> ' ORDER BY doc_id) AS payload
+           |  FROM binned GROUP BY 1, 2)
+           |SELECT lang, bin, CAST(length(payload) AS INTEGER) AS payload_len,
+           |  md5(payload) AS payload_md5
+           |FROM packed ORDER BY lang, bin""".stripMargin,
 
       "q104_incremental_dedup" ->
         s"""WITH bt AS (
