@@ -357,23 +357,30 @@ object Dedup {
     * broadcast semi-join on the content fingerprint; near-dup candidates
     * come from the same b×r banding family as [[minhashBandPairsOver]]
     * (identical signatures, so a corpus-side band INDEX materialized by
-    * a previous run is directly reusable), verified with exact token-set
-    * Jaccard at `minJaccard`.
+    * a previous run is directly reusable), verified with exact Jaccard
+    * at `minJaccard`.
+    *
+    * The near-dup unit is the 3-word SHINGLE set, not the token set:
+    * token-set Jaccard saturates on template corpora (shared vocabulary
+    * ⇒ candidates approach batch×corpus — measured 10× slower on the
+    * synthetic corpus), while shingles only collide on preserved local
+    * word order. Pass `tokensOf` to override.
     */
   def crossDedupFlags(batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.3,
+      tokensOf: Column => Column = wordShingles(_, 3)): DataFrame = {
     require(numHashes > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must split evenly into $bands bands")
     val bToks = batch.select(col(idCol).as("id"),
-      fingerprint(col(textCol)).as("fp"), tokenSet(col(textCol)).as("toks"))
+      fingerprint(col(textCol)).as("fp"), tokensOf(col(textCol)).as("toks"))
     // exact: corpus scan, broadcast batch fingerprints, semi-join
     val exactIds = corpus
       .select(fingerprint(col(textCol)).as("fp"))
       .join(broadcast(bToks.select(col("id"), col("fp"))), Seq("fp"))
       .select(col("id")).distinct()
     // near: corpus band rows ⋈ broadcast batch band rows
-    val cBands = bandRowsOf(corpus, tokenSet(col(textCol)), idCol,
+    val cBands = bandRowsOf(corpus, tokensOf(col(textCol)), idCol,
       numHashes, bands)
     val bBands = bandRowsOf(bToks, col("toks"), "id", numHashes, bands)
     val cands = cBands
@@ -381,10 +388,14 @@ object Dedup {
         Seq("band", "band_sig"))
       .select(col("bid"), col("id").as("cid")).distinct()
     // verify: corpus token sets stay map-side (broadcast the candidate
-    // ids to prune the scan, then the batch token sets to score)
+    // ids to prune the scan, then the batch token sets to score). The
+    // candidate join runs BEFORE the shingle projection — Catalyst has
+    // no rule to push a join below a projection, so ordering it here is
+    // what keeps the shingle+md5 work off the non-candidate rows.
     val verified = corpus
-      .select(col(idCol).as("cid"), tokenSet(col(textCol)).as("ctoks"))
+      .select(col(idCol).as("cid"), col(textCol))
       .join(broadcast(cands), Seq("cid"))
+      .select(col("cid"), col("bid"), tokensOf(col(textCol)).as("ctoks"))
       .join(broadcast(bToks.select(col("id").as("bid"),
         col("toks").as("btoks"))), Seq("bid"))
     val inter = size(array_intersect(col("btoks"), col("ctoks")))

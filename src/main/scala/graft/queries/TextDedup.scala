@@ -212,8 +212,9 @@ object TextDedup {
     // Incremental-ingest dedup: a deterministic 10% of docs plays the
     // role of a freshly ingested batch checked against the existing
     // corpus (the other 90%) — exact membership via broadcast
-    // fingerprint semi-join, near-dup via the banding family, batch side
-    // broadcast everywhere (the corpus is scanned, never shuffled).
+    // fingerprint semi-join, near-dup via SHINGLE banding (token-set
+    // banding saturates on this template corpus), batch side broadcast
+    // everywhere (the corpus is scanned, never shuffled).
     "q104_incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val isBatch = col("doc_id") % 10 === 9
@@ -649,12 +650,15 @@ object TextDedup {
            |FROM packed ORDER BY lang, bin""".stripMargin,
 
       "q104_incremental_dedup" ->
-        s"""WITH bt AS (
-           |  SELECT doc_id AS id, md5($norm) AS fp, $duckTokens AS toks
-           |  FROM documents WHERE doc_id % 10 = 9),
-           |ct AS (
-           |  SELECT doc_id AS id, md5($norm) AS fp, $duckTokens AS toks
-           |  FROM documents WHERE doc_id % 10 <> 9),
+        s"""WITH sh AS (
+           |  SELECT doc_id AS id, md5($norm) AS fp,
+           |    list_distinct(list_transform(range(1, len(t) - 1),
+           |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS toks
+           |  FROM (SELECT doc_id, text,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |    FROM documents)),
+           |bt AS (SELECT * FROM sh WHERE id % 10 = 9),
+           |ct AS (SELECT * FROM sh WHERE id % 10 <> 9),
            |exact AS (
            |  SELECT DISTINCT bt.id FROM bt
            |  JOIN (SELECT DISTINCT fp FROM ct) c USING (fp)),
@@ -683,7 +687,7 @@ object TextDedup {
            |        AS j
            |    FROM cand JOIN bt b ON b.id = cand.bid
            |    JOIN ct c ON c.id = cand.cid)
-           |  WHERE j >= 0.5)
+           |  WHERE j >= 0.3)
            |SELECT bt.id AS doc_id,
            |  bt.id IN (SELECT id FROM exact) AS exact_dup,
            |  bt.id IN (SELECT id FROM near) AS near_dup

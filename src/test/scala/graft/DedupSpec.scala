@@ -226,16 +226,19 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs(1) == pairs(4096))
   }
 
-  test("crossDedupFlags: exact via fingerprint, near via shared token " +
-    "set, independent flags") {
+  test("crossDedupFlags: exact via fingerprint, near via shared " +
+    "shingles, independent flags") {
     import spark.implicits._
+    val base = "one two three four five six seven eight nine ten"
     val corpus = Seq(
-      (0L, "alpha beta gamma delta"),
-      (1L, "completely unrelated corpus words")).toDF("doc_id", "text")
+      (0L, base),
+      (1L, "completely unrelated corpus words right here")
+    ).toDF("doc_id", "text")
     val batch = Seq(
-      (9L, "alpha beta gamma delta"),   // byte-identical → exact + near
-      (19L, "delta gamma beta alpha"),  // same token SET → near only
-      (29L, "nothing shared here")      // neither
+      (9L, base),                       // byte-identical → exact + near
+      (19L, base + " eleven"),          // head-identical shingles → near
+      (29L, "ten nine eight seven six five four three two one")
+      // reversed: same token SET, zero shared shingles → neither
     ).toDF("doc_id", "text")
     val got = graft.ops.Dedup.crossDedupFlags(batch, corpus, "text", "doc_id")
       .orderBy("doc_id").as[(Long, Boolean, Boolean)].collect().toSeq
