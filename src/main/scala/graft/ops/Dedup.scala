@@ -413,6 +413,54 @@ object Dedup {
         coalesce(col("near_dup"), lit(false)).as("near_dup"))
   }
 
+  /** Connected components over a near-dup pair graph by min-label
+    * propagation: every node's label converges to the smallest id
+    * reachable from it, so a component is named by its smallest member —
+    * the canonical dup-GROUP clustering when keep/drop decisions need
+    * whole groups (the pairwise greedy drop of [[minhashBandPairsOver]]
+    * consumers can split a transitive chain a←b←c into inconsistent
+    * decisions; components cannot).
+    *
+    * Scale shape: each iteration is ONE hash shuffle (neighbor-label
+    * join + min agg); iterations needed = graph diameter, which for
+    * near-dup clusters is small (template families are star/clique-
+    * shaped, diameter ≤ ~3). The loop early-stops on a converged
+    * iteration via a bounded driver-side count — the same documented
+    * driver-action pattern as [[Similarity]]'s kmeansIterate — and
+    * `maxIters` hard-bounds the lineage. Labels are persisted per
+    * iteration and unpersisted after to keep the plan tree flat.
+    *
+    * Returns (id, rep): one row per node of the pair graph (isolated
+    * docs never enter; their "component" is trivially themselves).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10)
+  : DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("rep", col("id")).persist()
+    labels.count() // materialize before the loop mutates the variable
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val propagated = edges.join(labels, edges("b") === labels("id"))
+        .select(col("a").as("id"), col("rep"))
+        .unionByName(labels.select(col("id"), col("rep")))
+        .groupBy("id").agg(min(col("rep")).as("rep"))
+        .persist()
+      // converged ⇔ no node's label shrank this round (bounded driver
+      // action: one count over the changed-row join)
+      val changed = propagated.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("n.rep") < col("o.rep")).count()
+      labels.unpersist()
+      labels = propagated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Token-set Jaccard similarity for id-adjacent pairs (a linear-cost
     * demonstration of the n-gram Jaccard kernel; the general pair source
     * is the MinHash band join). Inner-join semantics: pairs with empty

@@ -253,6 +253,22 @@ object TextDedup {
         .orderBy("lang", "bin")
     }),
 
+    // Duplicate-GROUP clustering: connected components by min-label
+    // propagation over the shingle near-dup pair graph (each component
+    // named by its smallest member). One shuffle per iteration,
+    // iterations = cluster diameter; the pairwise greedy drop can split
+    // a transitive a~b~c chain — components cannot.
+    "q107_dup_components" -> ((s, d) => {
+      val pairs = Dedup.minhashBandPairsOver(Tables.documents(s, d),
+        TextFunctions.wordShingles(col("text"), 3), "doc_id",
+        minJaccard = 0.3,
+        collapseExactOn = Some(TextFunctions.fingerprint(col("text"))))
+      Dedup.connectedComponents(pairs)
+        .groupBy("rep")
+        .agg(count(lit(1)).as("size"), max(col("id")).as("id_max"))
+        .orderBy("rep")
+    }),
+
     // Token-set Jaccard for id-adjacent pairs.
     "q50_jaccard_adjacent" -> ((s, d) => {
       Dedup.jaccardAdjacent(Tables.documents(s, d), "text", "doc_id")
@@ -618,6 +634,48 @@ object TextDedup {
            |  FROM langed)
            |SELECT lang, bin, count(*) AS n_docs, SUM(n_tok) AS n_tokens
            |FROM binned GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+
+      "q107_dup_components" ->
+        s"""WITH RECURSIVE $keepCte,
+           |tok AS (
+           |  SELECT doc_id AS id,
+           |    list_distinct(list_transform(range(1, len(t) - 1),
+           |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS toks
+           |  FROM (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |    FROM keep)),
+           |t AS (SELECT id, unnest(toks) AS tok FROM tok),
+           |sig AS (SELECT id,
+           |    $sig16
+           |  FROM t GROUP BY id),
+           |bands AS (
+           |  $bands16),
+           |cand AS (
+           |  SELECT DISTINCT x.id AS id1, y.id AS id2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.band_sig = y.band_sig
+           |      AND x.id < y.id),
+           |p AS (
+           |  SELECT id1, id2 FROM (
+           |    SELECT id1, id2,
+           |      ROUND(len(list_intersect(t1.toks, t2.toks)) /
+           |        CAST(len(t1.toks) + len(t2.toks)
+           |          - len(list_intersect(t1.toks, t2.toks)) AS DOUBLE), 4)
+           |        AS jaccard
+           |    FROM cand
+           |    JOIN tok t1 ON t1.id = cand.id1
+           |    JOIN tok t2 ON t2.id = cand.id2)
+           |  WHERE jaccard >= 0.3),
+           |edges AS (
+           |  SELECT id1 AS a, id2 AS b FROM p
+           |  UNION ALL SELECT id2, id1 FROM p),
+           |reach AS (
+           |  SELECT a AS id, a AS r FROM edges
+           |  UNION
+           |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+           |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+           |SELECT rep, count(*) AS size, max(id) AS id_max
+           |FROM comp GROUP BY rep ORDER BY rep""".stripMargin,
 
       "q106_pack_payloads" ->
         s"""WITH base AS (

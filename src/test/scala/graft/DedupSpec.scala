@@ -246,6 +246,19 @@ class DedupSpec extends AnyFunSuite {
       (29L, false, false)))
   }
 
+  test("connectedComponents: min-label propagation over chains and " +
+    "separate clusters") {
+    import spark.implicits._
+    // a 5-chain (diameter 4 — needs multiple propagation rounds) plus a
+    // separate 2-clique
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("id1", "id2")
+    val comp = graft.ops.Dedup.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(comp === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (7L, 7L), (8L, 7L)))
+  }
+
   test("crossDedupFlags plan: the corpus side joins only as broadcast " +
     "probe (no corpus-keyed shuffle)") {
     import spark.implicits._
