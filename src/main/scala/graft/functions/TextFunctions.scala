@@ -52,6 +52,18 @@ object TextFunctions {
     "es" -> (wordHits(c, "el") + wordHits(c, "la") + wordHits(c, "de")),
     "fr" -> (wordHits(c, "le") + wordHits(c, "et") + wordHits(c, "les")))
 
+  /** Stopword-argmax language prediction with the deterministic
+    * en > de > es > fr tie-break — the single source of the `when`
+    * chain the curation/packing queries and their oracles mirror.
+    */
+  def predictedLang(c: Column): Column = {
+    val sc = langScores(c)
+    val (en, de, es, fr) = (sc("en"), sc("de"), sc("es"), sc("fr"))
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es").otherwise("fr")
+  }
+
   /** Character-class ratio helpers for quality scoring. */
   def charClassCount(c: Column, clazz: String): Column =
     length(c) - length(regexp_replace(c, clazz, ""))

@@ -56,11 +56,14 @@ object CurationOps {
     */
   def decontaminate(docs: DataFrame, textCol: String, idCol: String,
       benchPred: Column, minShared: Int = 3, flagAt: Int = 8): DataFrame = {
-    val sh = docs.select(col(idCol),
+    // benchPred resolves against the FULL docs row (it may reference a
+    // source/tag column, not just idCol), so split before narrowing to
+    // the shingle projection
+    def shinglesOf(df: DataFrame) = df.select(col(idCol),
       TextFunctions.wordShingles(col(textCol), 3).as("shingles"))
-    val bench = sh.filter(benchPred)
+    val bench = shinglesOf(docs.filter(benchPred))
       .select(explode(col("shingles")).as("gram")).distinct()
-    val corpus = sh.filter(!benchPred)
+    val corpus = shinglesOf(docs.filter(!benchPred))
       .select(col(idCol), explode(col("shingles")).as("gram"))
     corpus.join(broadcast(bench), "gram")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
@@ -123,10 +126,16 @@ object CurationOps {
     * shape without the Expand; exact here so DuckDB can oracle it.
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap(c => Seq(
-      (count(lit(1)) - count(col(c))).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c")))
-    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    // index-based agg aliases + escaped literals: profiled column names
+    // may contain quotes/spaces/dots without corrupting the stack expr
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      (count(lit(1)) - count(col(c))).as(s"nn_$i"),
+      countDistinct(col(c)).as(s"nd_$i"))
+    }
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'${c.replace("'", "''")}', nn_$i, nd_$i"
+    }.mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
         "(col_name, n_nulls, n_distinct)")

@@ -102,6 +102,30 @@ object Dedup {
   def xorConstants(n: Int): Seq[Long] =
     (1 to n).map(i => (0x9E3779B97F4A7C15L * i) & 0x0FFFFFFFFFFFFFFFL)
 
+  /** (id, band, band_sig) rows for the b×r banding join: one md5 per
+    * token materialized in a dedicated projection, k XOR-mixed min-sigs
+    * folded over the hashed array, bands exploded. Shared by the
+    * within-corpus pair search and the batch-vs-corpus incremental path.
+    */
+  private def bandRowsOf(df: DataFrame, tokensExpr: Column, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val hashed = df.select(col(idCol).as("id"),
+      transform(tokensExpr, t =>
+        conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("_h"))
+      .filter(size(col("_h")) > 0) // empty docs: no sigs, no bands
+    val sigCols = xorConstants(numHashes).map(c =>
+      array_min(transform(col("_h"), h => h.bitwiseXOR(lit(c)))))
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", sigCols.slice(b * r, (b + 1) * r)
+          .map(_.cast("string")): _*).as("band_sig")))
+    hashed
+      .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"),
+        col("bs.band_sig").as("band_sig"))
+  }
+
   /** The banding machinery over an arbitrary shingle/token-set
     * expression (`graft.functions.TextFunctions.wordShingles` gives the
     * order-sensitive shingle→minhash→band→bucket-join pipeline).
@@ -130,30 +154,6 @@ object Dedup {
     * [[exactDedupFlags]], which reports every member. Costs one window
     * shuffle on the key — the same shuffle exactDedupFlags pays.
     */
-  /** (id, band, band_sig) rows for the b×r banding join: one md5 per
-    * token materialized in a dedicated projection, k XOR-mixed min-sigs
-    * folded over the hashed array, bands exploded. Shared by the
-    * within-corpus pair search and the batch-vs-corpus incremental path.
-    */
-  private def bandRowsOf(df: DataFrame, tokensExpr: Column, idCol: String,
-      numHashes: Int, bands: Int): DataFrame = {
-    val r = numHashes / bands
-    val hashed = df.select(col(idCol).as("id"),
-      transform(tokensExpr, t =>
-        conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("_h"))
-      .filter(size(col("_h")) > 0) // empty docs: no sigs, no bands
-    val sigCols = xorConstants(numHashes).map(c =>
-      array_min(transform(col("_h"), h => h.bitwiseXOR(lit(c)))))
-    val bandStructs = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", sigCols.slice(b * r, (b + 1) * r)
-          .map(_.cast("string")): _*).as("band_sig")))
-    hashed
-      .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"),
-        col("bs.band_sig").as("band_sig"))
-  }
-
   def minhashBandPairsOver(df: DataFrame, tokensExpr: Column,
       idCol: String, numHashes: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.5, collapseExactOn: Option[Column] = None)
@@ -353,7 +353,10 @@ object Dedup {
     * Scale shape (batch ≪ corpus, the defining property of an ingest):
     * every corpus-sided step is MAP-SIDE — the batch fingerprints, band
     * rows, candidate ids, and token sets all broadcast, so the 100 TB
-    * corpus is scanned once and never shuffled. Exact membership is a
+    * corpus is never shuffled. It IS read three times (fingerprint pass,
+    * banding pass, candidate-pruned verify pass) — three scans, zero
+    * shuffles; a production deployment amortizes the first two into the
+    * stored fingerprint/band indexes. Exact membership is a
     * broadcast semi-join on the content fingerprint; near-dup candidates
     * come from the same b×r banding family as [[minhashBandPairsOver]]
     * (identical signatures, so a corpus-side band INDEX materialized by
@@ -421,22 +424,29 @@ object Dedup {
     * consumers can split a transitive chain a←b←c into inconsistent
     * decisions; components cannot).
     *
-    * Scale shape: each iteration is ONE hash shuffle (neighbor-label
-    * join + min agg); iterations needed = graph diameter, which for
-    * near-dup clusters is small (template families are star/clique-
+    * Scale shape: the edge list (derived from the expensive banding
+    * pipeline) is persisted once, so each iteration pays ONE hash
+    * shuffle (neighbor-label join + min agg) over cached edges —
+    * without the persist every iteration would re-run the whole
+    * MinHash/verify pipeline. Iterations needed = graph diameter, which
+    * for near-dup clusters is small (template families are star/clique-
     * shaped, diameter ≤ ~3). The loop early-stops on a converged
     * iteration via a bounded driver-side count — the same documented
     * driver-action pattern as [[Similarity]]'s kmeansIterate — and
-    * `maxIters` hard-bounds the lineage. Labels are persisted per
-    * iteration and unpersisted after to keep the plan tree flat.
+    * throws if `maxIters` rounds did not converge (silently returning
+    * partial labels would split components, the exact inconsistency
+    * this operator exists to prevent).
     *
     * Returns (id, rep): one row per node of the pair graph (isolated
-    * docs never enter; their "component" is trivially themselves).
+    * docs never enter; their "component" is trivially themselves). The
+    * returned frame is still cached from the final iteration —
+    * `unpersist()` it when done with a long-lived session.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 10)
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20)
   : DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .persist()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("rep", col("id")).persist()
     labels.count() // materialize before the loop mutates the variable
@@ -458,6 +468,10 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters iterations " +
+        "(component diameter exceeds maxIters); raise maxIters")
     labels
   }
 

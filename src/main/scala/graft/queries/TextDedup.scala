@@ -24,6 +24,45 @@ object TextDedup {
       s"${needle.length} AS BIGINT)"
   }
 
+  /** The shared packing input (q97 counts it, q106 materializes it):
+    * per-doc predicted language, token count, and the ~2000-token bin
+    * from the per-stratum exclusive-prefix window.
+    */
+  private def langBinnedDocs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        TextFunctions.predictedLang(col("text")).as("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bin",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(2000.0)))
+  }
+
+  /** The q97/q106 oracle mirror of [[langBinnedDocs]]. */
+  private def duckBinnedCte: String =
+    s"""base AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |      AS BIGINT) AS n_tok,
+       |    ${duckHits("the")} + ${duckHits("and")} + ${duckHits("of")} AS en,
+       |    ${duckHits("der")} + ${duckHits("und")} + ${duckHits("die")} AS de,
+       |    ${duckHits("el")} + ${duckHits("la")} + ${duckHits("de")} AS es,
+       |    ${duckHits("le")} + ${duckHits("et")} + ${duckHits("les")} AS fr
+       |  FROM documents),
+       |langed AS (
+       |  SELECT doc_id, text, n_tok,
+       |    CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+       |         WHEN de >= es AND de >= fr THEN 'de'
+       |         WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang
+       |  FROM base),
+       |binned AS (
+       |  SELECT lang, doc_id, text, n_tok,
+       |    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang
+       |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+       |      / 2000.0) AS BIGINT) AS bin
+       |  FROM langed)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // P3-analog text normalization (match-key only, never output text).
@@ -191,19 +230,7 @@ object TextDedup {
     // across strata instead of forcing one global ordered window — the
     // scale shape for trainer shard prep.
     "q97_pack_sequences" -> ((s, d) => {
-      val sc = TextFunctions.langScores(col("text"))
-      val (en, de, es, fr) = (sc("en"), sc("de"), sc("es"), sc("fr"))
-      val pred = when(en >= de && en >= es && en >= fr, "en")
-        .when(de >= es && de >= fr, "de")
-        .when(es >= fr, "es").otherwise("fr")
-      val base = Tables.documents(s, d).select(col("doc_id"),
-        pred.as("lang"),
-        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      base
-        .withColumn("bin",
-          floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(2000.0)))
+      langBinnedDocs(s, d)
         .groupBy(col("lang"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy("lang", "bin")
@@ -230,19 +257,7 @@ object TextDedup {
     // Same per-stratum parallel shape as q97; the in-group order comes
     // from array_sort over (doc_id, text) structs, not a global sort.
     "q106_pack_payloads" -> ((s, d) => {
-      val sc = TextFunctions.langScores(col("text"))
-      val (en, de, es, fr) = (sc("en"), sc("de"), sc("es"), sc("fr"))
-      val pred = when(en >= de && en >= es && en >= fr, "en")
-        .when(de >= es && de >= fr, "de")
-        .when(es >= fr, "es").otherwise("fr")
-      val base = Tables.documents(s, d).select(col("doc_id"), col("text"),
-        pred.as("lang"),
-        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val packed = base
-        .withColumn("bin",
-          floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(2000.0)))
+      val packed = langBinnedDocs(s, d)
         .groupBy(col("lang"), col("bin"))
         .agg(concat_ws(" <eos> ",
           transform(array_sort(collect_list(struct(col("doc_id"),
@@ -281,13 +296,9 @@ object TextDedup {
     // scan + one hash shuffle for the dedup window + one for the rollup).
     "q91_corpus_curation" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sc = TextFunctions.langScores(col("text"))
-      val (en, de, es, fr) = (sc("en"), sc("de"), sc("es"), sc("fr"))
       val scored = docs.select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("quality"),
-        when(en >= de && en >= es && en >= fr, "en")
-          .when(de >= es && de >= fr, "de")
-          .when(es >= fr, "es").otherwise("fr").as("predicted"))
+        TextFunctions.predictedLang(col("text")).as("predicted"))
       val flags = Dedup.exactDedupFlags(docs, "text", "doc_id")
         .select(col("doc_id"), col("keep"))
       scored.join(flags, "doc_id")
@@ -611,27 +622,7 @@ object TextDedup {
           |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
 
       "q97_pack_sequences" ->
-        s"""WITH base AS (
-           |  SELECT doc_id,
-           |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-           |      AS BIGINT) AS n_tok,
-           |    ${duckHits("the")} + ${duckHits("and")} + ${duckHits("of")} AS en,
-           |    ${duckHits("der")} + ${duckHits("und")} + ${duckHits("die")} AS de,
-           |    ${duckHits("el")} + ${duckHits("la")} + ${duckHits("de")} AS es,
-           |    ${duckHits("le")} + ${duckHits("et")} + ${duckHits("les")} AS fr
-           |  FROM documents),
-           |langed AS (
-           |  SELECT doc_id, n_tok,
-           |    CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
-           |         WHEN de >= es AND de >= fr THEN 'de'
-           |         WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang
-           |  FROM base),
-           |binned AS (
-           |  SELECT lang, n_tok,
-           |    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang
-           |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
-           |      / 2000.0) AS BIGINT) AS bin
-           |  FROM langed)
+        s"""WITH $duckBinnedCte
            |SELECT lang, bin, count(*) AS n_docs, SUM(n_tok) AS n_tokens
            |FROM binned GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
 
@@ -678,27 +669,7 @@ object TextDedup {
            |FROM comp GROUP BY rep ORDER BY rep""".stripMargin,
 
       "q106_pack_payloads" ->
-        s"""WITH base AS (
-           |  SELECT doc_id, text,
-           |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-           |      AS BIGINT) AS n_tok,
-           |    ${duckHits("the")} + ${duckHits("and")} + ${duckHits("of")} AS en,
-           |    ${duckHits("der")} + ${duckHits("und")} + ${duckHits("die")} AS de,
-           |    ${duckHits("el")} + ${duckHits("la")} + ${duckHits("de")} AS es,
-           |    ${duckHits("le")} + ${duckHits("et")} + ${duckHits("les")} AS fr
-           |  FROM documents),
-           |langed AS (
-           |  SELECT doc_id, text, n_tok,
-           |    CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
-           |         WHEN de >= es AND de >= fr THEN 'de'
-           |         WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang
-           |  FROM base),
-           |binned AS (
-           |  SELECT lang, doc_id, text,
-           |    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang
-           |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
-           |      / 2000.0) AS BIGINT) AS bin
-           |  FROM langed),
+        s"""WITH $duckBinnedCte,
            |packed AS (
            |  SELECT lang, bin,
            |    string_agg(text, ' <eos> ' ORDER BY doc_id) AS payload
