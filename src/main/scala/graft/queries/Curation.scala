@@ -74,6 +74,25 @@ object Curation {
     // group's values; at 100 TB the same query runs with
     // approx_percentile (t-digest, mergeable partial aggs) — exact here
     // so the oracle can hash-match.
+    // Winnowed rolling-hash fingerprints: the edit-robust document
+    // fingerprint (shared k-gram minima survive local edits). The gate
+    // carries the set size + md5 of the sorted set, not the set itself.
+    // One winnow evaluation feeds both output columns via a struct
+    // bound in a single lambda (two bare column refs would re-derive
+    // the whole fingerprint pipeline each).
+    "q108_winnow_fingerprints" -> ((s, d) => {
+      import graft.functions.TextFunctions
+      val fpStruct = element_at(transform(
+        array(TextFunctions.winnowedFingerprints(col("text"))), ws =>
+          struct(size(ws).as("n_fp"),
+            md5(array_join(array_sort(ws), ",")).as("fp_md5"))), 1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), fpStruct.as("s"))
+        .select(col("doc_id"), col("s.n_fp").as("n_fp"),
+          col("s.fp_md5").as("fp_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q105_length_percentiles" -> ((s, d) => {
       import graft.functions.TextFunctions
       Tables.documents(s, d)
@@ -165,6 +184,45 @@ object Curation {
         |FROM (SELECT unnest(list_filter(string_split(text, ' '),
         |  x -> x <> '')) AS tok FROM documents)
         |GROUP BY tok ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q108_winnow_fingerprints" -> {
+      val k = 8; val w = 4
+      val pows: Seq[Long] = {
+        var p = 1L
+        (0 until k).map { _ => val r = p; p = p * 256L % 1000000007L; r }
+          .reverse
+      }
+      val hashTerm = pows.zipWithIndex.map { case (p, j) =>
+        s"codes[i + $j] * $p" }.mkString(" + ")
+      s"""WITH nrm AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+         |  FROM documents),
+         |coded AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, length(s) + 1),
+         |      i -> CAST(unicode(substring(s, i, 1)) AS BIGINT)) AS codes
+         |  FROM nrm),
+         |hashed AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(codes) >= $k THEN
+         |      list_transform(range(1, len(codes) - ${k - 1} + 1),
+         |        i -> ($hashTerm) % 1000000007)
+         |    ELSE [] END AS hs
+         |  FROM coded),
+         |winnowed AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(hs) = 0 THEN []
+         |         WHEN len(hs) < $w THEN [list_min(hs)]
+         |         ELSE list_distinct(list_transform(
+         |           range(1, len(hs) - ${w - 1} + 1),
+         |           i -> list_min(hs[i : i + ${w - 1}])))
+         |    END AS ws
+         |  FROM hashed)
+         |SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_fp,
+         |  md5(array_to_string(list_sort(ws), ',')) AS fp_md5
+         |FROM winnowed ORDER BY doc_id""".stripMargin
+    },
 
     "q105_length_percentiles" ->
       """SELECT lang,

@@ -83,6 +83,29 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Seq(("x", 1L, 2L), ("y", 1L, 2L)))
   }
 
+  test("winnowedFingerprints: local edits preserve most fingerprints " +
+    "(md5 fingerprint flips on any edit)") {
+    import graft.functions.TextFunctions
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = a.replace("lazy", "hazy") // one local edit
+    val df = Seq((1L, a), (2L, b), (3L, "xy")).toDF("id", "text")
+      .select($"id",
+        TextFunctions.winnowedFingerprints($"text").as("fp"),
+        TextFunctions.fingerprint($"text").as("md5fp"))
+    val rows = df.orderBy("id").collect()
+    val fpA = rows(0).getSeq[Long](1).toSet
+    val fpB = rows(1).getSeq[Long](1).toSet
+    val shared = fpA.intersect(fpB).size.toDouble
+    assert(shared / fpA.size > 0.5,
+      s"local edit kept only $shared of ${fpA.size} fingerprints")
+    assert(fpA != fpB, "edit must perturb the touched windows")
+    assert(rows(0).getString(2) != rows(1).getString(2),
+      "md5 fingerprint must flip on any edit")
+    // shorter than k chars → single-window degenerate case, non-empty
+    assert(rows(2).getSeq[Long](1).isEmpty ||
+      rows(2).getSeq[Long](1).size <= 1)
+  }
+
   test("vocabTopK orders by count desc then token asc") {
     val docs = Seq((1L, "b a b c a b"), (2L, "c a")).toDF("doc_id", "text")
     val got = CurationOps.vocabTopK(docs, "text", 2)
