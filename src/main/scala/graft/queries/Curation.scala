@@ -93,6 +93,29 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // Winnow-fingerprint near-dup pairs: each fingerprint is an
+    // equi-join band key; ubiquitous fingerprints (df > cap) are
+    // stop-grams dropped BEFORE the self-join — without the cap a
+    // template-corpus fingerprint shared by m docs contributes m²/2
+    // candidate rows (measured 8.7k pairs uncapped vs 22 discriminative
+    // ones here). The df window rides the same (fp) exchange the join
+    // needs, and the join's two sides reuse that exchange.
+    "q109_winnow_neardup" -> ((s, d) => {
+      import graft.functions.TextFunctions
+      import org.apache.spark.sql.expressions.Window
+      val fps = Tables.documents(s, d).select(col("doc_id"),
+        explode(TextFunctions.winnowedFingerprints(col("text"))).as("fp"))
+      val rare = fps
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("df") <= 10).select(col("doc_id"), col("fp"))
+      rare.as("a").join(rare.as("b"), Seq("fp"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy("id1", "id2")
+    }),
+
     "q105_length_percentiles" -> ((s, d) => {
       import graft.functions.TextFunctions
       Tables.documents(s, d)
@@ -106,6 +129,45 @@ object Curation {
         .orderBy("lang")
     })
   )
+
+  /** Shared winnow-fingerprint derivation (q108 reports it; q109 joins
+    * on it) — mirrors `TextFunctions.winnowedFingerprints` defaults.
+    */
+  private def winnowCte: String = {
+    val k = 8; val w = 4
+    val pows: Seq[Long] = {
+      var p = 1L
+      (0 until k).map { _ => val r = p; p = p * 256L % 1000000007L; r }
+        .reverse
+    }
+    val hashTerm = pows.zipWithIndex.map { case (p, j) =>
+      s"codes[i + $j] * $p" }.mkString(" + ")
+    s"""nrm AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+       |  FROM documents),
+       |coded AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(s) + 1),
+       |      i -> CAST(unicode(substring(s, i, 1)) AS BIGINT)) AS codes
+       |  FROM nrm),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(codes) >= $k THEN
+       |      list_transform(range(1, len(codes) - ${k - 1} + 1),
+       |        i -> ($hashTerm) % 1000000007)
+       |    ELSE [] END AS hs
+       |  FROM coded),
+       |winnowed AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) = 0 THEN []
+       |         WHEN len(hs) < $w THEN [list_min(hs)]
+       |         ELSE list_distinct(list_transform(
+       |           range(1, len(hs) - ${w - 1} + 1),
+       |           i -> list_min(hs[i : i + ${w - 1}])))
+       |    END AS ws
+       |  FROM hashed)""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
 
@@ -185,44 +247,25 @@ object Curation {
         |  x -> x <> '')) AS tok FROM documents)
         |GROUP BY tok ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
-    "q108_winnow_fingerprints" -> {
-      val k = 8; val w = 4
-      val pows: Seq[Long] = {
-        var p = 1L
-        (0 until k).map { _ => val r = p; p = p * 256L % 1000000007L; r }
-          .reverse
-      }
-      val hashTerm = pows.zipWithIndex.map { case (p, j) =>
-        s"codes[i + $j] * $p" }.mkString(" + ")
-      s"""WITH nrm AS (
-         |  SELECT doc_id,
-         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
-         |  FROM documents),
-         |coded AS (
-         |  SELECT doc_id,
-         |    list_transform(range(1, length(s) + 1),
-         |      i -> CAST(unicode(substring(s, i, 1)) AS BIGINT)) AS codes
-         |  FROM nrm),
-         |hashed AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(codes) >= $k THEN
-         |      list_transform(range(1, len(codes) - ${k - 1} + 1),
-         |        i -> ($hashTerm) % 1000000007)
-         |    ELSE [] END AS hs
-         |  FROM coded),
-         |winnowed AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(hs) = 0 THEN []
-         |         WHEN len(hs) < $w THEN [list_min(hs)]
-         |         ELSE list_distinct(list_transform(
-         |           range(1, len(hs) - ${w - 1} + 1),
-         |           i -> list_min(hs[i : i + ${w - 1}])))
-         |    END AS ws
-         |  FROM hashed)
+    "q108_winnow_fingerprints" ->
+      s"""WITH $winnowCte
          |SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_fp,
          |  md5(array_to_string(list_sort(ws), ',')) AS fp_md5
-         |FROM winnowed ORDER BY doc_id""".stripMargin
-    },
+         |FROM winnowed ORDER BY doc_id""".stripMargin,
+
+    "q109_winnow_neardup" ->
+      s"""WITH $winnowCte,
+         |fps AS (SELECT doc_id, unnest(ws) AS fp FROM winnowed),
+         |freq AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+         |flt AS (
+         |  SELECT doc_id, f.fp FROM fps f JOIN freq USING (fp)
+         |  WHERE df <= 10),
+         |p AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+         |  FROM flt a JOIN flt b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, n_shared FROM p WHERE n_shared >= 5
+         |ORDER BY id1, id2""".stripMargin,
 
     "q105_length_percentiles" ->
       """SELECT lang,
