@@ -44,7 +44,9 @@ object Bench {
     "q98_decontaminate", // broadcast shingle-overlap decontamination
     "q99_repetition_stats", // in-scan dup-token / top-bigram folds
     "q103_vocab_topk", // exploded token counts, partial agg + TakeOrdered
-    "q104_incremental_dedup") // batch-vs-corpus broadcast dedup flags
+    "q104_incremental_dedup", // batch-vs-corpus broadcast dedup flags
+    "q108_winnow_fingerprints", // native rolling-hash winnow kernel
+    "q109_winnow_neardup") // fp equi-join with stop-gram df cap
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

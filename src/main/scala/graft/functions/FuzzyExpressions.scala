@@ -120,7 +120,15 @@ object GraftFunctions {
       case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
       case _ => throw new IllegalArgumentException(
         "simhash_code(tokens, nBits): nBits must be an integer literal")
-    })))
+    })),
+    ("winnow_fingerprints", es => {
+      def intLit(e: Expression, name: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case _ => throw new IllegalArgumentException(
+          s"winnow_fingerprints(text, k, w): $name must be an integer literal")
+      }
+      WinnowFingerprints(es(0), intLit(es(1), "k"), intLit(es(2), "w"))
+    }))
 
   /** Register for `spark.sql("SELECT indel_ratio(a, b) ...")`. */
   def register(spark: SparkSession): Unit =

@@ -128,14 +128,26 @@ object TextFunctions {
     * only the windows it touches, so near-identical documents share most
     * fingerprints (unlike [[fingerprint]], which any edit flips).
     *
-    * Pure Column HOFs — zero shuffle, and portable: the DuckDB oracle
-    * derives identical values (B=256, M=1e9+7, codepoint char codes).
-    * Every intermediate array (char codes, k-gram hashes) is bound as a
+    * Zero shuffle, and portable: the DuckDB oracle derives identical
+    * values (B=256, M=1e9+7, codepoint char codes). The default runs
+    * the native codegen kernel ([[WinnowKernel]], ~12× the HOF form's
+    * throughput); [[winnowedFingerprintsHof]] is the pure-Column
+    * construction kept as the kernel's executable specification
+    * (CurationSpec asserts bit-parity).
+    */
+  def winnowedFingerprints(c: Column, k: Int = 8, w: Int = 4): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(WinnowFingerprints(expression(normalizeText(c)), k, w))
+  }
+
+  /** The HOF reference construction of [[winnowedFingerprints]] — every
+    * intermediate array (char codes, k-gram hashes) is bound as a
     * lambda variable before reuse — HOF lambdas get no CSE, so a naive
     * `val hashes = ...` referenced inside the winnow transform would
     * re-derive the entire hash array per window (measured 10× slower).
     */
-  def winnowedFingerprints(c: Column, k: Int = 8, w: Int = 4): Column = {
+  private[graft] def winnowedFingerprintsHof(c: Column, k: Int = 8,
+      w: Int = 4): Column = {
     require(k > 0 && w > 0, "k and w must be positive")
     val B = 256L
     val M = 1000000007L

@@ -106,6 +106,29 @@ class CurationSpec extends AnyFunSuite {
       rows(2).getSeq[Long](1).size <= 1)
   }
 
+  test("native winnow kernel matches the HOF reference construction " +
+    "(incl. multibyte text and degenerate lengths)") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "אבג דהו זחט יכל מנס עפצ קרש תאב גדה"), // Hebrew (multibyte)
+      (3L, "short"),   // < k chars → empty
+      (4L, "exactly8"), // == k chars → single hash, single window
+      (5L, "")          // empty
+    ).toDF("id", "text")
+    val both = docs.select($"id",
+      TextFunctions.winnowedFingerprints($"text").as("native"),
+      TextFunctions.winnowedFingerprintsHof($"text").as("hof"))
+      .orderBy("id").collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"kernel/HOF divergence for id=${r.getLong(0)}")
+    }
+    assert(both(0).getSeq[Long](1).nonEmpty)
+    assert(both(2).getSeq[Long](1).isEmpty) // "short" < k
+    assert(both(3).getSeq[Long](1).size == 1)
+  }
+
   test("vocabTopK orders by count desc then token asc") {
     val docs = Seq((1L, "b a b c a b"), (2L, "c a")).toDF("doc_id", "text")
     val got = CurationOps.vocabTopK(docs, "text", 2)
