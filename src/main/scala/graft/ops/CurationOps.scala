@@ -120,6 +120,31 @@ object CurationOps {
       concat(lit(salt + ":"), keyCol.cast("string")), 100) < rate
   }
 
+  /** Token-budget mixture sampling: derive each stratum's keep-rate
+    * from its token total so no stratum exceeds `tokenBudget`, then
+    * apply the salted deterministic bucket filter. Integer arithmetic
+    * end-to-end — rate_pct = min(100, budget·100 ÷ stratum tokens) — so
+    * engines agree exactly. The per-stratum totals are a tiny aggregate
+    * (one row per stratum) joined back by broadcast: two passes over
+    * the corpus, no driver-side state at all.
+    */
+  def tokenBudgetSampleFlag(docs: DataFrame, strataCol: Column,
+      tokensCol: Column, keyCol: Column, tokenBudget: Long,
+      salt: String): DataFrame = {
+    val totals = docs.groupBy(strataCol.as("_stratum"))
+      .agg(sum(tokensCol).as("_total"))
+      // `div`, not `/`: Spark's / on longs returns DOUBLE; integral
+      // division is what keeps the rate bit-identical to DuckDB's //
+      .withColumn("_rate_pct",
+        least(lit(100L), expr(s"${tokenBudget}L * 100L div _total")))
+    docs.join(broadcast(totals), strataCol === col("_stratum"))
+      .withColumn("sampled",
+        TextFunctions.hashBucket(
+          concat(lit(salt + ":"), keyCol.cast("string")), 100)
+          < col("_rate_pct"))
+      .drop("_stratum", "_total")
+  }
+
   /** Column profiling: per-column null and exact-distinct counts in ONE
     * pass (Catalyst expands the multi-distinct into a single Expand+agg).
     * At 100 TB swap countDistinct for approx_count_distinct — same plan

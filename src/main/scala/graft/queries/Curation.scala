@@ -116,6 +116,25 @@ object Curation {
         .orderBy("id1", "id2")
     }),
 
+    // Budget-derived mixture: per-language keep-rates computed FROM the
+    // data (cap each language at ~20k sampled-eligible tokens) instead
+    // of q101's fixed rates — the rebalancing pass a training mixture
+    // actually runs. Integer rate arithmetic keeps both engines exact.
+    "q110_token_budget_mix" -> ((s, d) => {
+      import graft.functions.TextFunctions
+      val base = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      CurationOps.tokenBudgetSampleFlag(base, col("lang"), col("n_tok"),
+        col("doc_id"), tokenBudget = 20000L, salt = "budget")
+        .groupBy(col("lang"))
+        .agg(max(col("_rate_pct")).as("rate_pct"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(when(col("sampled"), col("n_tok")).otherwise(0L))
+            .as("sampled_tokens"),
+          sum(col("sampled").cast("long")).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
     "q105_length_percentiles" -> ((s, d) => {
       import graft.functions.TextFunctions
       Tables.documents(s, d)
@@ -266,6 +285,28 @@ object Curation {
          |  GROUP BY 1, 2)
          |SELECT id1, id2, n_shared FROM p WHERE n_shared >= 5
          |ORDER BY id1, id2""".stripMargin,
+
+    "q110_token_budget_mix" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |totals AS (
+        |  SELECT lang, SUM(n_tok) AS total_tokens,
+        |    LEAST(100, 20000 * 100 // SUM(n_tok)) AS rate_pct
+        |  FROM base GROUP BY lang),
+        |flagged AS (
+        |  SELECT b.lang, b.n_tok, t.rate_pct, t.total_tokens,
+        |    CAST('0x' || substring(md5('budget:' ||
+        |      CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+        |      < t.rate_pct AS sampled
+        |  FROM base b JOIN totals t USING (lang))
+        |SELECT lang, MAX(rate_pct) AS rate_pct,
+        |  MAX(total_tokens) AS total_tokens,
+        |  SUM(CASE WHEN sampled THEN n_tok ELSE 0 END) AS sampled_tokens,
+        |  SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS n_sampled
+        |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q105_length_percentiles" ->
       """SELECT lang,

@@ -74,6 +74,32 @@ class CurationSpec extends AnyFunSuite {
     assert(de >= 30 && de <= 70, s"de sampled $de of 100 at 50%")
   }
 
+  test("tokenBudgetSampleFlag: rates derived from stratum totals, " +
+    "exact integer arithmetic, full keep under budget") {
+    import graft.ops.CurationOps
+    // "small" stratum fits the budget entirely → rate 100, all kept;
+    // "big" stratum is 10× over → rate 10
+    val docs = ((0L until 20L).map(i => (i, "small", 50L)) ++
+      (100L until 300L).map(i => (i, "big", 100L)))
+      .toDF("id", "stratum", "n_tok")
+    val flagged = CurationOps.tokenBudgetSampleFlag(docs, $"stratum",
+      $"n_tok", $"id", tokenBudget = 2000L, salt = "t")
+    val rates = flagged.groupBy("stratum")
+      .agg(max($"_rate_pct").as("r"), sum($"sampled".cast("long")).as("n"))
+      .orderBy("stratum").as[(String, Long, Long)].collect().toSeq
+    val big = rates(0); val small = rates(1)
+    assert(big._2 === 10L, s"big stratum rate: $big")   // 2000*100/20000
+    assert(small._2 === 100L && small._3 === 20L,
+      s"under-budget stratum must keep everything: $small")
+    assert(big._3 > 0 && big._3 < 200, s"big stratum sampled: $big")
+    // deterministic: same inputs → same flags
+    val again = CurationOps.tokenBudgetSampleFlag(docs, $"stratum",
+      $"n_tok", $"id", tokenBudget = 2000L, salt = "t")
+      .select("id", "sampled").orderBy("id").collect().toSeq
+    assert(again === flagged.select("id", "sampled").orderBy("id")
+      .collect().toSeq)
+  }
+
   test("columnProfile counts nulls and exact distincts per column") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), None), (Some(2), Some("b")), (None, Some("a"))
