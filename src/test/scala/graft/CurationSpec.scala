@@ -155,6 +155,32 @@ class CurationSpec extends AnyFunSuite {
     assert(both(3).getSeq[Long](1).size == 1)
   }
 
+  test("winnow kernel/HOF parity holds on randomized text (seeded, " +
+    "mixed scripts + random k/w)") {
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(31)
+    val alphabets = Seq(
+      ('a' to 'z') ++ Seq(' ', ' ', ' '),           // ascii words
+      ('א' to 'ת') ++ Seq(' '),                     // hebrew
+      ('a' to 'f') ++ ('0' to '3') ++ Seq(' ', '.') // low-diversity
+    )
+    val docs = (1L to 60L).map { i =>
+      val ab = alphabets((i % 3).toInt)
+      val len = rnd.nextInt(120)
+      (i, (0 until len).map(_ => ab(rnd.nextInt(ab.size))).mkString)
+    }.toDF("id", "text")
+    for ((k, w) <- Seq((8, 4), (5, 3), (3, 1), (12, 6))) {
+      val rows = docs.select($"id",
+        TextFunctions.winnowedFingerprints($"text", k, w).as("native"),
+        TextFunctions.winnowedFingerprintsHof($"text", k, w).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"k=$k w=$w id=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("vocabTopK orders by count desc then token asc") {
     val docs = Seq((1L, "b a b c a b"), (2L, "c a")).toDF("doc_id", "text")
     val got = CurationOps.vocabTopK(docs, "text", 2)
