@@ -105,8 +105,20 @@ object Dedup {
   /** (id, band, band_sig) rows for the b×r banding join: one md5 per
     * token materialized in a dedicated projection, k XOR-mixed min-sigs
     * folded over the hashed array, bands exploded. Shared by the
-    * within-corpus pair search and the batch-vs-corpus incremental path.
+    * within-corpus pair search and the batch-vs-corpus incremental
+    * path, and public as THE materializable near-dup index: persist
+    * this frame (partitioned by band) and an ingest — batch or stream —
+    * flags near-dups with a plain equi-join against it, no corpus
+    * re-scan ([[crossDedupFlags]] derives it inline; a production
+    * deployment writes it once per corpus build).
     */
+  def bandIndex(df: DataFrame, tokensExpr: Column, idCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must split evenly into $bands bands")
+    bandRowsOf(df, tokensExpr, idCol, numHashes, bands)
+  }
+
   private def bandRowsOf(df: DataFrame, tokensExpr: Column, idCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands

@@ -274,6 +274,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup flagging against a static corpus band index " +
+    "(the materialized index path of crossDedupFlags)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = "one two three four five six seven eight nine ten"
+    val corpus = Seq((0L, base), (1L, "another corpus document entirely"))
+      .toDF("doc_id", "text")
+    // the persisted-index shape: built once per corpus build
+    val index = graft.ops.Dedup.bandIndex(corpus,
+      graft.functions.TextFunctions.wordShingles(col("text"), 3), "doc_id")
+      .withColumnRenamed("id", "corpus_id")
+    val stream = MemoryStream[(Long, String)]
+    val streamBands = graft.ops.Dedup.bandIndex(
+      stream.toDS().toDF("doc_id", "text"),
+      graft.functions.TextFunctions.wordShingles(col("text"), 3), "doc_id")
+    // stream-static equi-join on the band key: candidate near-dup hits
+    val hits = streamBands.join(broadcast(index), Seq("band", "band_sig"))
+      .select(col("id").as("doc_id"), col("corpus_id"))
+    val q = hits.writeStream.format("memory").queryName("banddx_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (9L, base + " eleven"),              // near-dup of corpus doc 0
+        (10L, "totally novel words right here now then"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "select distinct doc_id, corpus_id from banddx_out")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((9L, 0L)),
+        s"expected only the planted near-dup to hit the index, got $got")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window aggregation (streaming)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
