@@ -116,18 +116,28 @@ object GraftFunctions {
     ("vec_norm", es => VecNorm(castD(es(0)))),
     ("vec_sqdist", es => SquaredDistance(castD(es(0)), castD(es(1)))),
     ("cosine_sim", es => CosineSim(castD(es(0)), castD(es(1)))),
-    ("simhash_code", es => SimhashCode(es(0), es(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
-      case _ => throw new IllegalArgumentException(
-        "simhash_code(tokens, nBits): nBits must be an integer literal")
-    })),
+    // SQL args are cast like the vec_* builders: without the cast an
+    // int-array/int argument passes analysis (the expressions declare no
+    // input types) and fails at runtime inside the kernel
+    ("simhash_code", es => SimhashCode(
+      org.apache.spark.sql.catalyst.expressions.Cast(es(0),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)),
+      es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case _ => throw new IllegalArgumentException(
+          "simhash_code(tokens, nBits): nBits must be an integer literal")
+      })),
     ("winnow_fingerprints", es => {
       def intLit(e: Expression, name: String): Int = e match {
         case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
         case _ => throw new IllegalArgumentException(
           s"winnow_fingerprints(text, k, w): $name must be an integer literal")
       }
-      WinnowFingerprints(es(0), intLit(es(1), "k"), intLit(es(2), "w"))
+      WinnowFingerprints(
+        org.apache.spark.sql.catalyst.expressions.Cast(es(0),
+          org.apache.spark.sql.types.StringType),
+        intLit(es(1), "k"), intLit(es(2), "w"))
     }))
 
   /** Register for `spark.sql("SELECT indel_ratio(a, b) ...")`. */

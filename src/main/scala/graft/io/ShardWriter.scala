@@ -53,9 +53,17 @@ object ShardWriter {
   def writeShardsPinned(df: DataFrame, outDir: String,
       keyCol: String, boundaries: Seq[Long]): Unit = {
     require(boundaries == boundaries.sorted, "boundaries must be sorted")
-    val shard = boundaries.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(keyCol) > lit(b), 1).otherwise(0)
-    }
+    // Small boundary lists get the codegen'd when-chain; large ones an
+    // array-literal HOF count — the chain is O(N) EXPRESSION DEPTH, and
+    // a few thousand boundaries overflow Catalyst's recursive transforms
+    // / the 64KB codegen method limit. Identical strict-> semantics.
+    val shard =
+      if (boundaries.size <= 64)
+        boundaries.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col(keyCol) > lit(b), 1).otherwise(0)
+        }
+      else
+        size(filter(typedLit(boundaries), b => col(keyCol) > b))
     df.withColumn("shard", shard)
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(keyCol))

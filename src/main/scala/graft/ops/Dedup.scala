@@ -294,10 +294,7 @@ object Dedup {
         collapseExactOn.map(_ => col("_ck")).toSeq: _*)
     val codes =
       if (collapseExactOn.isEmpty) coded
-      else coded
-        .withColumn("_keep", col("id") ===
-          min(col("id")).over(Window.partitionBy(col("_ck"))))
-        .filter(col("_keep")).drop("_ck", "_keep")
+      else keepersByKey(coded, col("_ck"), "id")
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         substring(col("simhash"), b * r + 1, r).as("bits")))

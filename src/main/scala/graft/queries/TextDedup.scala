@@ -191,10 +191,13 @@ object TextDedup {
     // the gate. Layout mechanics (one file per shard, in-file sort) are
     // ShardWriterSpec's job.
     "q95_shard_layout" -> ((s, d) => {
-      // fixed per-SF path + Overwrite mode: re-runs replace rather than
-      // accumulate temp trees
+      // fixed per-(user, SF-path) directory + Overwrite mode: re-runs
+      // replace rather than accumulate temp trees; the sanitized full
+      // path (not a hashCode) keys the tree so distinct SF dirs can't
+      // collide, and the user name keeps multi-user hosts apart
       val out = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q95_" + java.lang.Integer.toHexString(d.hashCode))
+        "graft_q95_" + sys.props.getOrElse("user.name", "u") + "_" +
+          d.replaceAll("[^a-zA-Z0-9.-]", "_"))
         .getAbsolutePath
       graft.io.ShardWriter.writeShardsPinned(
         Tables.documents(s, d).select(col("doc_id"), col("text")),

@@ -79,6 +79,21 @@ class ShardWriterSpec extends AnyFunSuite {
       }
   }
 
+  test("writeShardsPinned: the HOF path (>64 boundaries) assigns the " +
+    "same shards as the when-chain rule") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val bounds = (1 to 100).map(_ * 19L) // 100 boundaries → HOF path
+    val out = TestDirs.tmp("pinned_hof").toString
+    ShardWriter.writeShardsPinned(df, out, "doc_id", bounds)
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("shard").cast("int").as("shard"))
+      .as[(Long, Int)].collect()
+    got.foreach { case (id, shard) =>
+      assert(shard === bounds.count(id > _), s"doc $id in shard $shard")
+    }
+  }
+
   test("maxRecordsPerFile splits an overflowing shard") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("doc_id")

@@ -54,6 +54,23 @@ class VectorExprSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("a NULL array ELEMENT propagates null (never read as 0.0)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(Some(1.0), None, Some(3.0)),
+      Seq(Some(1.0), Some(2.0), Some(3.0)))).toDF("id", "a", "b")
+    val out = df.select(
+      GraftFunctions.vec_dot(col("a"), col("b")).as("d"),
+      GraftFunctions.cosine_sim(col("a"), col("b")).as("c"),
+      GraftFunctions.vec_sqdist(col("a"), col("b")).as("s"),
+      GraftFunctions.vec_norm(col("a")).as("n")).collect()(0)
+    (0 until 4).foreach(i => assert(out.isNullAt(i),
+      s"field $i must be null for a null element"))
+    // matches the HOF composition's null semantics
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0.0), (acc, v) => acc + v)).collect()(0)
+    assert(hof.isNullAt(0))
+  }
+
   test("SQL registration: cosine_sim and simhash_code callable from " +
     "spark.sql") {
     GraftFunctions.register(spark)
