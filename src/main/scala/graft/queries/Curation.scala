@@ -135,6 +135,24 @@ object Curation {
         .orderBy("lang")
     }),
 
+    // Exact-k sampling: exactly min(k, |stratum|) docs per language,
+    // membership a pure function of the salted hash order (rate-based
+    // sampling can only approximate counts). One shuffle on the stratum
+    // key; rows_number over the md5 order with a doc_id tie-break keeps
+    // the pick total-ordered and engine-portable. At 100 TB strata the
+    // same shape runs after a cheap rate-based pre-filter (sample ~2k
+    // candidates, then rank) so the window never sees the full stratum.
+    "q111_exact_k_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = md5(concat(lit("pick:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 30)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    }),
+
     "q105_length_percentiles" -> ((s, d) => {
       import graft.functions.TextFunctions
       Tables.documents(s, d)
@@ -307,6 +325,15 @@ object Curation {
         |  SUM(CASE WHEN sampled THEN n_tok ELSE 0 END) AS sampled_tokens,
         |  SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS n_sampled
         |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q111_exact_k_sample" ->
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('pick:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS rk
+        |  FROM documents)
+        |WHERE rk <= 30 ORDER BY lang, rk""".stripMargin,
 
     "q105_length_percentiles" ->
       """SELECT lang,
