@@ -127,6 +127,9 @@ object CurationOps {
     * engines agree exactly. The per-stratum totals are a tiny aggregate
     * (one row per stratum) joined back by broadcast: two passes over
     * the corpus, no driver-side state at all.
+    *
+    * Output: the input columns plus `sampled` (the keep flag) and
+    * `_rate_pct` (the stratum's applied percentage, for auditing).
     */
   def tokenBudgetSampleFlag(docs: DataFrame, strataCol: Column,
       tokensCol: Column, keyCol: Column, tokenBudget: Long,
