@@ -203,4 +203,34 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(shufflesOf(sampled).isEmpty,
       "sampling filter should be a pure scan-side predicate")
   }
+
+  test("q110 token-budget mix: the per-stratum totals join back as a " +
+    "broadcast, never a corpus shuffle") {
+    val plan = planOf(SparkEntry.queries("q110_token_budget_mix")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "stratum totals lost their broadcast join")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus side shuffled for the totals join")
+  }
+
+  test("q111 exact-k sample: partial WindowGroupLimit prunes to k rows " +
+    "per stratum BEFORE the window shuffle") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q111_exact_k_sample")(spark, sf)
+        .queryExecution.executedPlan.toString
+      // rank<=k pushes map-side: each task ships at most k rows per
+      // stratum into the shuffle — the property that makes exact-k
+      // sampling viable on corpus-scale strata
+      assert(plan.contains("WindowGroupLimit") &&
+        plan.contains("Partial"),
+        s"partial window group limit missing:\n${plan.take(1500)}")
+      val exchanges = shufflesOf(
+        SparkEntry.queries("q111_exact_k_sample")(spark, sf))
+      // the stratum window + the presentation orderBy, nothing else
+      assert(exchanges.size <= 2,
+        s"unexpected extra shuffles: ${exchanges.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
