@@ -257,12 +257,12 @@ object Curation {
 
     "q101_stratified_sample" ->
       """SELECT lang, count(*) AS n_total,
-        |  SUM(CASE WHEN
+        |  CAST(SUM(CASE WHEN
         |      CAST('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)
         |        AS BIGINT) % 100 <
         |      CASE WHEN lang = 'en' THEN 10
         |           WHEN lang = 'zh' THEN 50 ELSE 25 END
-        |    THEN 1 ELSE 0 END) AS n_sampled
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q102_column_profile" ->
@@ -311,8 +311,8 @@ object Curation {
         |      AS BIGINT) AS n_tok
         |  FROM documents),
         |totals AS (
-        |  SELECT lang, SUM(n_tok) AS total_tokens,
-        |    LEAST(100, 20000 * 100 // SUM(n_tok)) AS rate_pct
+        |  SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |    CAST(LEAST(100, 20000 * 100 // SUM(n_tok)) AS BIGINT) AS rate_pct
         |  FROM base GROUP BY lang),
         |flagged AS (
         |  SELECT b.lang, b.n_tok, t.rate_pct, t.total_tokens,
@@ -322,8 +322,9 @@ object Curation {
         |  FROM base b JOIN totals t USING (lang))
         |SELECT lang, MAX(rate_pct) AS rate_pct,
         |  MAX(total_tokens) AS total_tokens,
-        |  SUM(CASE WHEN sampled THEN n_tok ELSE 0 END) AS sampled_tokens,
-        |  SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS n_sampled
+        |  CAST(SUM(CASE WHEN sampled THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS sampled_tokens,
+        |  CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q111_exact_k_sample" ->

@@ -626,7 +626,8 @@ object TextDedup {
 
       "q97_pack_sequences" ->
         s"""WITH $duckBinnedCte
-           |SELECT lang, bin, count(*) AS n_docs, SUM(n_tok) AS n_tokens
+           |SELECT lang, bin, count(*) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
            |FROM binned GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
 
       "q107_dup_components" ->
