@@ -93,24 +93,31 @@ object Curation {
         .orderBy("doc_id")
     }),
 
-    // Winnow-fingerprint near-dup pairs: each fingerprint is an
-    // equi-join band key; ubiquitous fingerprints (df > cap) are
-    // stop-grams dropped BEFORE the self-join — without the cap a
-    // template-corpus fingerprint shared by m docs contributes m²/2
-    // candidate rows (measured 8.7k pairs uncapped vs 22 discriminative
-    // ones here). The df window rides the same (fp) exchange the join
-    // needs, and the join's two sides reuse that exchange.
+    // Winnow-fingerprint near-dup pairs. Ubiquitous fingerprints
+    // (df > cap) are stop-grams dropped BEFORE pair generation —
+    // without the cap a template-corpus fingerprint shared by m docs
+    // contributes m²/2 candidate rows (measured 8.7k pairs uncapped vs
+    // 22 discriminative ones here). Shape: ONE documents scan feeding a
+    // single groupBy(fp) exchange; collect_list both measures the df
+    // (per-doc fps are array_distinct, so size(ids) IS the document
+    // frequency) and carries the capped posting list, whose pairs are
+    // generated map-side with array HOFs (≤ C(10,2)=45 rows per fp).
+    // This replaces the earlier df-window + self-join, whose two join
+    // sides re-ran the whole winnow pipeline (no exchange reuse
+    // pre-AQE) — plan-gated in PlanRegressionSpec to one scan.
     "q109_winnow_neardup" -> ((s, d) => {
       import graft.functions.TextFunctions
-      import org.apache.spark.sql.expressions.Window
       val fps = Tables.documents(s, d).select(col("doc_id"),
         explode(TextFunctions.winnowedFingerprints(col("text"))).as("fp"))
-      val rare = fps
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
-        .filter(col("df") <= 10).select(col("doc_id"), col("fp"))
-      rare.as("a").join(rare.as("b"), Seq("fp"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      val groups = fps.groupBy(col("fp"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, 10))
+      // all (i < j) pairs of the sorted posting list; ids are distinct,
+      // so sorted order gives id1 < id2 directly
+      val pairs = groups.select(explode(flatten(transform(col("ids"),
+        (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      pairs.groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 5)
         .orderBy("id1", "id2")

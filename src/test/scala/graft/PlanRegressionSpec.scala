@@ -140,6 +140,33 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("q109 winnow near-dup: ONE documents scan (posting-list pair " +
+    "generation, not a self-join that re-runs the winnow pipeline)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q109_winnow_neardup")(spark, sf)
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("documents") => s
+      }
+      assert(scans.size == 1,
+        s"q109 reads documents ${scans.size} times — the winnow " +
+          "pipeline is being re-executed per consumer")
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // groupBy(fp), groupBy(id1,id2), presentation orderBy — no more
+      assert(exchanges.size <= 3,
+        s"unexpected extra shuffles (${exchanges.size})")
+      // no shuffle may carry document text
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"shuffle carries document text:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("saltedJoinHot: plain join on uniform keys, salted on hot keys") {
     import spark.implicits._
     val uniformBig = (1 to 2000).map(i => (i % 50, i)).toDF("key", "v")
