@@ -107,19 +107,36 @@ object GraftFunctions {
     org.apache.spark.sql.catalyst.expressions.Cast(e,
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType))
+  // arity-checked builder: a wrong-arity SQL call gets the expected
+  // signature back, not a raw IndexOutOfBoundsException from es(i)
+  private def withArity(sig: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n) throw new IllegalArgumentException(
+        s"$sig expects $n argument(s), got ${es.length}")
+      f(es)
+    }
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    ("indel_ratio", es => IndelRatio(es(0), es(1))),
-    ("partial_ratio", es => PartialRatio(es(0), es(1))),
-    ("token_set_ratio", es => TokenSetRatio(es(0), es(1))),
-    ("token_sort_ratio", es => TokenSortRatio(es(0), es(1))),
-    ("vec_dot", es => DotProduct(castD(es(0)), castD(es(1)))),
-    ("vec_norm", es => VecNorm(castD(es(0)))),
-    ("vec_sqdist", es => SquaredDistance(castD(es(0)), castD(es(1)))),
-    ("cosine_sim", es => CosineSim(castD(es(0)), castD(es(1)))),
+    ("indel_ratio", withArity("indel_ratio(a, b)", 2)(
+      es => IndelRatio(es(0), es(1)))),
+    ("partial_ratio", withArity("partial_ratio(a, b)", 2)(
+      es => PartialRatio(es(0), es(1)))),
+    ("token_set_ratio", withArity("token_set_ratio(a, b)", 2)(
+      es => TokenSetRatio(es(0), es(1)))),
+    ("token_sort_ratio", withArity("token_sort_ratio(a, b)", 2)(
+      es => TokenSortRatio(es(0), es(1)))),
+    ("vec_dot", withArity("vec_dot(a, b)", 2)(
+      es => DotProduct(castD(es(0)), castD(es(1))))),
+    ("vec_norm", withArity("vec_norm(a)", 1)(es => VecNorm(castD(es(0))))),
+    ("vec_sqdist", withArity("vec_sqdist(a, b)", 2)(
+      es => SquaredDistance(castD(es(0)), castD(es(1))))),
+    ("cosine_sim", withArity("cosine_sim(a, b)", 2)(
+      es => CosineSim(castD(es(0)), castD(es(1))))),
     // SQL args are cast like the vec_* builders: without the cast an
     // int-array/int argument passes analysis (the expressions declare no
     // input types) and fails at runtime inside the kernel
-    ("simhash_code", es => SimhashCode(
+    ("simhash_code", withArity("simhash_code(tokens, nBits)", 2)(es =>
+      SimhashCode(
       org.apache.spark.sql.catalyst.expressions.Cast(es(0),
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.StringType)),
@@ -127,18 +144,19 @@ object GraftFunctions {
         case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
         case _ => throw new IllegalArgumentException(
           "simhash_code(tokens, nBits): nBits must be an integer literal")
-      })),
-    ("winnow_fingerprints", es => {
-      def intLit(e: Expression, name: String): Int = e match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
-        case _ => throw new IllegalArgumentException(
-          s"winnow_fingerprints(text, k, w): $name must be an integer literal")
-      }
-      WinnowFingerprints(
-        org.apache.spark.sql.catalyst.expressions.Cast(es(0),
-          org.apache.spark.sql.types.StringType),
-        intLit(es(1), "k"), intLit(es(2), "w"))
-    }))
+      }))),
+    ("winnow_fingerprints", withArity("winnow_fingerprints(text, k, w)", 3)(
+      es => {
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+          case _ => throw new IllegalArgumentException(
+            s"winnow_fingerprints(text, k, w): $name must be an integer literal")
+        }
+        WinnowFingerprints(
+          org.apache.spark.sql.catalyst.expressions.Cast(es(0),
+            org.apache.spark.sql.types.StringType),
+          intLit(es(1), "k"), intLit(es(2), "w"))
+      })))
 
   /** Register for `spark.sql("SELECT indel_ratio(a, b) ...")`. */
   def register(spark: SparkSession): Unit =

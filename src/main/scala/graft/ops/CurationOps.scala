@@ -137,10 +137,17 @@ object CurationOps {
     val totals = docs.groupBy(strataCol.as("_stratum"))
       .agg(sum(tokensCol).as("_total"))
       // `div`, not `/`: Spark's / on longs returns DOUBLE; integral
-      // division is what keeps the rate bit-identical to DuckDB's //
+      // division is what keeps the rate bit-identical to DuckDB's //.
+      // A stratum with zero (or all-NULL) tokens has nothing to budget
+      // away — keep it whole at rate 100 instead of letting the NULL
+      // division leak into `sampled`.
       .withColumn("_rate_pct",
-        least(lit(100L), expr(s"${tokenBudget}L * 100L div _total")))
-    docs.join(broadcast(totals), strataCol === col("_stratum"))
+        when(col("_total") > 0,
+          least(lit(100L), expr(s"${tokenBudget}L * 100L div _total")))
+          .otherwise(lit(100L)))
+    // null-safe equality: a NULL stratum is a groupBy group like any
+    // other, so its rows must survive the rate join too
+    docs.join(broadcast(totals), strataCol <=> col("_stratum"))
       .withColumn("sampled",
         TextFunctions.hashBucket(
           concat(lit(salt + ":"), keyCol.cast("string")), 100)
@@ -156,13 +163,15 @@ object CurationOps {
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
     // index-based agg aliases + escaped literals: profiled column names
-    // may contain quotes/spaces/dots without corrupting the stack expr
+    // may contain quotes/spaces/dots/backslashes without corrupting the
+    // stack expr (backslashes first: the default parser — no
+    // escapedStringLiterals — treats \ as an escape inside literals)
     val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
       (count(lit(1)) - count(col(c))).as(s"nn_$i"),
       countDistinct(col(c)).as(s"nd_$i"))
     }
     val stackArgs = cols.zipWithIndex.map { case (c, i) =>
-      s"'${c.replace("'", "''")}', nn_$i, nd_$i"
+      s"'${c.replace("\\", "\\\\").replace("'", "''")}', nn_$i, nd_$i"
     }.mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +

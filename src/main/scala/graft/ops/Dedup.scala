@@ -280,6 +280,13 @@ object Dedup {
   : DataFrame = {
     require(nBits % bands == 0,
       s"nBits ($nBits) must split evenly into $bands bands")
+    // the md5-digit construction ([[SimhashCode]]) supplies at most 32
+    // bits, and 32 also keeps the packed code exact through the
+    // unsigned conv → signed long cast below (a 64-bit MSB-set code
+    // would NULL out and silently drop its pairs at the verify)
+    require(nBits >= 1 && nBits <= 32,
+      s"nBits ($nBits) must be in [1, 32]: simhash bits come from md5's " +
+        "32 hex digits")
     require(maxHamming < bands,
       s"pigeonhole: $bands bands only guarantee recall for distance < $bands")
     val r = nBits / bands

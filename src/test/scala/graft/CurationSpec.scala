@@ -100,6 +100,38 @@ class CurationSpec extends AnyFunSuite {
       .collect().toSeq)
   }
 
+  test("tokenBudgetSampleFlag: zero-token and NULL strata keep their " +
+    "rows (rate 100, no NULL flags, null-safe rate join)") {
+    import graft.ops.CurationOps
+    val docs = Seq(
+      (1L, Some("empty"), 0L),   // stratum sums to 0 tokens
+      (2L, Some("empty"), 0L),
+      (3L, None, 40L),           // NULL stratum
+      (4L, None, 40L),
+      (5L, Some("big"), 50000L))
+      .toDF("id", "stratum", "n_tok")
+    val flagged = CurationOps.tokenBudgetSampleFlag(docs, $"stratum",
+      $"n_tok", $"id", tokenBudget = 2000L, salt = "t")
+    assert(flagged.count() === 5, "NULL-stratum rows were dropped")
+    assert(flagged.filter($"sampled".isNull).count() === 0,
+      "NULL leaked into the sampled flag")
+    val zeroRates = flagged.filter($"stratum" === "empty")
+      .select("_rate_pct", "sampled")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(zeroRates.forall(r => r._1 == 100L && r._2),
+      s"zero-token stratum must keep everything: $zeroRates")
+    val nullRate = flagged.filter($"stratum".isNull)
+      .select(max($"_rate_pct")).as[Long].head()
+    assert(nullRate === 100L, "NULL stratum (80 tokens) is under budget")
+  }
+
+  test("columnProfile survives backslashes and quotes in column names") {
+    val df = Seq((1, 2)).toDF("a\\b", "it's")
+    val got = CurationOps.columnProfile(df, Seq("a\\b", "it's"))
+      .orderBy("col_name").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a\\b", 0L, 1L), ("it's", 0L, 1L)))
+  }
+
   test("columnProfile counts nulls and exact distincts per column") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), None), (Some(2), Some("b")), (None, Some("a"))

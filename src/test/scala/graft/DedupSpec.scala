@@ -175,6 +175,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("simhashNeighborsOver rejects nBits outside [1, 32] at the API " +
+    "boundary (a 64-bit code would NULL out of the packed-long verify)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val sh = graft.functions.TextFunctions.wordShingles(col("text"), 3)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashNeighborsOver(docs, sh, "doc_id", nBits = 64,
+        bands = 4, maxHamming = 3)
+    }
+    assert(e.getMessage.contains("[1, 32]"))
+    // top of the supported range still verifies exactly: a 32-bit code
+    // is well under Long.MaxValue, so conv→long never overflows
+    val ok = Dedup.simhashNeighborsOver(docs, sh, "doc_id", nBits = 32,
+      bands = 4, maxHamming = 3)
+    assert(ok.columns.toSeq == Seq("id1", "id2", "hamming"))
+  }
+
   test("native simhash kernel matches the md5-hex Column construction " +
     "on multibyte text (Hebrew, niqqud, emoji)") {
     import spark.implicits._

@@ -51,6 +51,24 @@ class FuzzyExprSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 80.0)
   }
 
+  test("SQL registration: wrong arity reports the expected signature, " +
+    "not an index error") {
+    GraftFunctions.register(spark)
+    for ((sql, frag) <- Seq(
+      ("SELECT indel_ratio('a') AS r", "indel_ratio(a, b)"),
+      ("SELECT winnow_fingerprints('a', 8) AS r",
+        "winnow_fingerprints(text, k, w)"),
+      ("SELECT simhash_code(array('a')) AS r",
+        "simhash_code(tokens, nBits)"))) {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)),
+        s"expected signature '$frag' in: ${msgs(e)}")
+    }
+  }
+
   test("null propagation") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT indel_ratio(NULL, 'x') AS r").collect().head
