@@ -107,10 +107,15 @@ object Dedup {
     * folded over the hashed array, bands exploded. Shared by the
     * within-corpus pair search and the batch-vs-corpus incremental
     * path, and public as THE materializable near-dup index: persist
-    * this frame (partitioned by band) and an ingest — batch or stream —
+    * this frame `partitionBy("band")` and an ingest — batch or stream —
     * flags near-dups with a plain equi-join against it, no corpus
     * re-scan ([[crossDedupFlags]] derives it inline; a production
-    * deployment writes it once per corpus build).
+    * deployment writes it once per corpus build). The layout is
+    * load-bearing: a lookup restricted to a band subset reads only
+    * those directories — both static (metadata pruning) and through
+    * the equi-join (dynamic partition pruning), proven by numFiles in
+    * PlanRegressionSpec; StreamingSpec's ingest lookup runs against
+    * the persisted layout.
     */
   def bandIndex(df: DataFrame, tokensExpr: Column, idCol: String,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {

@@ -128,6 +128,59 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("band index persisted partitionBy(band): lookups restricted to " +
+    "a band subset prune to those directories (metadata + DPP)") {
+    import graft.ops.Dedup
+    import graft.functions.TextFunctions
+    // AQE off so the executed plan is inspectable (not QueryStage
+    // leaves); dynamic partition pruning is independent of AQE
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val docs = Tables.documents(spark, sf)
+    val index = Dedup.bandIndex(docs,
+      TextFunctions.wordShingles(col("text"), 3), "doc_id")
+    val dir = TestDirs.tmp("band_index").toFile.getAbsolutePath
+    // one file per band directory ⇒ numFiles read == bands touched
+    index.coalesce(1).write.partitionBy("band")
+      .mode("overwrite").parquet(dir)
+    val bandDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("band=")).map(_.getName).sorted
+    assert(bandDirs.length == 4, s"expected 4 band dirs: ${bandDirs.toSeq}")
+
+    // the INDEX-side scan (the probe side reads documents.parquet)
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect() // populate scan metrics
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("band_index")) => s
+      }.headOption.getOrElse(fail("no index-side FileSourceScanExec"))
+    }
+
+    // 1) static band restriction: metadata-only partition pruning
+    val reread = spark.read.parquet(dir)
+    val static = reread.filter(col("band").isin(0, 2))
+    val sScan = scanOf(static)
+    assert(sScan.metrics("numFiles").value == 2,
+      s"static probe read ${sScan.metrics("numFiles").value} files " +
+        "for 2 of 4 bands")
+
+    // 2) the ingest-lookup shape: equi-join on (band, band_sig) with a
+    // broadcast probe covering a band subset — dynamic partition
+    // pruning must reach the index scan so a 100 TB index reads only
+    // the probed directories
+    val probe = index.filter(col("band").isin(1, 3))
+      .select(col("band"), col("band_sig")).limit(64)
+    val joined = reread.join(broadcast(probe), Seq("band", "band_sig"))
+    val jScan = scanOf(joined)
+    assert(jScan.metrics("numFiles").value == 2,
+      s"DPP lookup read ${jScan.metrics("numFiles").value} files for " +
+        "2 probed of 4 bands:\n" +
+        joined.queryExecution.executedPlan.toString.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q94 simhash: no shuffle ever carries document text (codes " +
     "materialize in-scan; only narrow rows move)") {
     val df = SparkEntry.queries("q94_simhash_neighbors")(spark, sf)

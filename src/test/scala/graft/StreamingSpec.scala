@@ -281,9 +281,14 @@ class StreamingSpec extends AnyFunSuite {
     val base = "one two three four five six seven eight nine ten"
     val corpus = Seq((0L, base), (1L, "another corpus document entirely"))
       .toDF("doc_id", "text")
-    // the persisted-index shape: built once per corpus build
-    val index = graft.ops.Dedup.bandIndex(corpus,
+    // the persisted index: built once per corpus build, written in its
+    // lookup layout (one directory per band — pruning proven in
+    // PlanRegressionSpec), and re-read like an ingest job would
+    val indexDir = TestDirs.tmp("stream_band_index").toFile.getAbsolutePath
+    graft.ops.Dedup.bandIndex(corpus,
       graft.functions.TextFunctions.wordShingles(col("text"), 3), "doc_id")
+      .write.partitionBy("band").mode("overwrite").parquet(indexDir)
+    val index = spark.read.parquet(indexDir)
       .withColumnRenamed("id", "corpus_id")
     val stream = MemoryStream[(Long, String)]
     val streamBands = graft.ops.Dedup.bandIndex(
