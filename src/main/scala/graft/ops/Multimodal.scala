@@ -28,24 +28,38 @@ object Multimodal {
   /** Decode stub (image dims / audio rate / video frames derived
     * deterministically from content bytes). Batch-shaped: one partition
     * iterator in, one out — swap the body for a real codec loop.
+    *
+    * The fake dimensions hash with the engine's standard portable
+    * derivation — the first 60 bits of the md5 digest, the same value
+    * DuckDB reads as `CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)`
+    * — so the whole decode → resize → frame-sample pipeline is
+    * oracle-checkable end-to-end (q70), not rows-only.
     */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map { m =>
-      val n = if (m.content == null) 0 else m.content.length
-      val h = math.abs(java.util.Arrays.hashCode(m.content))
-      m.kind match {
-        case "image" =>
-          DecodedMedia(m.media_id, m.kind, 64 + h % 512, 64 + (h / 512) % 512,
-            1, 0, n)
-        case "audio" =>
-          DecodedMedia(m.media_id, m.kind, 0, 0, 0,
-            if (h % 2 == 0) 16000 else 22050, n)
-        case _ =>
-          DecodedMedia(m.media_id, m.kind, 320, 240, 1 + h % 300, 0, n)
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val content = if (m.content == null) Array.empty[Byte] else m.content
+        md.reset()
+        val digest = md.digest(content)
+        // top 60 bits of the big-endian first 8 bytes == first 15 hex
+        // digits; >>> keeps it non-negative so % and / are sign-safe
+        val h = java.nio.ByteBuffer.wrap(digest, 0, 8).getLong >>> 4
+        m.kind match {
+          case "image" =>
+            DecodedMedia(m.media_id, m.kind, (64 + h % 512).toInt,
+              (64 + (h / 512) % 512).toInt, 1, 0, content.length)
+          case "audio" =>
+            DecodedMedia(m.media_id, m.kind, 0, 0, 0,
+              if (h % 2 == 0) 16000 else 22050, content.length)
+          case _ =>
+            DecodedMedia(m.media_id, m.kind, 320, 240, (1 + h % 300).toInt,
+              0, content.length)
+        }
       }
-    })
+    }
   }
 
   case class DecodedPcm(media_id: Long, n_samples: Int, duration: Double,

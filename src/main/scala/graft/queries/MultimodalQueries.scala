@@ -7,9 +7,12 @@ import graft.ops.{GrammarPipeline, Multimodal, Similarity}
 import graft.ops.Multimodal.MediaRow
 
 /** Multimodal + grammar-pipeline surface over synthesized binary columns
-  * (documents text → utf-8 bytes stand in for media payloads). Rows-only
-  * driver checks — the decode kernels are stubs; schemas, partition
-  * shapes, and the downstream ANN join are production-real.
+  * (documents text → utf-8 bytes stand in for media payloads). The
+  * decode/embed kernels are deterministic md5-arithmetic stubs, which
+  * makes q70 (decode → resize → frame-sample) and q71 (embed → ANN)
+  * exactly oracle-checkable in DuckDB; q72's OCR/NER kernels stay
+  * rows-only. Schemas, partition shapes, and the downstream ANN join
+  * are production-real.
   */
 object MultimodalQueries {
 
@@ -59,5 +62,72 @@ object MultimodalQueries {
     })
   )
 
-  def oracle: Map[String, String] = Map.empty
+  def oracle: Map[String, String] = Map(
+
+    // Mirrors Multimodal.decode/resizeMeta/sampleFrames exactly: the
+    // stub hash is the engine-standard first-60-bits-of-md5, the resize
+    // scale is IEEE double arithmetic in both engines, and range(0, n,
+    // 30) matches sequence(0, n-1, 30).
+    "q70_media_pipeline" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+        |      AS kind,
+        |    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h,
+        |    CAST(strlen(text) AS INTEGER) AS byte_len
+        |  FROM documents),
+        |dec AS (
+        |  SELECT media_id, kind,
+        |    CAST(CASE kind WHEN 'image' THEN 64 + h % 512
+        |      WHEN 'audio' THEN 0 ELSE 320 END AS INTEGER) AS width,
+        |    CAST(CASE kind WHEN 'image' THEN 64 + (h // 512) % 512
+        |      WHEN 'audio' THEN 0 ELSE 240 END AS INTEGER) AS height,
+        |    CAST(CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 0
+        |      ELSE 1 + h % 300 END AS INTEGER) AS n_frames,
+        |    CAST(CASE WHEN kind = 'audio' THEN
+        |        CASE WHEN h % 2 = 0 THEN 16000 ELSE 22050 END
+        |      ELSE 0 END AS INTEGER) AS sample_rate,
+        |    byte_len
+        |  FROM m),
+        |rz AS (
+        |  SELECT *,
+        |    CAST(CEIL(width * scale) AS INTEGER) AS out_width,
+        |    CAST(CEIL(height * scale) AS INTEGER) AS out_height
+        |  FROM (SELECT *, LEAST(1.0, 256 / GREATEST(width, height, 1))
+        |    AS scale FROM dec))
+        |SELECT media_id, kind, width, height, n_frames, sample_rate,
+        |  byte_len, out_width, out_height, CAST(f AS INTEGER) AS frame_idx
+        |FROM (
+        |  SELECT rz.* EXCLUDE (scale), unnest(range(0, n_frames, 30)) AS f
+        |  FROM rz WHERE n_frames > 0
+        |  UNION ALL
+        |  SELECT rz.* EXCLUDE (scale), -1 AS f FROM rz WHERE n_frames = 0)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Mirrors Multimodal.embed + Similarity.knnCosine: vec[i] =
+    // ((signed_byte(md5[i]) + 7i) % 128) / 128 is exact in float32 and
+    // double alike (power-of-two denominator), so only the dot-product
+    // summation order differs — absorbed by ROUND(..., 5) like q56.
+    "q71_media_embed_ann" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, md5(text) AS hx
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |vx AS (
+        |  SELECT media_id, i,
+        |    (((CASE WHEN u >= 128 THEN u - 256 ELSE u END) + 7 * i) % 128)
+        |      / 128.0 AS x
+        |  FROM (
+        |    SELECT media_id, gs.i AS i,
+        |      CAST('0x' || substring(hx, 2 * gs.i + 1, 2) AS INTEGER) AS u
+        |    FROM img, (SELECT unnest(range(0, 16)) AS i) gs)),
+        |qx AS (SELECT i, x FROM vx WHERE media_id = 0),
+        |nq AS (SELECT sqrt(sum(x * x)) AS n FROM qx),
+        |dots AS (
+        |  SELECT v.media_id, sum(v.x * q.x) AS dot,
+        |    sqrt(sum(v.x * v.x)) AS na
+        |  FROM vx v JOIN qx q USING (i) WHERE v.media_id <> 0
+        |  GROUP BY v.media_id)
+        |SELECT media_id, ROUND(dot / (na * nq.n), 5) AS cos_sim
+        |FROM dots, nq ORDER BY cos_sim DESC, media_id LIMIT 5""".stripMargin
+  )
 }
