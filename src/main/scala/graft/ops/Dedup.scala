@@ -389,6 +389,14 @@ object Dedup {
     * ⇒ candidates approach batch×corpus — measured 10× slower on the
     * synthetic corpus), while shingles only collide on preserved local
     * word order. Pass `tokensOf` to override.
+    *
+    * The narrow batch frame (id, fingerprint, token set) is persisted:
+    * it feeds three broadcasts (exact fingerprints, band rows, verify
+    * token sets) that would otherwise EACH re-run the batch scan + md5
+    * + shingle pipeline — subplans don't reuse across consumers, only
+    * exchanges do. The batch is ingest-sized by definition (it
+    * broadcasts), so the cache is bounded; it stays cached with the
+    * returned frame's lifetime, like [[connectedComponents]]' edges.
     */
   def crossDedupFlags(batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
@@ -398,6 +406,7 @@ object Dedup {
       s"numHashes ($numHashes) must split evenly into $bands bands")
     val bToks = batch.select(col(idCol).as("id"),
       fingerprint(col(textCol)).as("fp"), tokensOf(col(textCol)).as("toks"))
+      .persist()
     // exact: corpus scan, broadcast batch fingerprints, semi-join
     val exactIds = corpus
       .select(fingerprint(col(textCol)).as("fp"))

@@ -297,6 +297,16 @@ class DedupSpec extends AnyFunSuite {
           a.name == "ctoks" || a.name == "text")
         assert(wide.isEmpty, s"corpus-side data shuffled:\n$e")
       }
+      // the batch side evaluates ONCE: its three broadcast consumers
+      // (exact fingerprints, band rows, verify token sets) must read
+      // the persisted narrow frame, not re-run the shingle pipeline
+      val cacheScans = flags.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec => s
+      }
+      assert(cacheScans.size >= 3,
+        s"batch-side consumers bypass the cache (${cacheScans.size} " +
+          "InMemoryTableScans; expected one per broadcast consumer)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }
