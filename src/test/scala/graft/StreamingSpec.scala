@@ -312,6 +312,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("band-index ingest lookup is exactly-once across a restart " +
+    "(kill between microbatches; no duplicate, no missing flags)") {
+    import spark.implicits._
+    val base = "one two three four five six seven eight nine ten"
+    val corpus = Seq((0L, base), (1L, "another corpus document entirely"))
+      .toDF("doc_id", "text")
+    val indexDir = TestDirs.tmp("eo_band_index").toFile.getAbsolutePath
+    graft.ops.Dedup.bandIndex(corpus,
+      graft.functions.TextFunctions.wordShingles(col("text"), 3), "doc_id")
+      .write.partitionBy("band").mode("overwrite").parquet(indexDir)
+    val index = spark.read.parquet(indexDir)
+      .withColumnRenamed("id", "corpus_id")
+
+    val srcDir = TestDirs.tmp("eo_band_src")
+    val ckpt = TestDirs.tmp("eo_band_ckpt").toString
+    val outDir = TestDirs.tmp("eo_band_out").toString
+    def writeDoc(id: Long, text: String): Unit =
+      Files.write(srcDir.resolve(s"doc_$id.json"),
+        s"""{"doc_id":$id,"text":"$text"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).json(srcDir.toString)
+      val bandsDf = graft.ops.Dedup.bandIndex(stream,
+        graft.functions.TextFunctions.wordShingles(col("text"), 3),
+        "doc_id")
+      val hits = bandsDf.join(broadcast(index), Seq("band", "band_sig"))
+        .select(col("id").as("doc_id"), col("corpus_id"), col("band"))
+      val q = hits.writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "stream did not finish within 60 s")
+    }
+    writeDoc(9L, base + " eleven") // near-dup of corpus doc 0
+    runOnce() // flags doc 9, then the query stops ("crash")
+    writeDoc(10L, "totally novel words right here now then")
+    writeDoc(11L, base + " twelve") // another near-dup
+    runOnce() // restart from the SAME checkpoint
+    val out = spark.read.parquet(outDir)
+    // (doc, corpus, band) is unique per processed input row: any
+    // duplicate means batch 1 reprocessed; any missing means the
+    // restart dropped a microbatch
+    val dupRows = out.groupBy("doc_id", "corpus_id", "band")
+      .count().filter(col("count") > 1).count()
+    assert(dupRows == 0, "restart duplicated already-flagged hits")
+    val byDoc = out.select("doc_id", "corpus_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(byDoc == Set((9L, 0L), (11L, 0L)),
+      s"expected exactly the two planted near-dups flagged once: $byDoc")
+  }
+
   test("watermarked tumbling-window aggregation (streaming)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
