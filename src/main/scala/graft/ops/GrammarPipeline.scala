@@ -92,10 +92,14 @@ object GrammarPipeline {
   def preprocessImage(c: Column): Column = c
 
   /** X10 stub: OCR a page image to text — deterministic digest-derived
-    * token stream with the production output column shape.
+    * token stream with the production output column shape. The digest
+    * runs over `upper(hex(bytes))` rather than the raw bytes: DuckDB's
+    * md5 only accepts VARCHAR, and byte-aligned slices of hex(content)
+    * are identical strings in both engines — which is what makes the
+    * whole q72 pipeline oracle-checkable.
     */
   def ocrStub(pageImage: Column): Column =
-    concat(lit("עמוד "), substring(md5(pageImage), 1, 8))
+    concat(lit("עמוד "), substring(md5(upper(hex(pageImage))), 1, 8))
 
   /** X11 stub: NER over Hebrew tokens — tags tokens by a deterministic
     * rule, production schema ARRAY<STRUCT<word, entity, score>>.

@@ -47,6 +47,10 @@ object MultimodalQueries {
     }),
 
     // PDF→OCR→NLP pipeline: page fan-out, NFC/bitmaps/NER/validation.
+    // Exactly oracled: the OCR stub digests upper(hex(page bytes)) —
+    // byte-aligned hex slices match across engines — and every
+    // downstream kernel (NFC, diacritic strip, bitmaps, Hebrew-token
+    // NER) is pure string arithmetic on the digest text.
     "q72_grammar_pipeline" -> ((s, d) => {
       val pdfs = Tables.documents(s, d)
         .filter(col("doc_id") < 100)
@@ -128,6 +132,34 @@ object MultimodalQueries {
         |  FROM vx v JOIN qx q USING (i) WHERE v.media_id <> 0
         |  GROUP BY v.media_id)
         |SELECT media_id, ROUND(dot / (na * nq.n), 5) AS cos_sim
-        |FROM dots, nq ORDER BY cos_sim DESC, media_id LIMIT 5""".stripMargin
+        |FROM dots, nq ORDER BY cos_sim DESC, media_id LIMIT 5""".stripMargin,
+
+    // Mirrors GrammarPipeline.run's q72 projection: 1024-byte pages =
+    // 2048 hex chars; the OCR text is 'עמוד ' + first 8 of
+    // md5(upper(hex(page))), which is NFC-stable, diacritic-free, and
+    // yields exactly one Hebrew token (so one NER entity) per page.
+    "q72_grammar_pipeline" ->
+      """WITH src AS (
+        |  SELECT doc_id AS book, upper(hex(encode(text))) AS hx
+        |  FROM documents WHERE doc_id < 100),
+        |pg AS (
+        |  SELECT book, hx,
+        |    unnest(range(1, GREATEST(CAST(CEIL(length(hx) / 2048.0)
+        |      AS INTEGER), 1) + 1)) AS page_number
+        |  FROM src),
+        |ocr AS (
+        |  SELECT book, CAST(page_number AS INTEGER) AS page_number,
+        |    'עמוד ' || substring(
+        |      md5(substring(hx, (page_number - 1) * 2048 + 1, 2048)),
+        |      1, 8) AS text
+        |  FROM pg)
+        |SELECT book, page_number, text,
+        |  regexp_replace(text, '[\x{05B0}-\x{05C7}]', '', 'g')
+        |    AS undiacritized,
+        |  CAST(length(text) AS INTEGER) AS nikud_len,
+        |  1 AS n_entities,
+        |  TRUE AS proper_normalization,
+        |  TRUE AS hebrew_character_presence
+        |FROM ocr ORDER BY book, page_number""".stripMargin
   )
 }
