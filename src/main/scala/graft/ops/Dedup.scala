@@ -390,13 +390,19 @@ object Dedup {
     * synthetic corpus), while shingles only collide on preserved local
     * word order. Pass `tokensOf` to override.
     *
-    * The narrow batch frame (id, fingerprint, token set) is persisted:
-    * it feeds three broadcasts (exact fingerprints, band rows, verify
-    * token sets) that would otherwise EACH re-run the batch scan + md5
-    * + shingle pipeline — subplans don't reuse across consumers, only
-    * exchanges do. The batch is ingest-sized by definition (it
-    * broadcasts), so the cache is bounded; it stays cached with the
-    * returned frame's lifetime, like [[connectedComponents]]' edges.
+    * The narrow batch frame (id, fingerprint, token set) materializes
+    * ONCE via a (lazy) local checkpoint: it feeds three broadcasts
+    * (exact fingerprints, band rows, verify token sets) that would
+    * otherwise EACH re-run the batch scan + md5 + shingle pipeline —
+    * subplans don't reuse across consumers, only exchanges do. A
+    * localCheckpoint rather than persist() on purpose: an internal
+    * persist has no unpersist hook, and CacheManager holds cached
+    * frames until session end — one leaked ingest-batch cache per call
+    * in a long-lived ingest loop — while checkpoint blocks are
+    * reference-tracked and reclaimed by the ContextCleaner once the
+    * returned flags frame is dropped. Trade-off: lineage truncation
+    * means an executor loss fails the ingest job instead of
+    * recomputing (rerun the batch; flags are deterministic).
     */
   def crossDedupFlags(batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
@@ -406,7 +412,7 @@ object Dedup {
       s"numHashes ($numHashes) must split evenly into $bands bands")
     val bToks = batch.select(col(idCol).as("id"),
       fingerprint(col(textCol)).as("fp"), tokensOf(col(textCol)).as("toks"))
-      .persist()
+      .localCheckpoint(false)
     // exact: corpus scan, broadcast batch fingerprints, semi-join
     val exactIds = corpus
       .select(fingerprint(col(textCol)).as("fp"))

@@ -8,11 +8,11 @@ import graft.ops.Multimodal.MediaRow
 
 /** Multimodal + grammar-pipeline surface over synthesized binary columns
   * (documents text → utf-8 bytes stand in for media payloads). The
-  * decode/embed kernels are deterministic md5-arithmetic stubs, which
-  * makes q70 (decode → resize → frame-sample) and q71 (embed → ANN)
-  * exactly oracle-checkable in DuckDB; q72's OCR/NER kernels stay
-  * rows-only. Schemas, partition shapes, and the downstream ANN join
-  * are production-real.
+  * decode/embed/OCR kernels are deterministic md5-arithmetic stubs,
+  * which makes all three queries exactly oracle-checkable in DuckDB:
+  * q70 (decode → resize → frame-sample), q71 (embed → ANN), and q72
+  * (page fan-out → OCR → NFC/bitmaps/NER). Schemas, partition shapes,
+  * and the downstream ANN join are production-real.
   */
 object MultimodalQueries {
 

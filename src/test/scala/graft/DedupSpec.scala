@@ -299,14 +299,18 @@ class DedupSpec extends AnyFunSuite {
       }
       // the batch side evaluates ONCE: its three broadcast consumers
       // (exact fingerprints, band rows, verify token sets) must read
-      // the persisted narrow frame, not re-run the shingle pipeline
-      val cacheScans = flags.queryExecution.executedPlan.collect {
-        case s: org.apache.spark.sql.execution.columnar
-          .InMemoryTableScanExec => s
+      // the checkpointed narrow frame (Scan ExistingRDD), not re-run
+      // the shingle pipeline per consumer
+      val rddScans = flags.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.RDDScanExec => s
       }
-      assert(cacheScans.size >= 3,
-        s"batch-side consumers bypass the cache (${cacheScans.size} " +
-          "InMemoryTableScans; expected one per broadcast consumer)")
+      assert(rddScans.size >= 3,
+        s"batch-side consumers bypass the checkpoint (${rddScans.size} " +
+          "RDD scans; expected one per broadcast consumer)")
+      val rdds = rddScans.map(_.rdd.id).distinct
+      assert(rdds.size == 1,
+        s"consumers read different RDDs ($rdds) — batch evaluated " +
+          "more than once")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }
