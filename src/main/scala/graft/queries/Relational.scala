@@ -108,16 +108,26 @@ object Relational {
         .orderBy("r_name")
     }),
 
-    // J2: fact-to-fact inner join + revenue rollup.
+    // J2: fact-to-fact inner join + revenue rollup. The lineitem side
+    // pre-aggregates per orderkey BEFORE the join — Catalyst has no
+    // partial-agg-through-join rule, so the rewrite is by hand: the
+    // join input shrinks ~4× (lines → orders), the partial agg combines
+    // map-side, and the pre-agg's hash exchange on l_orderkey IS the
+    // distribution the sort-merge join needs (no extra shuffle —
+    // plan-gated in PlanRegressionSpec). Decimal line sums re-sum
+    // exactly; counts sum as longs.
     "q09_order_revenue" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d)
-      o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .groupBy(col("o_orderpriority"))
+        .groupBy(col("l_orderkey"))
         .agg(
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).cast("double").as("revenue"),
-          count(lit(1)).as("n_lines"))
+            .cast("decimal(18,4)")).as("_rev"),
+          count(lit(1)).as("_n"))
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("_rev")).cast("double").as("revenue"),
+          sum(col("_n")).as("n_lines"))
         .orderBy("o_orderpriority")
     }),
 

@@ -128,6 +128,18 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("q09 pre-aggregated fact join: the lineitem rollup's exchange " +
+    "doubles as the join distribution (no extra shuffle)") {
+    val exchanges = shufflesOf(
+      SparkEntry.queries("q09_order_revenue")(spark, sf))
+    // lineitem agg on l_orderkey, orders on o_orderkey, the 5-group
+    // priority agg, the presentation orderBy — a 5th exchange means the
+    // pre-agg output was re-shuffled for the join
+    assert(exchanges.size <= 4,
+      s"pre-agg exchange not reused by the join (${exchanges.size} " +
+        "shuffles)")
+  }
+
   test("band index persisted partitionBy(band): lookups restricted to " +
     "a band subset prune to those directories (metadata + DPP)") {
     import graft.ops.Dedup
