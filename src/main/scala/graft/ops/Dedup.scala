@@ -437,19 +437,83 @@ object Dedup {
       .select(col("cid"), col("bid"), tokensOf(col(textCol)).as("ctoks"))
       .join(broadcast(bToks.select(col("id").as("bid"),
         col("toks").as("btoks"))), Seq("bid"))
+    assembleFlags(batch, idCol, exactIds, jaccardNearIds(verified,
+      minJaccard))
+  }
+
+  /** Exact-Jaccard verification over candidate pairs carrying both
+    * token sets as (bid, btoks, cid, ctoks) rows → batch ids that have
+    * at least one corpus neighbor at `minJaccard`.
+    */
+  private def jaccardNearIds(verified: DataFrame, minJaccard: Double)
+  : DataFrame = {
     val inter = size(array_intersect(col("btoks"), col("ctoks")))
-    val nearIds = verified
+    verified
       .select(col("bid"),
         (inter / (size(col("btoks")) + size(col("ctoks")) - inter)
           .cast("double")).as("j"))
       .filter(round(col("j"), 4) >= minJaccard)
       .select(col("bid").as("id")).distinct()
+  }
+
+  private def assembleFlags(batch: DataFrame, idCol: String,
+      exactIds: DataFrame, nearIds: DataFrame): DataFrame =
     batch.select(col(idCol).as("id"))
       .join(exactIds.withColumn("exact_dup", lit(true)), Seq("id"), "left")
       .join(nearIds.withColumn("near_dup", lit(true)), Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
         coalesce(col("near_dup"), lit(false)).as("near_dup"))
+
+  /** The three corpus-side artifacts [[crossDedupFlags]] derives
+    * inline, as frames to persist once per corpus build: fingerprints
+    * `(id, fp)`, the near-dup [[bandIndex]] `(id, band, band_sig)`
+    * (write it `partitionBy("band")` — pruning proven in
+    * PlanRegressionSpec), and token sets `(id, toks)`. ONE canonical
+    * derivation so [[crossDedupFlagsFromIndexes]] is flag-identical to
+    * the inline path by construction.
+    */
+  def corpusIndexes(corpus: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 4,
+      tokensOf: Column => Column = wordShingles(_, 3))
+  : (DataFrame, DataFrame, DataFrame) = (
+    corpus.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp")),
+    bandIndex(corpus, tokensOf(col(textCol)), idCol, numHashes, bands),
+    corpus.select(col(idCol).as("id"), tokensOf(col(textCol)).as("toks")))
+
+  /** The amortized ingest path — [[crossDedupFlags]] with the corpus
+    * artifacts read from their persisted [[corpusIndexes]] instead of
+    * re-derived per batch: ZERO passes over corpus text (the inline
+    * path pays three). Same flags (DedupSpec asserts parity); every
+    * index-side join still probes with a broadcast batch side, so the
+    * corpus-scale indexes never shuffle, and a `partitionBy("band")`
+    * band index prunes to the probed bands.
+    */
+  def crossDedupFlagsFromIndexes(batch: DataFrame, textCol: String,
+      idCol: String, fpIndex: DataFrame, bandIdx: DataFrame,
+      tokenIndex: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.3,
+      tokensOf: Column => Column = wordShingles(_, 3)): DataFrame = {
+    require(numHashes > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must split evenly into $bands bands")
+    val bToks = batch.select(col(idCol).as("id"),
+      fingerprint(col(textCol)).as("fp"), tokensOf(col(textCol)).as("toks"))
+      .localCheckpoint(false)
+    val exactIds = fpIndex.select(col("fp"))
+      .join(broadcast(bToks.select(col("id"), col("fp"))), Seq("fp"))
+      .select(col("id")).distinct()
+    val bBands = bandRowsOf(bToks, col("toks"), "id", numHashes, bands)
+    val cands = bandIdx
+      .join(broadcast(bBands.withColumnRenamed("id", "bid")),
+        Seq("band", "band_sig"))
+      .select(col("bid"), col("id").as("cid")).distinct()
+    val verified = tokenIndex
+      .select(col("id").as("cid"), col("toks").as("ctoks"))
+      .join(broadcast(cands), Seq("cid"))
+      .join(broadcast(bToks.select(col("id").as("bid"),
+        col("toks").as("btoks"))), Seq("bid"))
+    assembleFlags(batch, idCol, exactIds, jaccardNearIds(verified,
+      minJaccard))
   }
 
   /** Connected components over a near-dup pair graph by min-label

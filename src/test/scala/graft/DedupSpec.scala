@@ -276,6 +276,60 @@ class DedupSpec extends AnyFunSuite {
       (7L, 7L), (8L, 7L)))
   }
 
+  test("crossDedupFlagsFromIndexes: flag-identical to the inline path " +
+    "over persisted indexes, with zero corpus-text scans") {
+    import spark.implicits._
+    val base = "one two three four five six seven eight nine ten"
+    val corpus = Seq(
+      (0L, base),
+      (1L, "completely unrelated corpus words right here"),
+      (2L, "another corpus document entirely distinct"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                        // exact dup of 0
+      (11L, base + " eleven"),            // near dup of 0
+      (12L, "fresh novel text never seen before anywhere"))
+      .toDF("doc_id", "text")
+    val inline = graft.ops.Dedup.crossDedupFlags(batch, corpus,
+      "text", "doc_id").orderBy("doc_id").collect().toSeq
+    // persist the three artifacts like a corpus build would, reload
+    val dir = TestDirs.tmp("amortized_idx").toFile.getAbsolutePath
+    val (fpI, bandI, tokI) = graft.ops.Dedup.corpusIndexes(corpus,
+      "text", "doc_id")
+    fpI.write.mode("overwrite").parquet(s"$dir/fp")
+    bandI.write.partitionBy("band").mode("overwrite").parquet(s"$dir/band")
+    tokI.write.mode("overwrite").parquet(s"$dir/tok")
+    val fromIdx = graft.ops.Dedup.crossDedupFlagsFromIndexes(batch,
+      "text", "doc_id",
+      spark.read.parquet(s"$dir/fp"),
+      spark.read.parquet(s"$dir/band"),
+      spark.read.parquet(s"$dir/tok"))
+    assert(fromIdx.orderBy("doc_id").collect().toSeq === inline)
+    assert(inline.map(r => (r.getLong(0), r.getBoolean(1),
+      r.getBoolean(2))) === Seq((10L, true, true), (11L, false, true),
+      (12L, false, false)))
+    // the amortization claim: no scan in the indexed plan reads a
+    // corpus `text` column (zero passes over corpus text). AQE off so
+    // the executed plan's scan leaves are reachable.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = graft.ops.Dedup.crossDedupFlagsFromIndexes(batch,
+        "text", "doc_id",
+        spark.read.parquet(s"$dir/fp"),
+        spark.read.parquet(s"$dir/band"),
+        spark.read.parquet(s"$dir/tok"))
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+      assert(scans.nonEmpty)
+      scans.foreach { s =>
+        assert(!s.output.exists(_.name == "text"),
+          s"indexed path still reads corpus text:\n$s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("crossDedupFlags plan: the corpus side joins only as broadcast " +
     "probe (no corpus-keyed shuffle)") {
     import spark.implicits._
