@@ -253,6 +253,30 @@ object TextDedup {
         .orderBy("doc_id")
     }),
 
+    // q104's amortized production path: the corpus artifacts persist
+    // once (fingerprints, partitionBy(band) band index, token sets —
+    // q95's fixed-temp-dir convention) and the flags compute from the
+    // RELOADED indexes with zero passes over corpus text. Shares q104's
+    // oracle verbatim: same data, same split, same flags.
+    "q112_indexed_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isBatch = col("doc_id") % 10 === 9
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q112_" + sys.props.getOrElse("user.name", "u") + "_" +
+          d.replaceAll("[^a-zA-Z0-9.-]", "_")).getAbsolutePath
+      val (fpI, bandI, tokI) = Dedup.corpusIndexes(
+        docs.filter(!isBatch), "text", "doc_id")
+      fpI.write.mode("overwrite").parquet(s"$out/fp")
+      bandI.write.partitionBy("band").mode("overwrite")
+        .parquet(s"$out/band")
+      tokI.write.mode("overwrite").parquet(s"$out/tok")
+      Dedup.crossDedupFlagsFromIndexes(docs.filter(isBatch),
+        "text", "doc_id",
+        s.read.parquet(s"$out/fp"), s.read.parquet(s"$out/band"),
+        s.read.parquet(s"$out/tok"))
+        .orderBy("doc_id")
+    }),
+
     // Materialized packed sequences: the q97 bins turned into actual
     // training payloads — docs concatenated in doc_id order with an
     // <eos> separator, one row per (lang, bin). The output carries the
@@ -682,49 +706,13 @@ object TextDedup {
            |  md5(payload) AS payload_md5
            |FROM packed ORDER BY lang, bin""".stripMargin,
 
+      // q112 shares this oracle verbatim: the flags are a pure function
+      // of the data and the batch split — the indexed Spark path must
+      // produce exactly what the inline path (and DuckDB) produce.
       "q104_incremental_dedup" ->
-        s"""WITH sh AS (
-           |  SELECT doc_id AS id, md5($norm) AS fp,
-           |    list_distinct(list_transform(range(1, len(t) - 1),
-           |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS toks
-           |  FROM (SELECT doc_id, text,
-           |    list_filter(string_split(text, ' '), x -> x <> '') AS t
-           |    FROM documents)),
-           |bt AS (SELECT * FROM sh WHERE id % 10 = 9),
-           |ct AS (SELECT * FROM sh WHERE id % 10 <> 9),
-           |exact AS (
-           |  SELECT DISTINCT bt.id FROM bt
-           |  JOIN (SELECT DISTINCT fp FROM ct) c USING (fp)),
-           |btk AS (SELECT id, unnest(toks) AS tok FROM bt),
-           |ctk AS (SELECT id, unnest(toks) AS tok FROM ct),
-           |bsig AS (SELECT id,
-           |    $sig16
-           |  FROM btk GROUP BY id),
-           |csig AS (SELECT id,
-           |    $sig16
-           |  FROM ctk GROUP BY id),
-           |bbands AS (
-           |  ${bandsFrom("bsig")}),
-           |cbands AS (
-           |  ${bandsFrom("csig")}),
-           |cand AS (
-           |  SELECT DISTINCT b.id AS bid, c.id AS cid
-           |  FROM bbands b JOIN cbands c
-           |    ON b.band = c.band AND b.band_sig = c.band_sig),
-           |near AS (
-           |  SELECT DISTINCT bid AS id FROM (
-           |    SELECT cand.bid,
-           |      ROUND(len(list_intersect(b.toks, c.toks)) /
-           |        CAST(len(b.toks) + len(c.toks)
-           |          - len(list_intersect(b.toks, c.toks)) AS DOUBLE), 4)
-           |        AS j
-           |    FROM cand JOIN bt b ON b.id = cand.bid
-           |    JOIN ct c ON c.id = cand.cid)
-           |  WHERE j >= 0.3)
-           |SELECT bt.id AS doc_id,
-           |  bt.id IN (SELECT id FROM exact) AS exact_dup,
-           |  bt.id IN (SELECT id FROM near) AS near_dup
-           |FROM bt ORDER BY doc_id""".stripMargin,
+        incrementalDedupOracle(norm, sig16, bandsFrom),
+      "q112_indexed_dedup" ->
+        incrementalDedupOracle(norm, sig16, bandsFrom),
 
       "q50_jaccard_adjacent" ->
         s"""WITH tok AS (
@@ -742,4 +730,54 @@ object TextDedup {
            |ORDER BY id1""".stripMargin
     )
   }
+
+  /** The batch-vs-corpus dedup-flag derivation in DuckDB, shared by
+    * q104 (inline corpus scans) and q112 (persisted corpus indexes) —
+    * the flags are a pure function of the data and the `id % 10 = 9`
+    * batch split, so both engine paths answer to the same SQL.
+    */
+  private def incrementalDedupOracle(norm: String, sig16: String,
+      bandsFrom: String => String): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id AS id, md5($norm) AS fp,
+       |    list_distinct(list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS toks
+       |  FROM (SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |    FROM documents)),
+       |bt AS (SELECT * FROM sh WHERE id % 10 = 9),
+       |ct AS (SELECT * FROM sh WHERE id % 10 <> 9),
+       |exact AS (
+       |  SELECT DISTINCT bt.id FROM bt
+       |  JOIN (SELECT DISTINCT fp FROM ct) c USING (fp)),
+       |btk AS (SELECT id, unnest(toks) AS tok FROM bt),
+       |ctk AS (SELECT id, unnest(toks) AS tok FROM ct),
+       |bsig AS (SELECT id,
+       |    $sig16
+       |  FROM btk GROUP BY id),
+       |csig AS (SELECT id,
+       |    $sig16
+       |  FROM ctk GROUP BY id),
+       |bbands AS (
+       |  ${bandsFrom("bsig")}),
+       |cbands AS (
+       |  ${bandsFrom("csig")}),
+       |cand AS (
+       |  SELECT DISTINCT b.id AS bid, c.id AS cid
+       |  FROM bbands b JOIN cbands c
+       |    ON b.band = c.band AND b.band_sig = c.band_sig),
+       |near AS (
+       |  SELECT DISTINCT bid AS id FROM (
+       |    SELECT cand.bid,
+       |      ROUND(len(list_intersect(b.toks, c.toks)) /
+       |        CAST(len(b.toks) + len(c.toks)
+       |          - len(list_intersect(b.toks, c.toks)) AS DOUBLE), 4)
+       |        AS j
+       |    FROM cand JOIN bt b ON b.id = cand.bid
+       |    JOIN ct c ON c.id = cand.cid)
+       |  WHERE j >= 0.3)
+       |SELECT bt.id AS doc_id,
+       |  bt.id IN (SELECT id FROM exact) AS exact_dup,
+       |  bt.id IN (SELECT id FROM near) AS near_dup
+       |FROM bt ORDER BY doc_id""".stripMargin
 }
