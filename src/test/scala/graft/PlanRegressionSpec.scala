@@ -232,6 +232,49 @@ class PlanRegressionSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the no-code " +
+    "complement to SkewJoin's explicit salting)") {
+    import spark.implicits._
+    val s = spark
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(s.conf.get(k)).toOption).toMap
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "16KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pad = "x" * 200
+      // key 1 carries ~3000 wide rows; 49 other keys carry a handful
+      val skewed = ((1 to 3000).map(i => (1, pad + i)) ++
+        (1 to 245).map(i => (i % 49 + 2, pad + i))).toDF("key", "v")
+        .repartition(8)
+      val dim = (1 to 60).map(i => (i, s"n$i")).toDF("key", "name")
+        .repartition(8)
+      val joined = skewed.join(dim, Seq("key"))
+      // execute THIS dataframe (count() would run a different, partial
+      // aggregate plan and leave joined's adaptive plan un-finalized)
+      assert(joined.collect().length == 3245)
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("isFinalPlan=true"))
+      assert(planStr.contains("skew=true"),
+        "AQE did not split the skewed partition:\n" + planStr.take(2000))
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("saltedJoinHot: plain join on uniform keys, salted on hot keys") {
     import spark.implicits._
     val uniformBig = (1 to 2000).map(i => (i % 50, i)).toDF("key", "v")
