@@ -465,21 +465,54 @@ object Dedup {
         coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
         coalesce(col("near_dup"), lit(false)).as("near_dup"))
 
+  /** The narrow per-document corpus profile `(id, fp, toks)` every
+    * index derives from — ONE text scan + shingle pipeline. For big
+    * corpora, persist THIS once and build the indexes from the reload
+    * ([[corpusIndexesFromProfile]]); deriving the three indexes
+    * straight from text ([[corpusIndexes]]) re-runs the scan per
+    * artifact.
+    */
+  def corpusProfile(corpus: DataFrame, textCol: String, idCol: String,
+      tokensOf: Column => Column = wordShingles(_, 3)): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      fingerprint(col(textCol)).as("fp"), tokensOf(col(textCol)).as("toks"))
+
   /** The three corpus-side artifacts [[crossDedupFlags]] derives
     * inline, as frames to persist once per corpus build: fingerprints
-    * `(id, fp)`, the near-dup [[bandIndex]] `(id, band, band_sig)`
-    * (write it `partitionBy("band")` — pruning proven in
+    * `(id, fp)`, the near-dup band index `(id, band, band_sig,
+    * _params)` (write it `partitionBy("band")` — pruning proven in
     * PlanRegressionSpec), and token sets `(id, toks)`. ONE canonical
     * derivation so [[crossDedupFlagsFromIndexes]] is flag-identical to
-    * the inline path by construction.
+    * the inline path by construction. The band frame carries a constant
+    * `_params` column stamping (numHashes, bands): a lookup run with
+    * different banding than the index was built with would otherwise
+    * return silently-empty candidates — the stamp turns that into a
+    * loud runtime error.
+    */
+  def corpusIndexesFromProfile(profile: DataFrame, numHashes: Int = 16,
+      bands: Int = 4): (DataFrame, DataFrame, DataFrame) = {
+    require(numHashes > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must split evenly into $bands bands")
+    (profile.select(col("id"), col("fp")),
+      bandRowsOf(profile, col("toks"), "id", numHashes, bands)
+        .withColumn("_params", lit(bandParams(numHashes, bands))),
+      profile.select(col("id"), col("toks")))
+  }
+
+  /** [[corpusIndexesFromProfile]] over raw corpus text. Each returned
+    * frame re-derives the profile when materialized (three text scans
+    * at build time) — stage [[corpusProfile]] to storage first when
+    * build I/O matters.
     */
   def corpusIndexes(corpus: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4,
       tokensOf: Column => Column = wordShingles(_, 3))
-  : (DataFrame, DataFrame, DataFrame) = (
-    corpus.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp")),
-    bandIndex(corpus, tokensOf(col(textCol)), idCol, numHashes, bands),
-    corpus.select(col(idCol).as("id"), tokensOf(col(textCol)).as("toks")))
+  : (DataFrame, DataFrame, DataFrame) =
+    corpusIndexesFromProfile(corpusProfile(corpus, textCol, idCol,
+      tokensOf), numHashes, bands)
+
+  private def bandParams(numHashes: Int, bands: Int): String =
+    s"mh$numHashes/b$bands"
 
   /** The amortized ingest path — [[crossDedupFlags]] with the corpus
     * artifacts read from their persisted [[corpusIndexes]] instead of
@@ -502,8 +535,20 @@ object Dedup {
     val exactIds = fpIndex.select(col("fp"))
       .join(broadcast(bToks.select(col("id"), col("fp"))), Seq("fp"))
       .select(col("id")).distinct()
+    // a lookup banded differently than the stored index silently finds
+    // nothing (band_sig strings never collide) — if the index carries
+    // its build stamp, force-verify it per row instead
+    val checkedIdx =
+      if (!bandIdx.columns.contains("_params")) bandIdx
+      else bandIdx
+        .filter(assert_true(
+          col("_params") === bandParams(numHashes, bands),
+          concat(lit("band index built with different params than this " +
+            s"lookup (expected ${bandParams(numHashes, bands)}, index " +
+            "has "), col("_params"), lit(")"))).isNull)
+        .drop("_params")
     val bBands = bandRowsOf(bToks, col("toks"), "id", numHashes, bands)
-    val cands = bandIdx
+    val cands = checkedIdx
       .join(broadcast(bBands.withColumnRenamed("id", "bid")),
         Seq("band", "band_sig"))
       .select(col("bid"), col("id").as("cid")).distinct()

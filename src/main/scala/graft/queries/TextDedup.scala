@@ -28,6 +28,20 @@ object TextDedup {
     * per-doc predicted language, token count, and the ~2000-token bin
     * from the per-stratum exclusive-prefix window.
     */
+  /** Temp tree for queries that materialize files (q95 shards, q112
+    * indexes): keyed by user + the Spark applicationId + the sanitized
+    * data dir. The applicationId isolates concurrent processes — two
+    * gate JVMs over the same data dir would otherwise overwrite each
+    * other's part files mid-read — while Overwrite mode keeps re-runs
+    * WITHIN a session from accumulating trees; the sanitized full path
+    * (not a hashCode) keeps distinct SF dirs apart.
+    */
+  private def queryTmpDir(tag: String, s: SparkSession, d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_" + sys.props.getOrElse("user.name", "u") + "_" +
+        s.sparkContext.applicationId + "_" +
+        d.replaceAll("[^a-zA-Z0-9.-]", "_")).getAbsolutePath
+
   private def langBinnedDocs(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -191,14 +205,7 @@ object TextDedup {
     // the gate. Layout mechanics (one file per shard, in-file sort) are
     // ShardWriterSpec's job.
     "q95_shard_layout" -> ((s, d) => {
-      // fixed per-(user, SF-path) directory + Overwrite mode: re-runs
-      // replace rather than accumulate temp trees; the sanitized full
-      // path (not a hashCode) keys the tree so distinct SF dirs can't
-      // collide, and the user name keeps multi-user hosts apart
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q95_" + sys.props.getOrElse("user.name", "u") + "_" +
-          d.replaceAll("[^a-zA-Z0-9.-]", "_"))
-        .getAbsolutePath
+      val out = queryTmpDir("q95", s, d)
       graft.io.ShardWriter.writeShardsPinned(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         out, "doc_id", Seq(40L, 80L, 160L))
@@ -254,16 +261,14 @@ object TextDedup {
     }),
 
     // q104's amortized production path: the corpus artifacts persist
-    // once (fingerprints, partitionBy(band) band index, token sets —
-    // q95's fixed-temp-dir convention) and the flags compute from the
+    // once (fingerprints, partitionBy(band) band index, token sets) to
+    // the shared temp-tree convention, and the flags compute from the
     // RELOADED indexes with zero passes over corpus text. Shares q104's
     // oracle verbatim: same data, same split, same flags.
     "q112_indexed_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val isBatch = col("doc_id") % 10 === 9
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q112_" + sys.props.getOrElse("user.name", "u") + "_" +
-          d.replaceAll("[^a-zA-Z0-9.-]", "_")).getAbsolutePath
+      val out = queryTmpDir("q112", s, d)
       val (fpI, bandI, tokI) = Dedup.corpusIndexes(
         docs.filter(!isBatch), "text", "doc_id")
       fpI.write.mode("overwrite").parquet(s"$out/fp")

@@ -308,9 +308,10 @@ class DedupSpec extends AnyFunSuite {
     assert(inline.map(r => (r.getLong(0), r.getBoolean(1),
       r.getBoolean(2))) === Seq((10L, true, true), (11L, false, true),
       (12L, false, false)))
-    // the amortization claim: no scan in the indexed plan reads a
-    // corpus `text` column (zero passes over corpus text). AQE off so
-    // the executed plan's scan leaves are reachable.
+    // the amortization claim at plan level: every file the indexed
+    // path reads lives under the persisted index tree — the corpus
+    // artifacts come from storage, nothing is re-derived from a corpus
+    // table. AQE off so the executed plan's scan leaves are reachable.
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -324,10 +325,31 @@ class DedupSpec extends AnyFunSuite {
         }
       assert(scans.nonEmpty)
       scans.foreach { s =>
-        assert(!s.output.exists(_.name == "text"),
-          s"indexed path still reads corpus text:\n$s")
+        assert(s.relation.location.rootPaths.forall(
+          _.toString.contains("amortized_idx")),
+          s"indexed path reads a non-index file source:\n$s")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("crossDedupFlagsFromIndexes rejects an index built with " +
+    "different banding params (loud error, not silent empty flags)") {
+    import spark.implicits._
+    val corpus = Seq((0L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    // index built at bands=2, looked up at the default bands=4
+    val (fpI, bandI, tokI) = graft.ops.Dedup.corpusIndexes(corpus,
+      "text", "doc_id", numHashes = 16, bands = 2)
+    val flags = graft.ops.Dedup.crossDedupFlagsFromIndexes(batch,
+      "text", "doc_id", fpI, bandI, tokI)
+    val e = intercept[Exception](flags.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("different params") ||
+      m.contains("mh16/b4")), s"unexpected error: ${msgs(e)}")
   }
 
   test("crossDedupFlags plan: the corpus side joins only as broadcast " +

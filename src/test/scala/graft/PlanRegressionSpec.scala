@@ -130,14 +130,31 @@ class PlanRegressionSpec extends AnyFunSuite {
 
   test("q09 pre-aggregated fact join: the lineitem rollup's exchange " +
     "doubles as the join distribution (no extra shuffle)") {
-    val exchanges = shufflesOf(
-      SparkEntry.queries("q09_order_revenue")(spark, sf))
-    // lineitem agg on l_orderkey, orders on o_orderkey, the 5-group
-    // priority agg, the presentation orderBy — a 5th exchange means the
-    // pre-agg output was re-shuffled for the join
-    assert(exchanges.size <= 4,
-      s"pre-agg exchange not reused by the join (${exchanges.size} " +
-        "shuffles)")
+    // broadcast off: at sf0.001 the pre-agg side broadcasts and the
+    // property under test (sort-merge distribution reuse — the 100 TB
+    // plan, where neither fact side broadcasts) would be vacuously
+    // green no matter how many exchanges a regression added
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val exchanges = shufflesOf(
+        SparkEntry.queries("q09_order_revenue")(spark, sf))
+      val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val planStr =
+        try SparkEntry.queries("q09_order_revenue")(spark, sf)
+          .queryExecution.executedPlan.toString
+        finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      assert(planStr.contains("SortMergeJoin"),
+        "expected the forced sort-merge shape:\n" + planStr.take(800))
+      // lineitem agg on l_orderkey, orders side, the 5-group priority
+      // agg, the presentation orderBy — a 5th exchange means the
+      // pre-agg output was re-shuffled for the join
+      assert(exchanges.size <= 4,
+        s"pre-agg exchange not reused by the join (${exchanges.size} " +
+          "shuffles)")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
   }
 
   test("band index persisted partitionBy(band): lookups restricted to " +
