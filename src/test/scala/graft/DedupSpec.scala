@@ -292,10 +292,14 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val inline = graft.ops.Dedup.crossDedupFlags(batch, corpus,
       "text", "doc_id").orderBy("doc_id").collect().toSeq
-    // persist the three artifacts like a corpus build would, reload
+    // build via the documented one-text-pass staging: persist the
+    // narrow profile first, derive all three indexes from the RELOAD,
+    // persist those like a corpus build would, then reload again
     val dir = TestDirs.tmp("amortized_idx").toFile.getAbsolutePath
-    val (fpI, bandI, tokI) = graft.ops.Dedup.corpusIndexes(corpus,
-      "text", "doc_id")
+    graft.ops.Dedup.corpusProfile(corpus, "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/profile")
+    val (fpI, bandI, tokI) = graft.ops.Dedup.corpusIndexesFromProfile(
+      spark.read.parquet(s"$dir/profile"))
     fpI.write.mode("overwrite").parquet(s"$dir/fp")
     bandI.write.partitionBy("band").mode("overwrite").parquet(s"$dir/band")
     tokI.write.mode("overwrite").parquet(s"$dir/tok")
