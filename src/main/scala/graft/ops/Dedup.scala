@@ -126,18 +126,25 @@ object Dedup {
 
   private def bandRowsOf(df: DataFrame, tokensExpr: Column, idCol: String,
       numHashes: Int, bands: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val r = numHashes / bands
     val hashed = df.select(col(idCol).as("id"),
       transform(tokensExpr, t =>
         conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("_h"))
       .filter(size(col("_h")) > 0) // empty docs: no sigs, no bands
-    val sigCols = xorConstants(numHashes).map(c =>
-      array_min(transform(col("_h"), h => h.bitwiseXOR(lit(c)))))
+    // all k xor-min signatures in ONE native pass over the hash array
+    // ([[MinhashKernel]]; the HOF form paid k interpreted
+    // array_min∘transform sweeps per row), bound as a materialized
+    // column so the per-band slices below are attribute reads
+    val withSigs = hashed.select(col("id"),
+      column(graft.functions.MinhashSigs(expression(col("_h")),
+        xorConstants(numHashes))).as("_sigs"))
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
-        concat_ws("_", sigCols.slice(b * r, (b + 1) * r)
-          .map(_.cast("string")): _*).as("band_sig")))
-    hashed
+        concat_ws("_", (b * r until (b + 1) * r).map(j =>
+          element_at(col("_sigs"), j + 1).cast("string")): _*)
+          .as("band_sig")))
+    withSigs
       .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"),
         col("bs.band_sig").as("band_sig"))

@@ -192,6 +192,39 @@ class DedupSpec extends AnyFunSuite {
     assert(ok.columns.toSeq == Seq("id1", "id2", "hamming"))
   }
 
+  test("native minhash-sigs kernel matches the array_min∘transform HOF " +
+    "construction (random hashes, null elements, empty arrays)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val rnd = new scala.util.Random(41)
+    val rows = (1L to 40L).map { id =>
+      val n = rnd.nextInt(12) // 0..11 elements, some empty arrays
+      (id, Seq.tabulate(n)(i =>
+        if (rnd.nextInt(12) == 0) null
+        else java.lang.Long.valueOf(rnd.nextLong() >>> 4)))
+    }
+    val df = rows.toDF("id", "h")
+    val consts = graft.ops.Dedup.xorConstants(16)
+    val hofSigs = consts.map(c =>
+      array_min(transform(col("h"), x => x.bitwiseXOR(lit(c)))))
+    val expected = df.select(col("id"), array(hofSigs: _*).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Any](1))).toMap
+    val got = df.select(col("id"),
+      column(graft.functions.MinhashSigs(expression(col("h")), consts))
+        .as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Any](1))).toMap
+    // HOF array() of all-null sigs is an array of nulls; the kernel
+    // reports whole-result null — both mean "no usable hash": normalize
+    def norm(v: Seq[Any]): Seq[Any] =
+      if (v == null || v.forall(_ == null)) null else v
+    assert(expected.keySet === got.keySet)
+    expected.foreach { case (id, e) =>
+      assert(norm(e) === norm(got(id)), s"id $id")
+    }
+  }
+
   test("native simhash kernel matches the md5-hex Column construction " +
     "on multibyte text (Hebrew, niqqud, emoji)") {
     import spark.implicits._
