@@ -5,36 +5,47 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Native XOR-min MinHash signature kernel: all k signatures of one
-  * document in ONE pass over its token-hash array.
+/** Native MinHash signature kernel: token array → all k xor-min
+  * signatures in ONE pass, md5 included.
   *
-  * Semantics are EXACTLY the portable HOF construction the DuckDB
-  * oracles mirror — `sig_k = min(h XOR c_k)` over the per-token hashes
-  * `h` (first 60 bits of md5, non-negative) with the
-  * [[graft.ops.Dedup.xorConstants]] family (60-bit masked, so the XOR
-  * stays non-negative and signed-long `min` equals unsigned min).
-  * NULL hash elements are skipped like `array_min` skips them; an
-  * array with no usable element yields NULL, like `array_min` on an
-  * all-NULL array.
+  * Semantics are EXACTLY the portable Column construction the DuckDB
+  * oracles mirror: per token, `h` = first 60 bits of its md5 (the
+  * value `conv(substring(md5(t), 1, 15), 16, 10)` parses — the first
+  * 15 hex digits ARE the top 60 bits of the digest's first 8 bytes);
+  * `sig_k = min(h XOR c_k)` with the [[graft.ops.Dedup.xorConstants]]
+  * family (60-bit masked, so the XOR stays non-negative and signed
+  * `min` equals unsigned min). NULL tokens are skipped like
+  * `array_min` skips NULL elements; an array with no usable token
+  * yields NULL, like `array_min` of an all-NULL array.
   *
-  * Why an expression: the HOF form pays k interpreted
-  * `array_min(transform(...))` passes per row (Spark higher-order
-  * functions are CodegenFallback) — k=16 means 32 boxed lambda sweeps
-  * of every token array in the banding hot path (q84/q87/q104/q112).
+  * Why an expression: the Column form paid an interpreted
+  * `transform` (md5 → hex string → decimal-string conv → long cast
+  * per token) plus k CodegenFallback `array_min(transform(...))`
+  * sweeps per row in the banding hot path (q84/q87/q104/q112). The
+  * kernel hashes each token's UTF-8 bytes straight to a long and
+  * folds all k minima as it goes — no hex strings, no boxed lambdas.
   * Same reasoning as [[SimhashKernel]] and [[WinnowKernel]].
   */
 object MinhashKernel {
-  def sigs(hs: ArrayData, cs: Array[Long]): ArrayData = {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  def sigs(tokens: ArrayData, cs: Array[Long]): ArrayData = {
     val k = cs.length
     val out = new Array[Long](k)
     java.util.Arrays.fill(out, Long.MaxValue)
-    val n = hs.numElements()
+    val digest = md.get()
+    val n = tokens.numElements()
     var sawValue = false
     var i = 0
     while (i < n) {
-      if (!hs.isNullAt(i)) {
+      if (!tokens.isNullAt(i)) {
         sawValue = true
-        val h = hs.getLong(i)
+        digest.reset()
+        val d = digest.digest(tokens.getUTF8String(i).getBytes)
+        // top 60 bits of the big-endian first 8 bytes == the first 15
+        // hex digits; >>> keeps it non-negative
+        val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
         var j = 0
         while (j < k) {
           val v = h ^ cs(j)
@@ -48,7 +59,7 @@ object MinhashKernel {
   }
 }
 
-/** `minhash_sigs(tokenHashes)` — child must be array<bigint>. */
+/** `minhash_sigs(tokens)` — child must be array<string>. */
 case class MinhashSigs(child: Expression, constants: Seq[Long])
     extends UnaryExpression with Serializable {
   require(constants.nonEmpty, "at least one hash function required")
@@ -62,8 +73,8 @@ case class MinhashSigs(child: Expression, constants: Seq[Long])
       ev: ExprCode): ExprCode = {
     val cs = ctx.addReferenceObj("minhashConsts", constArr, "long[]")
     // nullSafeCodeGen (not defineCodeGen): the kernel returns null for
-    // an all-NULL/empty hash array even when the input array itself is
-    // non-null, and that must surface as isNull
+    // an all-NULL/empty token array even when the input array itself
+    // is non-null, and that must surface as isNull
     nullSafeCodeGen(ctx, ev, a => s"""
       ${ev.value} = graft.functions.MinhashKernel.sigs($a, $cs);
       if (${ev.value} == null) { ${ev.isNull} = true; }

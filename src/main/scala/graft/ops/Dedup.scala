@@ -128,16 +128,15 @@ object Dedup {
       numHashes: Int, bands: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val r = numHashes / bands
-    val hashed = df.select(col(idCol).as("id"),
-      transform(tokensExpr, t =>
-        conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("_h"))
-      .filter(size(col("_h")) > 0) // empty docs: no sigs, no bands
-    // all k xor-min signatures in ONE native pass over the hash array
-    // ([[MinhashKernel]]; the HOF form paid k interpreted
-    // array_min∘transform sweeps per row), bound as a materialized
-    // column so the per-band slices below are attribute reads
-    val withSigs = hashed.select(col("id"),
-      column(graft.functions.MinhashSigs(expression(col("_h")),
+    val toks = df.select(col(idCol).as("id"), tokensExpr.as("_t"))
+      .filter(size(col("_t")) > 0) // empty docs: no sigs, no bands
+    // md5 + all k xor-min signatures in ONE native pass over the token
+    // array ([[MinhashKernel]]; the Column form paid an interpreted
+    // hashing transform plus k CodegenFallback array_min sweeps per
+    // row), bound as a materialized column so the per-band slices
+    // below are attribute reads
+    val withSigs = toks.select(col("id"),
+      column(graft.functions.MinhashSigs(expression(col("_t")),
         xorConstants(numHashes))).as("_sigs"))
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),

@@ -192,31 +192,37 @@ class DedupSpec extends AnyFunSuite {
     assert(ok.columns.toSeq == Seq("id1", "id2", "hamming"))
   }
 
-  test("native minhash-sigs kernel matches the array_min∘transform HOF " +
-    "construction (random hashes, null elements, empty arrays)") {
+  test("native minhash-sigs kernel matches the md5-conv Column " +
+    "construction (random multibyte tokens, null elements, empty " +
+    "arrays)") {
     import spark.implicits._
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val rnd = new scala.util.Random(41)
+    val alphabet = "abcXYZ שלוםαβ😀,.!"
     val rows = (1L to 40L).map { id =>
-      val n = rnd.nextInt(12) // 0..11 elements, some empty arrays
-      (id, Seq.tabulate(n)(i =>
+      val n = rnd.nextInt(8) // 0..7 tokens, some empty arrays
+      (id, Seq.tabulate(n)(_ =>
         if (rnd.nextInt(12) == 0) null
-        else java.lang.Long.valueOf(rnd.nextLong() >>> 4)))
+        else Seq.fill(1 + rnd.nextInt(10))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString))
     }
-    val df = rows.toDF("id", "h")
+    val df = rows.toDF("id", "t")
     val consts = graft.ops.Dedup.xorConstants(16)
-    val hofSigs = consts.map(c =>
-      array_min(transform(col("h"), x => x.bitwiseXOR(lit(c)))))
-    val expected = df.select(col("id"), array(hofSigs: _*).as("s"))
+    // the portable Column form the DuckDB oracles mirror
+    val h = transform(col("t"),
+      tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long"))
+    val refSigs = consts.map(c =>
+      array_min(transform(h, x => x.bitwiseXOR(lit(c)))))
+    val expected = df.select(col("id"), array(refSigs: _*).as("s"))
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) null else r.getSeq[Any](1))).toMap
     val got = df.select(col("id"),
-      column(graft.functions.MinhashSigs(expression(col("h")), consts))
+      column(graft.functions.MinhashSigs(expression(col("t")), consts))
         .as("s"))
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) null else r.getSeq[Any](1))).toMap
-    // HOF array() of all-null sigs is an array of nulls; the kernel
-    // reports whole-result null — both mean "no usable hash": normalize
+    // the Column array() of all-null sigs is an array of nulls; the
+    // kernel reports whole-result null — both mean "no usable token"
     def norm(v: Seq[Any]): Seq[Any] =
       if (v == null || v.forall(_ == null)) null else v
     assert(expected.keySet === got.keySet)

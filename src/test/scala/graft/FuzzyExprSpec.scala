@@ -40,6 +40,21 @@ class FuzzyExprSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [indel_ratio"))
     assert(!plan.contains("ScalaUDF"))
     assert(df.count() > 0) // force execution through the generated code
+
+    // the minhash-sigs kernel stays codegen'd too (its nullSafeCodeGen
+    // body is hand-written — a regression to CodegenFallback would
+    // silently re-interpret the banding hot path); split() is a
+    // codegen'd tokenizer, so the whole projection must be a
+    // WholeStageCodegen stage
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val mh = Tables.part(spark, "/root/testdata/sf0.001")
+      .select(column(graft.functions.MinhashSigs(
+        expression(split(col("p_name"), " ")),
+        graft.ops.Dedup.xorConstants(16))).as("s"))
+    val mhPlan = mh.queryExecution.executedPlan.toString
+    assert(mhPlan.contains("*(1) Project"),
+      "minhash_sigs fell out of whole-stage codegen:\n" + mhPlan.take(600))
+    assert(mh.count() > 0)
   }
 
   test("SQL registration: indel_ratio callable from spark.sql") {
