@@ -59,6 +59,98 @@ object MinhashKernel {
   }
 }
 
+/** Salted string-min MinHash kernel: all salts' min-md5-hex signatures
+  * of one token array in ONE pass. Parity with the portable Column
+  * form `array_min(transform(toks, t => md5(salt || t)))`: the digests
+  * compare as unsigned bytes, which orders exactly like the lowercase
+  * hex strings `array_min` compares, and the winner renders to the
+  * same lowercase hex. NULL tokens are skipped; no usable token → all
+  * signatures NULL (the `array_min` result on an empty/all-NULL
+  * array).
+  */
+object SaltedMinhashKernel {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xFF
+      val y = b(i) & 0xFF
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  def sigs(tokens: ArrayData, saltBytes: Array[Array[Byte]]): ArrayData = {
+    val k = saltBytes.length
+    val mins = new Array[Array[Byte]](k)
+    val digest = md.get()
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val tok = tokens.getUTF8String(i).getBytes
+        var j = 0
+        while (j < k) {
+          digest.reset()
+          digest.update(saltBytes(j))
+          digest.update(tok)
+          val d = digest.digest()
+          if (mins(j) == null || lessUnsigned(d, mins(j))) mins(j) = d
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (mins(0) == null) return null
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+    var j = 0
+    while (j < k) {
+      val d = mins(j)
+      val cs = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        cs(2 * b) = hexDigits((d(b) >> 4) & 0xF).toByte
+        cs(2 * b + 1) = hexDigits(d(b) & 0xF).toByte
+        b += 1
+      }
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromBytes(cs)
+      j += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+}
+
+/** `salted_minhash(tokens)` — child must be array<string>; returns
+  * array<string> of one min-md5-hex signature per salt.
+  */
+case class SaltedMinhashSigs(child: Expression, salts: Seq[String])
+    extends UnaryExpression with Serializable {
+  require(salts.nonEmpty, "at least one salt required")
+  private val saltBytes: Array[Array[Byte]] =
+    salts.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    SaltedMinhashKernel.sigs(v.asInstanceOf[ArrayData], saltBytes)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ss = ctx.addReferenceObj("minhashSalts", saltBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.SaltedMinhashKernel.sigs($a, $ss);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "salted_minhash"
+}
+
 /** `minhash_sigs(tokens)` — child must be array<string>. */
 case class MinhashSigs(child: Expression, constants: Seq[Long])
     extends UnaryExpression with Serializable {

@@ -37,18 +37,26 @@ object Dedup {
     * yields an independent permutation approximation; the signature is the
     * k min md5 digests. Portable: min over lexicographic md5 hex strings.
     *
-    * Computed INLINE per row with array HOFs (`array_min ∘ transform`) —
-    * zero shuffle: at 100 TB the signatures materialize during the scan,
-    * and only the (tiny) signature columns ever move for banding.
+    * Zero shuffle: at 100 TB the signatures materialize during the scan,
+    * and only the (tiny) signature columns ever move for banding. This
+    * Column form (`array_min ∘ transform`) is the executable
+    * specification of [[graft.functions.SaltedMinhashKernel]], which
+    * [[minhashAgg]] runs in production (one native pass for all salts;
+    * DedupSpec asserts parity).
     */
   def minhashSig(textCol: Column, salt: String): Column =
     array_min(transform(tokenSet(textCol),
       t => md5(concat(lit(salt), t))))
 
   def minhashAgg(df: DataFrame, textCol: String, idCol: String,
-      salts: Seq[String] = Seq("a", "b", "c", "d")): DataFrame =
-    df.select(col(idCol) +:
-      salts.map(s => minhashSig(col(textCol), s).as(s"sig_$s")): _*)
+      salts: Seq[String] = Seq("a", "b", "c", "d")): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    df.select(col(idCol),
+      column(graft.functions.SaltedMinhashSigs(
+        expression(tokenSet(col(textCol))), salts)).as("_s"))
+      .select(col(idCol) +: salts.zipWithIndex.map { case (s, i) =>
+        element_at(col("_s"), i + 1).as(s"sig_$s") }: _*)
+  }
 
   /** Near-dup groups: documents whose full MinHash signature collides.
     * Returns one row per group with size > 1.

@@ -231,6 +231,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("native salted-minhash kernel matches the minhashSig Column " +
+    "spec (multibyte tokens, empty docs)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "שלום עולם αβγ 😀 mixed script tokens"),
+      (3L, ""),
+      (4L, "one")).toDF("doc_id", "text")
+    val salts = Seq("a", "b", "c", "d")
+    val viaSpec = docs.select(col("doc_id") +: salts.map(s =>
+      graft.ops.Dedup.minhashSig(col("text"), s).as(s"sig_$s")): _*)
+      .collect().map(r => r.getLong(0) ->
+        salts.indices.map(i =>
+          if (r.isNullAt(i + 1)) null else r.getString(i + 1))).toMap
+    val viaKernel = graft.ops.Dedup.minhashAgg(docs, "text", "doc_id",
+      salts)
+      .collect().map(r => r.getLong(0) ->
+        salts.indices.map(i =>
+          if (r.isNullAt(i + 1)) null else r.getString(i + 1))).toMap
+    assert(viaSpec === viaKernel)
+    assert(viaKernel(3L).forall(_ == null), "empty doc must yield nulls")
+  }
+
   test("native simhash kernel matches the md5-hex Column construction " +
     "on multibyte text (Hebrew, niqqud, emoji)") {
     import spark.implicits._
