@@ -22,11 +22,23 @@ object TextFunctions {
     trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** Non-empty whitespace tokens. */
-  def tokens(c: Column): Column =
+  def tokens(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(Tokens(expression(c), distinct = false))
+  }
+
+  /** The Column-form executable spec of [[tokens]]/[[tokenSet]]
+    * ([[TokenizeKernel]] runs in production — the HOF `filter` pays an
+    * interpreted lambda per token; parity asserted in DedupSpec).
+    */
+  private[graft] def tokensHof(c: Column): Column =
     filter(split(c, " "), t => t =!= "")
 
   /** Distinct non-empty tokens (set semantics for dedup/Jaccard). */
-  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+  def tokenSet(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(Tokens(expression(c), distinct = true))
+  }
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -105,15 +117,26 @@ object TextFunctions {
     * order, so reshuffled documents stop colliding. Computed with array
     * HOFs inline in the scan — no explode, no shuffle.
     */
-  def wordShingles(c: Column, n: Int = 3): Column =
+  def wordShingles(c: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(WordShingles(expression(c), n))
+  }
+
+  /** The Column-form executable spec of [[wordShingles]]
+    * ([[TokenizeKernel.shingles]] runs in production; parity asserted
+    * in DedupSpec — with one documented difference: this form returns
+    * [] for NULL text via its array() binding trick, the kernel is
+    * null-intolerant like every other scalar).
+    */
+  private[graft] def wordShinglesHof(c: Column, n: Int = 3): Column =
     // Bind the token array ONCE as a lambda variable before indexing it.
-    // Referencing `tokens(c)` directly inside the inner transform would
-    // re-run the whole split+filter for every element_at call — higher-
-    // order-function lambdas get no common-subexpression elimination, so
-    // that shape is O(tokens²) per document (measured 7 s for a 5k-doc
-    // scan that takes 0.4 s flat). A lambda variable is a materialized
-    // value; every reference is an array read.
-    element_at(transform(array(tokens(c)), ts => {
+    // Referencing the token array directly inside the inner transform
+    // would re-run the whole split+filter for every element_at call —
+    // higher-order-function lambdas get no common-subexpression
+    // elimination, so that shape is O(tokens²) per document (measured
+    // 7 s for a 5k-doc scan that takes 0.4 s flat). A lambda variable
+    // is a materialized value; every reference is an array read.
+    element_at(transform(array(tokensHof(c)), ts => {
       val last = size(ts) - n
       array_distinct(
         when(last >= 0, transform(sequence(lit(0), last), i =>

@@ -231,6 +231,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("native tokenize/shingle kernels match the HOF Column specs " +
+    "(multi-space runs, multibyte, short docs)") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "the quick  brown   fox the quick brown"),
+      (2L, " leading and trailing  "),
+      (3L, "שלום עולם שלום עולם טוב 😀"),
+      (4L, "one two"), // shorter than the 3-shingle window
+      (5L, "")).toDF("id", "t")
+    val both = docs.select(col("id"),
+      TextFunctions.tokens(col("t")).as("k_tok"),
+      TextFunctions.tokensHof(col("t")).as("h_tok"),
+      TextFunctions.tokenSet(col("t")).as("k_set"),
+      array_distinct(TextFunctions.tokensHof(col("t"))).as("h_set"),
+      TextFunctions.wordShingles(col("t"), 3).as("k_sh"),
+      TextFunctions.wordShinglesHof(col("t"), 3).as("h_sh"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"tokens ${r(0)}")
+      assert(r.getSeq[String](3) === r.getSeq[String](4), s"set ${r(0)}")
+      assert(r.getSeq[String](5) === r.getSeq[String](6), s"shingles ${r(0)}")
+    }
+  }
+
   test("native salted-minhash kernel matches the minhashSig Column " +
     "spec (multibyte tokens, empty docs)") {
     import spark.implicits._
