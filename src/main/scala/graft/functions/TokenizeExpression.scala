@@ -72,6 +72,66 @@ object TokenizeKernel {
   }
 }
 
+/** Native repetition-counts kernel: `[n_tok, n_dist, max_bigram_mult]`
+  * of one document in ONE pass (tokenize, distinct-count, bigram
+  * multiplicity) — the Gopher-rule inputs. Semantics match the Column
+  * construction (`size`/`array_distinct`/`maxMultiplicity ∘ bigramsOf`
+  * in CurationOps, parity in CurationSpec): bigrams are counted with
+  * multiplicity, max 0 when fewer than two tokens.
+  */
+object RepetitionKernel {
+  def counts(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    var nTok = 0L
+    val seen = new java.util.HashSet[String]()
+    val bigrams = new java.util.HashMap[String, java.lang.Long]()
+    var maxBg = 0L
+    var prev: String = null
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || str.charAt(i) == ' ') {
+        if (i > start) {
+          val tok = str.substring(start, i)
+          nTok += 1
+          seen.add(tok)
+          if (prev != null) {
+            val bg = prev + " " + tok
+            val old = bigrams.get(bg)
+            val c = if (old == null) 1L else old.longValue() + 1L
+            bigrams.put(bg, c)
+            if (c > maxBg) maxBg = c
+          }
+          prev = tok
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(nTok, seen.size.toLong, maxBg))
+  }
+}
+
+/** `repetition_counts(text)` — child must be string; returns
+  * array<bigint> of [n_tok, n_dist, max_bigram_mult].
+  */
+case class RepetitionCounts(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    RepetitionKernel.counts(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.RepetitionKernel.counts($a)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "repetition_counts"
+}
+
 /** `tokens(text)` / `token_set(text)` — child must be string. */
 case class Tokens(child: Expression, distinct: Boolean)
     extends UnaryExpression with Serializable {

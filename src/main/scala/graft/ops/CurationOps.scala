@@ -73,16 +73,22 @@ object CurationOps {
 
   /** Gopher-style repetition quality rules: duplicate-token fraction
     * (1 - |set|/|bag|) and top-bigram fraction (max bigram multiplicity
-    * over total bigrams), both rounded to 4. Pure per-row array folds —
-    * the whole operator is one scan projection, no shuffle.
+    * over total bigrams), both rounded to 4. The three counts come from
+    * ONE native pass per row ([[graft.functions.RepetitionKernel]]; the
+    * Column fold form stays as [[maxMultiplicity]]/[[bigramsOf]], the
+    * executable spec with a parity test) — the whole operator is one
+    * scan projection, no shuffle.
     */
   def repetitionStats(docs: DataFrame, textCol: String, idCol: String,
-      dupTokenFlag: Double = 0.6, topBigramFlag: Double = 0.08): DataFrame =
-    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      dupTokenFlag: Double = 0.6, topBigramFlag: Double = 0.08): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    docs.select(col(idCol),
+      column(graft.functions.RepetitionCounts(expression(col(textCol))))
+        .as("_c"))
       .select(col(idCol),
-        size(col("toks")).cast("long").as("n_tok"),
-        size(array_distinct(col("toks"))).cast("long").as("n_dist"),
-        maxMultiplicity(bigramsOf(col("toks"))).as("max_bg"))
+        element_at(col("_c"), 1).as("n_tok"),
+        element_at(col("_c"), 2).as("n_dist"),
+        element_at(col("_c"), 3).as("max_bg"))
       .select(col(idCol),
         when(col("n_tok") > 0,
           round(lit(1.0) - col("n_dist") / col("n_tok").cast("double"), 4))
@@ -93,6 +99,7 @@ object CurationOps {
       .withColumn("repetitive",
         col("dup_token_frac") > dupTokenFlag ||
           col("top_bigram_frac") > topBigramFlag)
+  }
 
   /** PII-style redaction: count and mask every match of `pattern` in
     * `payloadCol`. Pure regexp projection (codegen'd, no UDF) — a scrub

@@ -125,6 +125,33 @@ class CurationSpec extends AnyFunSuite {
     assert(nullRate === 100L, "NULL stratum (80 tokens) is under budget")
   }
 
+  test("native repetition-counts kernel matches the Column fold spec " +
+    "(multiplicity, short docs, multibyte)") {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "a b a b a b c"),
+      (2L, "one"),
+      (3L, ""),
+      (4L, "שלום עולם שלום עולם שלום עולם"),
+      (5L, "x  y   x  y")).toDF("id", "t")
+    val toks = TextFunctions.tokens(col("t"))
+    val spec = docs.select(col("id"),
+      size(toks).cast("long").as("n_tok"),
+      size(array_distinct(toks)).cast("long").as("n_dist"),
+      CurationOps.maxMultiplicity(CurationOps.bigramsOf(toks)).as("mx"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val kernel = docs.select(col("id"),
+      column(graft.functions.RepetitionCounts(expression(col("t"))))
+        .as("c"))
+      .collect().map { r =>
+        val c = r.getSeq[Long](1)
+        r.getLong(0) -> ((c(0), c(1), c(2)))
+      }.toMap
+    assert(spec === kernel)
+  }
+
   test("columnProfile survives backslashes and quotes in column names") {
     val df = Seq((1, 2)).toDF("a\\b", "it's")
     val got = CurationOps.columnProfile(df, Seq("a\\b", "it's"))
