@@ -129,7 +129,13 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must split evenly into $bands bands")
+    // every PERSISTABLE band frame carries its build stamp — a lookup
+    // banded differently than the stored index silently finds nothing,
+    // and [[crossDedupFlagsFromIndexes]] turns the stamp into a loud
+    // error; the internal bandRowsOf paths stay stampless (the column
+    // would ride every candidate shuffle for nothing)
     bandRowsOf(df, tokensExpr, idCol, numHashes, bands)
+      .withColumn("_params", lit(bandParams(numHashes, bands)))
   }
 
   private def bandRowsOf(df: DataFrame, tokensExpr: Column, idCol: String,

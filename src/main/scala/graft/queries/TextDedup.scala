@@ -34,13 +34,31 @@ object TextDedup {
     * gate JVMs over the same data dir would otherwise overwrite each
     * other's part files mid-read — while Overwrite mode keeps re-runs
     * WITHIN a session from accumulating trees; the sanitized full path
-    * (not a hashCode) keeps distinct SF dirs apart.
+    * (not a hashCode) keeps distinct SF dirs apart. Because the
+    * applicationId makes every JVM's tree unique, each tree is deleted
+    * by a shutdown hook — without it, repeated runs would accumulate
+    * shard/index copies in tmpdir until the disk fills.
     */
-  private def queryTmpDir(tag: String, s: SparkSession, d: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
+  private def queryTmpDir(tag: String, s: SparkSession, d: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_${tag}_" + sys.props.getOrElse("user.name", "u") + "_" +
         s.sparkContext.applicationId + "_" +
-        d.replaceAll("[^a-zA-Z0-9.-]", "_")).getAbsolutePath
+        d.replaceAll("[^a-zA-Z0-9.-]", "_"))
+    val path = f.getAbsolutePath
+    if (cleanupRegistered.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(f)))
+    }
+    path
+  }
+
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteTree(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteTree)
+    f.delete(): Unit
+  }
 
   private def langBinnedDocs(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
