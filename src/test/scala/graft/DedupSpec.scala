@@ -256,6 +256,56 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel/HOF parity holds on randomized text (seeded: random " +
+    "space runs, multibyte, token multiplicity) for tokenize, " +
+    "shingles, minhash sigs, and repetition counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(97)
+    val vocab = Seq("a", "bb", "שלום", "αβ", "😀x", "longtokenvalue", "y")
+    val docs = (1L to 120L).map { id =>
+      val n = rnd.nextInt(30)
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        sb.append(" " * rnd.nextInt(3)) // empty runs between tokens
+        sb.append(vocab(rnd.nextInt(vocab.length)))
+      }
+      sb.append(" " * rnd.nextInt(2))
+      (id, sb.toString)
+    }.toDF("id", "t")
+    val consts = graft.ops.Dedup.xorConstants(16)
+    val h = transform(TextFunctions.tokensHof(col("t")),
+      tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long"))
+    val rows = docs.select(col("id"),
+      TextFunctions.tokens(col("t")).as("k_tok"),
+      TextFunctions.tokensHof(col("t")).as("h_tok"),
+      TextFunctions.wordShingles(col("t"), 3).as("k_sh"),
+      TextFunctions.wordShinglesHof(col("t"), 3).as("h_sh"),
+      column(graft.functions.MinhashSigs(
+        expression(TextFunctions.tokens(col("t"))), consts)).as("k_mh"),
+      array(consts.map(c => array_min(transform(h,
+        x => x.bitwiseXOR(lit(c))))): _*).as("h_mh"),
+      column(graft.functions.RepetitionCounts(expression(col("t"))))
+        .as("k_rc"),
+      array(size(TextFunctions.tokensHof(col("t"))).cast("long"),
+        size(array_distinct(TextFunctions.tokensHof(col("t"))))
+          .cast("long"),
+        graft.ops.CurationOps.maxMultiplicity(
+          graft.ops.CurationOps.bigramsOf(
+            TextFunctions.tokensHof(col("t"))))).as("h_rc"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"tok ${r(0)}")
+      assert(r.getSeq[String](3) === r.getSeq[String](4), s"sh ${r(0)}")
+      val kMh = if (r.isNullAt(5)) null else r.getSeq[Long](5)
+      val hMh0 = if (r.isNullAt(6)) null else r.getSeq[Any](6)
+      val hMh = if (hMh0 == null || hMh0.forall(_ == null)) null else hMh0
+      assert((kMh: Any) === (hMh: Any), s"mh ${r(0)}")
+      assert(r.getSeq[Long](7) === r.getSeq[Long](8), s"rc ${r(0)}")
+    }
+  }
+
   test("native salted-minhash kernel matches the minhashSig Column " +
     "spec (multibyte tokens, empty docs)") {
     import spark.implicits._
