@@ -84,6 +84,35 @@ class FuzzyExprSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions: the withExtensions injection path (the " +
+    "spark.sql.extensions deployment recipe) registers every native " +
+    "function in a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark // materialize the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same SparkContext, NEW session state built through the
+      // extensions injector — the path a cluster reaches via
+      // spark.sql.extensions=graft.functions.GraftExtensions
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne orig, "builder returned the existing session — " +
+        "extensions were never applied")
+      val r = s2.sql(
+        "SELECT indel_ratio('abcd', 'abce') AS r, " +
+          "simhash_code(array('a', 'b'), 8) AS c, " +
+          "vec_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d").collect().head
+      assert(r.getDouble(0) == 75.0)
+      assert(r.getString(1).length == 8)
+      assert(r.getDouble(2) == 11.0)
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("null propagation") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT indel_ratio(NULL, 'x') AS r").collect().head
