@@ -364,6 +364,40 @@ class StreamingSpec extends AnyFunSuite {
       s"expected exactly the two planted near-dups flagged once: $byDoc")
   }
 
+  test("IdempotentSink: a replayed micro-batch (foreachBatch's " +
+    "at-least-once recovery contract) is a no-op, not a duplicate") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = TestDirs.tmp("idem_sink").toFile.getAbsolutePath
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("id", "v").writeStream
+      .outputMode("append")
+      .foreachBatch(graft.streaming.IdempotentSink.parquetByBatch(out) _)
+      .option("checkpointLocation", TestDirs.tmp("idem_ckpt").toString)
+      .start()
+    try {
+      stream.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      stream.addData((3L, "c"))
+      q.processAllAvailable()
+      val before = spark.read.parquet(out)
+        .select("id", "v", "_batch").collect().toSet
+      assert(before.size == 3, s"expected 3 rows, got $before")
+      // simulate recovery replaying the LAST batch: same id, same rows
+      val lastBatch = spark.read.parquet(out)
+        .select(max(col("_batch"))).head().getInt(0)
+      graft.streaming.IdempotentSink.parquetByBatch(out)(
+        Seq((3L, "c")).toDF("id", "v"), lastBatch.toLong)
+      val after = spark.read.parquet(out)
+        .select("id", "v", "_batch").collect().toSet
+      assert(after === before, "replay duplicated or dropped rows")
+      // and a replay must not touch OTHER batches' partitions
+      // (dynamic overwrite, not whole-table truncate)
+      assert(after.exists(_.getLong(0) == 1L),
+        "replay truncated earlier batches")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window aggregation (streaming)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
