@@ -27,12 +27,15 @@ object IdempotentSink {
     * by construction (spec'd in StreamingSpec).
     */
   def parquetByBatch(out: String)(df: DataFrame, batchId: Long): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.withColumn("_batch", lit(batchId))
-      .write.mode("overwrite").partitionBy("_batch").parquet(out)
-    finally
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    require(!df.columns.contains("_batch"),
+      "the micro-batch already carries a _batch column; it would be " +
+        "silently replaced by the sink's batch id")
+    // per-WRITE option, not the session conf: mutating the session-wide
+    // partitionOverwriteMode races with concurrent writers on a shared
+    // SparkSession (the option takes precedence and needs no restore)
+    df.withColumn("_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch").parquet(out)
   }
 }

@@ -89,6 +89,10 @@ class FuzzyExprSpec extends AnyFunSuite {
     "function in a fresh session") {
     import org.apache.spark.sql.SparkSession
     val orig = spark // materialize the shared session first
+    // relies on suites running sequentially (Test/fork with sbt's
+    // default testForkedParallel=false): the default/active session is
+    // JVM-global state, swapped here and restored in the finally. Do
+    // NOT stop s2 — sessions share the one SparkContext.
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {

@@ -383,11 +383,13 @@ class StreamingSpec extends AnyFunSuite {
       val before = spark.read.parquet(out)
         .select("id", "v", "_batch").collect().toSet
       assert(before.size == 3, s"expected 3 rows, got $before")
-      // simulate recovery replaying the LAST batch: same id, same rows
+      // simulate recovery replaying the LAST batch: same id, same rows.
+      // (partition-type inference narrows the directory value — read it
+      // numerically, not as a hardcoded Int)
       val lastBatch = spark.read.parquet(out)
-        .select(max(col("_batch"))).head().getInt(0)
+        .select(max(col("_batch").cast("long"))).head().getLong(0)
       graft.streaming.IdempotentSink.parquetByBatch(out)(
-        Seq((3L, "c")).toDF("id", "v"), lastBatch.toLong)
+        Seq((3L, "c")).toDF("id", "v"), lastBatch)
       val after = spark.read.parquet(out)
         .select("id", "v", "_batch").collect().toSet
       assert(after === before, "replay duplicated or dropped rows")
