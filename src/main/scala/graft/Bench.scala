@@ -20,8 +20,24 @@ import org.apache.spark.sql.SparkSession
   *    did not (both runs can land inside one stall). The three raw
   *    samples are persisted in the JSON (`samples`) so a spike is
   *    distinguishable from a regression without a re-run.
+  *  - Every sample carries the 1-min system load average read from
+  *    /proc/loadavg immediately before it starts (`load1`), so a noisy
+  *    sample self-documents: a 3× outlier whose load1 is 3× the quiet
+  *    samples' is host contention, not a plan regression — no dedicated
+  *    re-timing session needed to adjudicate.
+  *  - The JSON line is printed to stdout AND written to a file
+  *    (SPARK_GRAFT_BENCH_OUT, default `bench_out.json` in the working
+  *    directory) so consumers parse a clean artifact instead of
+  *    scraping the sbt tail.
   */
 object Bench {
+
+  /** 1-minute load average from /proc/loadavg; -1 if unreadable. */
+  private def load1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
 
   /** Headline set: one per operator family (scan/agg, broadcast join,
     * fact join, banded range join, windows, sessionization, dedup
@@ -66,31 +82,43 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     val qs = SparkEntry.queries
+    val loadStart = load1()
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
       try {
         materialize(fn(spark, sfDir)) // warm-up: codegen + file index + JIT
         // median of 3 timed runs — a single host-noise stall is discarded
-        val times = (1 to 3).map { _ =>
+        val samples = (1 to 3).map { _ =>
+          val l = load1()
           val t0 = System.nanoTime()
           materialize(fn(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
+          ((System.nanoTime() - t0) / 1e9, l)
         }
-        name -> times
+        name -> samples
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> Seq(-1.0)
+          name -> Seq((-1.0, load1()))
       }
     }
+    val loadEnd = load1()
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
     val qJson = results.map { case (k, ts) =>
-      "\"" + k + f"\":${median(ts)}%.3f" }.mkString("{", ",", "}")
+      "\"" + k + f"\":${median(ts.map(_._1))}%.3f" }.mkString("{", ",", "}")
     val sJson = results.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]") }
+      "\"" + k + "\":" + ts.map(t => f"${t._1}%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val total = results.map(r => median(r._2)).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"samples":$sJson,"sf":"$sfDir"}""")
+    val lJson = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"${t._2}%.2f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = results.map(r => median(r._2.map(_._1))).filter(_ >= 0).sum
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"samples":$sJson,"load1":$lJson,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"sf":"$sfDir"}"""
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -557,9 +557,19 @@ object Dedup {
       .select(col("id")).distinct()
     // a lookup banded differently than the stored index silently finds
     // nothing (band_sig strings never collide) — if the index carries
-    // its build stamp, force-verify it per row instead
+    // its build stamp, force-verify it per row instead; a stampless
+    // index (hand-built or bandRowsOf-era) can't be verified, so flag
+    // it loudly rather than reintroducing the silent-empty failure mode
     val checkedIdx =
-      if (!bandIdx.columns.contains("_params")) bandIdx
+      if (!bandIdx.columns.contains("_params")) {
+        System.err.println(
+          "[graft] crossDedupFlagsFromIndexes: band index has no _params " +
+            s"build stamp — cannot verify it was built with " +
+            s"${bandParams(numHashes, bands)}; a mismatched banding " +
+            "silently matches nothing. Build indexes with " +
+            "buildDedupIndexes to get the stamp.")
+        bandIdx
+      }
       else bandIdx
         .filter(assert_true(
           col("_params") === bandParams(numHashes, bands),
@@ -604,8 +614,13 @@ object Dedup {
     *
     * Returns (id, rep): one row per node of the pair graph (isolated
     * docs never enter; their "component" is trivially themselves). The
-    * returned frame is still cached from the final iteration —
-    * `unpersist()` it when done with a long-lived session.
+    * API owns every cache it creates: the converged labels are
+    * materialized once via an eager `localCheckpoint` (same pattern as
+    * [[crossDedupFlags]]'s batch frame) and every intermediate persist
+    * is dropped before returning, so no CacheManager entry escapes —
+    * the checkpoint blocks are reclaimed by the ContextCleaner when the
+    * returned frame goes unreferenced, with no caller-side `unpersist()`
+    * obligation (the round-6 foot-gun).
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20)
   : DataFrame = {
@@ -634,10 +649,17 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters iterations " +
-        "(component diameter exceeds maxIters); raise maxIters")
-    labels
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations " +
+          "(component diameter exceeds maxIters); raise maxIters")
+    }
+    // own the cache: one eager materialization of the converged labels,
+    // then drop the loop's persist — the caller gets a plain frame
+    val result = labels.localCheckpoint(true)
+    labels.unpersist()
+    result
   }
 
   /** Token-set Jaccard similarity for id-adjacent pairs (a linear-cost

@@ -37,16 +37,26 @@ object TextDedup {
     * (not a hashCode) keeps distinct SF dirs apart. Because the
     * applicationId makes every JVM's tree unique, each tree is deleted
     * by a shutdown hook — without it, repeated runs would accumulate
-    * shard/index copies in tmpdir until the disk fills.
+    * shard/index copies in tmpdir until the disk fills. The hook can't
+    * run on SIGKILL/OOM, so on first creation we also best-effort sweep
+    * stale sibling trees (same `graft_<tag>_<user>_` prefix, different
+    * applicationId, untouched for >6h — far beyond any live gate run)
+    * left by killed JVMs; age-gating keeps concurrent live JVMs safe.
     */
   private def queryTmpDir(tag: String, s: SparkSession, d: String): String = {
+    val user = sys.props.getOrElse("user.name", "u")
     val f = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${tag}_" + sys.props.getOrElse("user.name", "u") + "_" +
-        s.sparkContext.applicationId + "_" +
+      s"graft_${tag}_" + user + "_" + s.sparkContext.applicationId + "_" +
         d.replaceAll("[^a-zA-Z0-9.-]", "_"))
     val path = f.getAbsolutePath
     if (cleanupRegistered.add(path)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(f)))
+      val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+      val siblings = f.getParentFile.listFiles()
+      if (siblings != null) siblings
+        .filter(sib => sib.getName.startsWith(s"graft_${tag}_${user}_") &&
+          sib.getAbsolutePath != path && sib.lastModified() < cutoff)
+        .foreach(deleteTree)
     }
     path
   }

@@ -411,6 +411,10 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(comp === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
       (7L, 7L), (8L, 7L)))
+    // the API owns its caches: nothing left in the CacheManager for the
+    // caller to unpersist (the result is localCheckpoint-backed instead)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "connectedComponents leaked a cached frame")
   }
 
   test("crossDedupFlagsFromIndexes: flag-identical to the inline path " +
