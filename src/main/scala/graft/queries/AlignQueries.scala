@@ -13,8 +13,13 @@ import graft.model._
   * "transcription" is derived by dropping every 7th word and perturbing
   * every 5th — exercising matched, skipped, and estimated-tail paths.
   *
-  * Not SQL-expressible (cursor-dependent merge) ⇒ rows-only driver check;
-  * the semantics are covered by AlignersSpec golden/property tests.
+  * The greedy (q60) and windowed (q61) cursor merges have full DuckDB
+  * oracles: a recursive CTE drives the per-chapter cursor state while a
+  * bit-parallel LCS fold reproduces the indel similarity (see
+  * [[lcsExpr]]). Only verse_fuzzy (q64) remains rows-only — its scores
+  * run against the full ~700-char chapter transcription, beyond the
+  * 63-char single-word mask bound; its semantics are covered by
+  * AlignersSpec golden/property tests.
   */
 object AlignQueries {
 
@@ -173,13 +178,216 @@ object AlignQueries {
       flatten(AlignerDataset.alignChapters(verseDs(s, d), transDs(s, d),
         "verse_fuzzy"))))
 
-  /** The cursor-dependent kernels (greedy/windowed/verse_fuzzy) are
-    * rows-only; the estimated kernels (q62 uniform, q63 density) and the
-    * declarative variant (q82) have full DuckDB oracles — the oracles
-    * mirror the kernels' arithmetic op-for-op (same associativity, same
-    * floor-portable 2-dp rounding) so doubles match bit-exactly.
+  /** DuckDB SQL for the LCS of `a` and `b` via the Allison–Dix
+    * bit-parallel fold — the same recurrence [[graft.functions.Fuzzy]]
+    * runs on the JVM (R' = x & ~(x − ((R<<1)|1)), x = mask|R), expressed
+    * as a `list_reduce` over one BIGINT mask per character of `b`. `a`
+    * is the mask side and must stay ≤ 63 chars (the aligner fixture's
+    * normalized tokens are ≤ 8). This is what lets the cursor aligners
+    * have real DuckDB oracles: DuckDB has no LCS/indel builtin, but the
+    * bit-parallel form is pure integer arithmetic a fold can express.
+    */
+  private def lcsExpr(a: String, b: String): String =
+    s"""bit_count(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(range(length($b)), p ->
+         CAST(coalesce(list_sum(list_transform(range(length($a)), j ->
+           CASE WHEN $a[CAST(j + 1 AS INTEGER)] = $b[CAST(p + 1 AS INTEGER)]
+                THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), 0)
+           AS BIGINT))),
+       (r, mk) -> ((mk | r) & ~((mk | r) - ((r << 1) | CAST(1 AS BIGINT))))
+                  & ((CAST(1 AS BIGINT) << length($a)) - 1)))"""
+
+  /** fuzz.ratio as 0–100 DOUBLE: 200·LCS/(|a|+|b|), 100 when both empty
+    * (mirrors [[graft.functions.Fuzzy.ratio]] op-for-op, same division
+    * order, so doubles match bit-exactly).
+    */
+  private def ratioExpr(a: String, b: String): String =
+    s"""(CASE WHEN length($a) + length($b) = 0 THEN CAST(100.0 AS DOUBLE)
+          WHEN length($a) = 0 OR length($b) = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE 200.0 * ${lcsExpr(a, b)} / (length($a) + length($b)) END)"""
+
+  /** max(ratio, partial_ratio)/100 — [[graft.functions.Fuzzy
+    * .bestSimilarity]]. The shorter string binds as v.s / longer as v.l
+    * through a 1-element-list lambda (SQL's only let-binding); interior
+    * windows and the truncated boundary windows mirror
+    * [[graft.functions.Fuzzy.partialRatio]] exactly, including the
+    * 100·(2·best)/(2·n) interior form.
+    */
+  private def simExpr(a: String, b: String): String = {
+    val win = "v.l[CAST(i + 1 AS INTEGER):CAST(i + length(v.s) AS INTEGER)]"
+    val pre = "v.l[1:CAST(kk AS INTEGER)]"
+    val suf = "v.l[CAST(length(v.l) - kk + 1 AS INTEGER):" +
+      "CAST(length(v.l) AS INTEGER)]"
+    val interior = "100.0 * (2 * list_max(list_transform(" +
+      "range(length(v.l) - length(v.s) + 1), i -> " +
+      lcsExpr("v.s", win) + "))) / (2 * length(v.s))"
+    val boundary =
+      s"""coalesce(list_max(list_transform(range(1, length(v.s)),
+         kk -> greatest(
+           200.0 * ${lcsExpr("v.s", pre)} / (length(v.s) + kk),
+           200.0 * ${lcsExpr("v.s", suf)} / (length(v.s) + kk)))),
+         CAST(0.0 AS DOUBLE))"""
+    val partial =
+      s"""(CASE WHEN length(v.s) = 0 THEN
+            (CASE WHEN length(v.l) = 0 THEN CAST(100.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END)
+          ELSE greatest($interior, $boundary) END)"""
+    s"""list_transform([struct_pack(
+         s := CASE WHEN length($a) <= length($b) THEN $a ELSE $b END,
+         l := CASE WHEN length($a) <= length($b) THEN $b ELSE $a END)],
+       v -> greatest(${ratioExpr(a, b)}, $partial) / 100.0)[1]"""
+  }
+
+  /** Shared oracle CTEs: the word fixture (w), per-chapter ordered word
+    * lists with normalized match keys (wl), and the transcription lists
+    * plus the chapter rollup (tl) — identical inputs to what
+    * [[verseDs]]/[[transDs]] feed the kernels.
+    */
+  private def alignCtes: String =
+    s"""w AS (
+       SELECT 'b' || CAST(doc_id % 5 AS VARCHAR) AS book,
+         CAST((doc_id // 5) % 10 + 1 AS INTEGER) AS chapter,
+         generate_subscripts(toks, 1) - 1 AS pos,
+         unnest(toks) AS word
+       FROM (
+         SELECT doc_id, list_filter(string_split(
+           translate(lower(text), '$latin', '$hebrew'), ' '),
+           x -> x <> '') AS toks
+         FROM documents WHERE doc_id < 50)),
+     wl AS (
+       SELECT book, chapter,
+         list(struct_pack(word := word,
+           nw := regexp_replace(word, '[^א-ת]', '', 'g'),
+           verse_num := CAST(pos // 8 + 1 AS INTEGER),
+           wpos := CAST(pos % 8 AS INTEGER)) ORDER BY pos) AS ws
+       FROM w GROUP BY book, chapter),
+     tl AS (
+       SELECT book, chapter,
+         list(struct_pack(
+           nt := regexp_replace(CASE WHEN pos % 5 = 2 THEN word || 'א'
+                                     ELSE word END, '[^א-ת]', '', 'g'),
+           s := CAST(pos AS DOUBLE) * 0.5,
+           e := CAST(pos AS DOUBLE) * 0.5 + 0.4) ORDER BY pos) AS ts,
+         MAX(CAST(pos AS DOUBLE) * 0.5 + 0.4) AS total_duration,
+         CAST(0.9 AS DOUBLE) AS overall_confidence
+       FROM w WHERE pos % 7 <> 3 GROUP BY book, chapter)"""
+
+  /** The anchor row of both aligner recursions: cursor at word 0,
+    * transcription index 0, typed NULL output fields.
+    */
+  private def alignAnchor: String =
+    """SELECT wl.book, wl.chapter, ws, ts, 0 AS k, 0 AS ti,
+         CAST(0.0 AS DOUBLE) AS vend,
+         CAST(NULL AS INTEGER) AS verse_num, CAST(NULL AS INTEGER) AS wpos,
+         CAST(NULL AS VARCHAR) AS word, CAST(NULL AS DOUBLE) AS w_start,
+         CAST(NULL AS DOUBLE) AS w_end, CAST(NULL AS DOUBLE) AS conf,
+         CAST(NULL AS BOOLEAN) AS m
+       FROM wl JOIN tl USING (book, chapter)"""
+
+  /** Final projection shared by both aligner oracles; `verseStart`
+    * differs (greedy: first MATCHED word's start; windowed: first
+    * aligned word's start).
+    */
+  private def alignFinal(verseStart: String): String =
+    s"""out AS (
+         SELECT book, chapter, k, verse_num, wpos, word, w_start, w_end,
+           conf, m
+         FROM st WHERE k >= 1)
+       SELECT o.book, o.chapter, t.total_duration, t.overall_confidence,
+         o.verse_num,
+         $verseStart AS verse_start,
+         FIRST_VALUE(o.w_end) OVER
+           (PARTITION BY o.book, o.chapter, o.verse_num ORDER BY o.k DESC)
+           AS verse_end,
+         o.wpos, o.word, o.w_start AS start, o.w_end AS "end",
+         o.conf AS confidence
+       FROM out o JOIN tl t USING (book, chapter)
+       ORDER BY book, chapter, verse_num, wpos"""
+
+  /** The cursor-dependent kernels now have full oracles for greedy (q60)
+    * and windowed (q61): the per-chapter cursor merge is a recursive CTE
+    * advancing one word per iteration (state = transcription cursor +
+    * running verse end, all 50 chapters advance in parallel rows), and
+    * the indel similarity the cursor gates on is the bit-parallel LCS
+    * fold above — the whole sequential recurrence the "not
+    * SQL-expressible" justification used to cover is ~100 iterations of
+    * pure arithmetic at fixture scale. Only verse_fuzzy (q64) stays
+    * rows-only: its partial/token_sort/token_set scores run against the
+    * FULL chapter transcription (~700 chars), past the 63-char BIGINT
+    * mask bound and into multi-word-block LCS territory that SQL folds
+    * can't express economically. The estimated kernels (q62 uniform,
+    * q63 density) and the declarative variant (q82) mirror the kernels'
+    * arithmetic op-for-op (same associativity, same floor-portable 2-dp
+    * rounding) so doubles match bit-exactly. These strings avoid
+    * stripMargin: the LCS fold contains literal `|` bitwise operators
+    * that a margin strip would eat if a wrap ever put one at line head.
     */
   def oracle: Map[String, String] = Map(
+    "q60_align_greedy" ->
+      s"""WITH RECURSIVE
+         $alignCtes,
+         st AS (
+           $alignAnchor
+           UNION ALL
+           SELECT book, chapter, ws, ts, k + 1,
+             CASE WHEN m THEN ti + 1 ELSE ti END,
+             CASE WHEN m THEN (ts[ti + 1]).e ELSE vin + 0.5 END,
+             (ws[k + 1]).verse_num, (ws[k + 1]).wpos, (ws[k + 1]).word,
+             CASE WHEN m THEN (ts[ti + 1]).s ELSE vin END,
+             CASE WHEN m THEN (ts[ti + 1]).e ELSE vin + 0.5 END,
+             CASE WHEN m THEN CAST(0.9 AS DOUBLE)
+                  ELSE CAST(0.1 AS DOUBLE) END,
+             m
+           FROM (
+             SELECT book, chapter, ws, ts, k, ti, vend,
+               CASE WHEN k > 0 AND (ws[k]).verse_num = (ws[k + 1]).verse_num
+                    THEN vend ELSE CAST(0.0 AS DOUBLE) END AS vin,
+               (ws[k + 1]).nw AS a,
+               CASE WHEN ti < len(ts) THEN (ts[ti + 1]).nt END AS b,
+               (b IS NOT NULL AND
+                 (CASE WHEN length(a) + length(b) = 0
+                       THEN CAST(100.0 AS DOUBLE)
+                       WHEN length(a) = 0 OR length(b) = 0
+                       THEN CAST(0.0 AS DOUBLE)
+                       ELSE 200.0 * ${lcsExpr("a", "b")}
+                            / (length(a) + length(b))
+                  END) / 100.0 >= 0.7) AS m
+             FROM st WHERE k < len(ws))),
+         ${alignFinal(
+        """COALESCE(MIN(CASE WHEN o.m THEN o.w_start END) OVER
+             (PARTITION BY o.book, o.chapter, o.verse_num),
+             CAST(0.0 AS DOUBLE))""")}""",
+
+    "q61_align_windowed" ->
+      s"""WITH RECURSIVE
+         $alignCtes,
+         st AS (
+           $alignAnchor
+           UNION ALL
+           SELECT book, chapter, ws, ts, k + 1,
+             CASE WHEN m THEN ti + best_off ELSE ti END,
+             CASE WHEN m THEN (cands[best_off]).e ELSE vin + 0.4 END,
+             (ws[k + 1]).verse_num, (ws[k + 1]).wpos, (ws[k + 1]).word,
+             CASE WHEN m THEN (cands[best_off]).s ELSE vin END,
+             CASE WHEN m THEN (cands[best_off]).e ELSE vin + 0.4 END,
+             CASE WHEN m THEN CAST(0.9 AS DOUBLE) * mx
+                  ELSE CAST(0.1 AS DOUBLE) END,
+             m
+           FROM (
+             SELECT book, chapter, ws, ts, k, ti, vend,
+               CASE WHEN k > 0 AND (ws[k]).verse_num = (ws[k + 1]).verse_num
+                    THEN vend ELSE CAST(0.0 AS DOUBLE) END AS vin,
+               (ws[k + 1]).nw AS a,
+               ts[ti + 1:least(len(ts), ti + 5)] AS cands,
+               list_transform(cands, c -> ${simExpr("a", "c.nt")}) AS sims,
+               list_max(sims) AS mx,
+               list_position(sims, mx) AS best_off,
+               (mx IS NOT NULL AND mx >= 0.6) AS m
+             FROM st WHERE k < len(ws))),
+         ${alignFinal(
+        """FIRST_VALUE(o.w_start) OVER
+             (PARTITION BY o.book, o.chapter, o.verse_num ORDER BY o.k)""")}""",
+
     "q83_duration_sanity" ->
       s"""WITH w AS (
          |  SELECT 'b' || CAST(doc_id % 5 AS VARCHAR) AS book,
