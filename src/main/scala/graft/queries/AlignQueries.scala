@@ -178,65 +178,7 @@ object AlignQueries {
       flatten(AlignerDataset.alignChapters(verseDs(s, d), transDs(s, d),
         "verse_fuzzy"))))
 
-  /** DuckDB SQL for the LCS of `a` and `b` via the Allison–Dix
-    * bit-parallel fold — the same recurrence [[graft.functions.Fuzzy]]
-    * runs on the JVM (R' = x & ~(x − ((R<<1)|1)), x = mask|R), expressed
-    * as a `list_reduce` over one BIGINT mask per character of `b`. `a`
-    * is the mask side and must stay ≤ 63 chars (the aligner fixture's
-    * normalized tokens are ≤ 8). This is what lets the cursor aligners
-    * have real DuckDB oracles: DuckDB has no LCS/indel builtin, but the
-    * bit-parallel form is pure integer arithmetic a fold can express.
-    */
-  private def lcsExpr(a: String, b: String): String =
-    s"""bit_count(list_reduce(list_prepend(CAST(0 AS BIGINT),
-       list_transform(range(length($b)), p ->
-         CAST(coalesce(list_sum(list_transform(range(length($a)), j ->
-           CASE WHEN $a[CAST(j + 1 AS INTEGER)] = $b[CAST(p + 1 AS INTEGER)]
-                THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), 0)
-           AS BIGINT))),
-       (r, mk) -> ((mk | r) & ~((mk | r) - ((r << 1) | CAST(1 AS BIGINT))))
-                  & ((CAST(1 AS BIGINT) << length($a)) - 1)))"""
-
-  /** fuzz.ratio as 0–100 DOUBLE: 200·LCS/(|a|+|b|), 100 when both empty
-    * (mirrors [[graft.functions.Fuzzy.ratio]] op-for-op, same division
-    * order, so doubles match bit-exactly).
-    */
-  private def ratioExpr(a: String, b: String): String =
-    s"""(CASE WHEN length($a) + length($b) = 0 THEN CAST(100.0 AS DOUBLE)
-          WHEN length($a) = 0 OR length($b) = 0 THEN CAST(0.0 AS DOUBLE)
-          ELSE 200.0 * ${lcsExpr(a, b)} / (length($a) + length($b)) END)"""
-
-  /** max(ratio, partial_ratio)/100 — [[graft.functions.Fuzzy
-    * .bestSimilarity]]. The shorter string binds as v.s / longer as v.l
-    * through a 1-element-list lambda (SQL's only let-binding); interior
-    * windows and the truncated boundary windows mirror
-    * [[graft.functions.Fuzzy.partialRatio]] exactly, including the
-    * 100·(2·best)/(2·n) interior form.
-    */
-  private def simExpr(a: String, b: String): String = {
-    val win = "v.l[CAST(i + 1 AS INTEGER):CAST(i + length(v.s) AS INTEGER)]"
-    val pre = "v.l[1:CAST(kk AS INTEGER)]"
-    val suf = "v.l[CAST(length(v.l) - kk + 1 AS INTEGER):" +
-      "CAST(length(v.l) AS INTEGER)]"
-    val interior = "100.0 * (2 * list_max(list_transform(" +
-      "range(length(v.l) - length(v.s) + 1), i -> " +
-      lcsExpr("v.s", win) + "))) / (2 * length(v.s))"
-    val boundary =
-      s"""coalesce(list_max(list_transform(range(1, length(v.s)),
-         kk -> greatest(
-           200.0 * ${lcsExpr("v.s", pre)} / (length(v.s) + kk),
-           200.0 * ${lcsExpr("v.s", suf)} / (length(v.s) + kk)))),
-         CAST(0.0 AS DOUBLE))"""
-    val partial =
-      s"""(CASE WHEN length(v.s) = 0 THEN
-            (CASE WHEN length(v.l) = 0 THEN CAST(100.0 AS DOUBLE)
-                  ELSE CAST(0.0 AS DOUBLE) END)
-          ELSE greatest($interior, $boundary) END)"""
-    s"""list_transform([struct_pack(
-         s := CASE WHEN length($a) <= length($b) THEN $a ELSE $b END,
-         l := CASE WHEN length($a) <= length($b) THEN $b ELSE $a END)],
-       v -> greatest(${ratioExpr(a, b)}, $partial) / 100.0)[1]"""
-  }
+  import FuzzySql.{lcsExpr, simExpr}
 
   /** Shared oracle CTEs: the word fixture (w), per-chapter ordered word
     * lists with normalized match keys (wl), and the transcription lists

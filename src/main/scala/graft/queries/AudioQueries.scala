@@ -95,8 +95,12 @@ object AudioQueries {
   )
 
   /** X14 native expressions over adjacent part names — codegen'd
-    * Catalyst expressions, no UDFs (rows-only: no DuckDB LCS analog;
-    * kernel fidelity is covered by FuzzySpec/FuzzyExprSpec goldens).
+    * Catalyst expressions, no UDFs. Fully oracle-checked: DuckDB has no
+    * LCS/indel builtin, but [[FuzzySql]] renders the same bit-parallel
+    * LCS recurrence the kernels run as a list_reduce fold, so all four
+    * ratio columns (indel, partial, token_set, token_sort) compare
+    * bit-exactly; kernel fidelity is additionally covered by
+    * FuzzySpec/FuzzyExprSpec goldens.
     */
   val fuzzyNative: (SparkSession, String) => DataFrame = (s, d) => {
     import graft.functions.GraftFunctions._
@@ -115,7 +119,66 @@ object AudioQueries {
       .orderBy("p_partkey")
   }
 
+  /** Sorted tokens as in Fuzzy.sortedTokens: split on \s+, drop
+    * empties, sort (part names are ASCII, so DuckDB's binary collation
+    * and Java's UTF-16 string order agree).
+    */
+  private def sortedToks(x: String): String =
+    s"list_sort(list_filter(string_split_regex($x, '\\s+'), t -> t <> ''))"
+
+  /** q68: all four fuzzy kernels re-derived in SQL over the same
+    * adjacent-part-name pairs. `array_to_string` of an empty list is
+    * NULL in DuckDB (Scala mkString gives ""), hence the coalesces; the
+    * token_set t1/t2 assembly mirrors Fuzzy.tokenSetRatio's
+    * empty-handling exactly. No stripMargin: the LCS folds contain
+    * literal `|` bitwise operators.
+    */
+  private def fuzzyOracle: String = {
+    import FuzzySql.{partialExpr, ratioExpr}
+    s"""WITH pairs AS (
+         SELECT p1.p_partkey, p1.p_name AS a, p2.p_name AS b
+         FROM part p1 JOIN part p2 ON p2.p_partkey = p1.p_partkey + 1),
+       tokenized AS (
+         SELECT p_partkey, a, b,
+           coalesce(array_to_string(${sortedToks("a")}, ' '), '')
+             AS sorted_a,
+           coalesce(array_to_string(${sortedToks("b")}, ' '), '')
+             AS sorted_b,
+           list_distinct(${sortedToks("a")}) AS ta,
+           list_distinct(${sortedToks("b")}) AS tb
+         FROM pairs),
+       setparts AS (
+         SELECT p_partkey, a, b, sorted_a, sorted_b,
+           coalesce(array_to_string(list_sort(list_filter(ta,
+             x -> list_contains(tb, x))), ' '), '') AS inter,
+           coalesce(array_to_string(list_sort(list_filter(ta,
+             x -> NOT list_contains(tb, x))), ' '), '') AS diff_a,
+           coalesce(array_to_string(list_sort(list_filter(tb,
+             x -> NOT list_contains(ta, x))), ' '), '') AS diff_b
+         FROM tokenized),
+       sets AS (
+         SELECT p_partkey, a, b, sorted_a, sorted_b, inter,
+           CASE WHEN diff_a = '' THEN inter
+                WHEN inter = '' THEN diff_a
+                ELSE inter || ' ' || diff_a END AS t1,
+           CASE WHEN diff_b = '' THEN inter
+                WHEN inter = '' THEN diff_b
+                ELSE inter || ' ' || diff_b END AS t2
+         FROM setparts)
+       SELECT p_partkey,
+         round(${ratioExpr("a", "b")}, 4) AS indel,
+         round(${partialExpr("a", "b")}, 4) AS "partial",
+         round(greatest(${ratioExpr("inter", "t1")},
+           greatest(${ratioExpr("inter", "t2")},
+                    ${ratioExpr("t1", "t2")})), 4) AS token_set,
+         round(${ratioExpr("sorted_a", "sorted_b")}, 4) AS token_sort
+       FROM sets
+       ORDER BY p_partkey"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "q68_fuzzy_native" -> fuzzyOracle,
+
     "q66_config_upsert" ->
       """SELECT key, value, ts FROM (
         |  SELECT user_id || ':' || event_type AS key, value,

@@ -16,6 +16,45 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Approximate queries get a quantitative gate instead of rows-only: the
+# exact_* columns must EQUAL DuckDB's exact answer, and each approx_*
+# column must sit within rel_tol of it. Spark's HLL++ default rsd is
+# 0.05; 3x that absorbs the sketch's tail while still catching a wrong
+# plan (which is off by orders of magnitude, not percent).
+BOUNDED = {
+    "q76_approx_distinct": {
+        "oracle": ("SELECT count(DISTINCT l_partkey) AS exact_parts, "
+                   "count(DISTINCT l_orderkey) AS exact_orders "
+                   "FROM lineitem"),
+        "pairs": [("approx_parts", "exact_parts", 0.15),
+                  ("approx_orders", "exact_orders", 0.15)],
+    },
+}
+
+
+def check_bounded(con, name, dump, spec):
+    rel = con.sql(f"SELECT * FROM read_parquet('{dump}/*.parquet')")
+    names = [c[0] for c in rel.description]
+    rows = rel.fetchall()
+    if len(rows) != 1:
+        return f"BOUNDED_ROWCOUNT: expected 1 row, got {len(rows)}"
+    got = dict(zip(names, rows[0]))
+    exact = con.sql(spec["oracle"])
+    exact_row = dict(zip([c[0] for c in exact.description],
+                         exact.fetchall()[0]))
+    for approx_col, exact_col, tol in spec["pairs"]:
+        if exact_col not in got or approx_col not in got:
+            return f"BOUNDED_SCHEMA: missing {approx_col}/{exact_col}"
+        if got[exact_col] != exact_row[exact_col]:
+            return (f"BOUNDED_EXACT: {exact_col} spark={got[exact_col]} "
+                    f"duck={exact_row[exact_col]}")
+        e = exact_row[exact_col]
+        err = abs(got[approx_col] - e) / e if e else 0.0
+        if err > tol:
+            return (f"BOUNDED_ERROR: {approx_col}={got[approx_col]} vs "
+                    f"{exact_col}={e} rel_err={err:.4f} > {tol}")
+    return "OK_BOUNDED"
+
 
 def norm(v):
     if isinstance(v, float):
@@ -74,7 +113,8 @@ def main():
         else:
             results[name] = "OK"
 
-    # queries without an oracle: rows-only check
+    # queries without an oracle: bounded-error check where specified,
+    # rows-only otherwise
     for dump in sorted(glob.glob(f"{OUT}/*/")):
         name = os.path.basename(dump.rstrip("/"))
         if name in oracle:
@@ -82,6 +122,13 @@ def main():
         files = glob.glob(f"{dump}/*.parquet")
         if not files:
             results[name] = "NO_SPARK_OUTPUT(rows-only)"
+            continue
+        if name in BOUNDED:
+            try:
+                results[name] = check_bounded(con, name, dump.rstrip("/"),
+                                              BOUNDED[name])
+            except Exception as e:
+                results[name] = f"BOUNDED_FAIL: {e}"
             continue
         n = con.sql(
             f"SELECT count(*) FROM read_parquet('{dump}/*.parquet')"
@@ -91,10 +138,13 @@ def main():
     ok = sum(1 for v in results.values() if v == "OK")
     for k, v in results.items():
         flag = "PASS" if v == "OK" else (
-            "rows" if v.startswith("ROWS_ONLY:") else "FAIL")
+            "rows" if v.startswith("ROWS_ONLY:") else (
+                "bnd" if v == "OK_BOUNDED" else "FAIL"))
         print(f"[{flag}] {k}: {v}")
     print(f"\n{ok}/{len([k for k in results if k in oracle])} oracle-checked "
-          f"queries OK ({len(results)} total)")
+          f"queries OK ({len(results)} total, "
+          f"{sum(1 for v in results.values() if v == 'OK_BOUNDED')} "
+          f"bounded-error OK)")
 
 
 if __name__ == "__main__":
