@@ -400,6 +400,84 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("composed exactly-once ingest: band-index lookup stream through " +
+    "IdempotentSink, killed between micro-batches with a replayed " +
+    "batch — output tree identical to an uninterrupted run") {
+    import spark.implicits._
+    val base = "one two three four five six seven eight nine ten"
+    val corpus = Seq((0L, base), (1L, "another corpus document entirely"))
+      .toDF("doc_id", "text")
+    val indexDir = TestDirs.tmp("comp_band_index").toFile.getAbsolutePath
+    graft.ops.Dedup.bandIndex(corpus,
+      graft.functions.TextFunctions.wordShingles(col("text"), 3), "doc_id")
+      .write.partitionBy("band").mode("overwrite").parquet(indexDir)
+    val index = spark.read.parquet(indexDir)
+      .withColumnRenamed("id", "corpus_id")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+
+    // the composed pipeline: file arrival → banding → broadcast lookup
+    // against the persisted index → idempotent batch-keyed sink
+    def hitsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.bandIndex(df,
+        graft.functions.TextFunctions.wordShingles(col("text"), 3),
+        "doc_id")
+        .join(broadcast(index), Seq("band", "band_sig"))
+        .select(col("id").as("doc_id"), col("corpus_id"), col("band"))
+    def runOnce(src: java.nio.file.Path, ckpt: String, out: String): Unit = {
+      val q = hitsOf(spark.readStream.schema(schema).json(src.toString))
+        .writeStream.outputMode("append")
+        .foreachBatch(graft.streaming.IdempotentSink.parquetByBatch(out) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "stream did not finish within 60 s")
+    }
+    def writeDoc(src: java.nio.file.Path, id: Long, text: String): Unit =
+      Files.write(src.resolve(s"doc_$id.json"),
+        s"""{"doc_id":$id,"text":"$text"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // tree fingerprint: partition → row multiset (part-file names carry
+    // fresh UUIDs per write, so identity is judged on layout + content)
+    def tree(out: String): Map[Long, Set[(Long, Long, Int)]] =
+      spark.read.parquet(out)
+        .select(col("_batch").cast("long"), col("doc_id"),
+          col("corpus_id"), col("band"))
+        .as[(Long, Long, Long, Int)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3, r._4)).toSet).toMap
+
+    // control: same two-phase arrival schedule, clean resume, no failure
+    val srcA = TestDirs.tmp("comp_src_a"); val outA =
+      TestDirs.tmp("comp_out_a").toString
+    val ckptA = TestDirs.tmp("comp_ckpt_a").toString
+    writeDoc(srcA, 9L, base + " eleven")
+    runOnce(srcA, ckptA, outA)
+    writeDoc(srcA, 10L, "totally novel words right here now then")
+    writeDoc(srcA, 11L, base + " twelve")
+    runOnce(srcA, ckptA, outA)
+
+    // crash run: after batch 0 commits, foreachBatch's at-least-once
+    // recovery REPLAYS batch 0 (same id, same rows) before the restart
+    // processes the new arrivals
+    val srcB = TestDirs.tmp("comp_src_b"); val outB =
+      TestDirs.tmp("comp_out_b").toString
+    val ckptB = TestDirs.tmp("comp_ckpt_b").toString
+    writeDoc(srcB, 9L, base + " eleven")
+    runOnce(srcB, ckptB, outB)
+    graft.streaming.IdempotentSink.parquetByBatch(outB)(
+      hitsOf(Seq((9L, base + " eleven")).toDF("doc_id", "text")), 0L)
+    writeDoc(srcB, 10L, "totally novel words right here now then")
+    writeDoc(srcB, 11L, base + " twelve")
+    runOnce(srcB, ckptB, outB)
+
+    val a = tree(outA); val b = tree(outB)
+    assert(a === b,
+      s"crash+replay run diverged from the uninterrupted run: $a vs $b")
+    assert(a.values.flatten.map(r => (r._1, r._2)).toSet ===
+      Set((9L, 0L), (11L, 0L)),
+      "expected exactly the two planted near-dups flagged")
+  }
+
   test("watermarked tumbling-window aggregation (streaming)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
