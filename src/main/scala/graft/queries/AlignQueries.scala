@@ -13,13 +13,13 @@ import graft.model._
   * "transcription" is derived by dropping every 7th word and perturbing
   * every 5th — exercising matched, skipped, and estimated-tail paths.
   *
-  * The greedy (q60) and windowed (q61) cursor merges have full DuckDB
-  * oracles: a recursive CTE drives the per-chapter cursor state while a
-  * bit-parallel LCS fold reproduces the indel similarity (see
-  * [[lcsExpr]]). Only verse_fuzzy (q64) remains rows-only — its scores
-  * run against the full ~700-char chapter transcription, beyond the
-  * 63-char single-word mask bound; its semantics are covered by
-  * AlignersSpec golden/property tests.
+  * All three ASR-driven kernels have full DuckDB oracles: the greedy
+  * (q60) and windowed (q61) cursor merges run as recursive CTEs driving
+  * the per-chapter cursor state with a bit-parallel LCS fold for the
+  * indel similarity, and verse_fuzzy (q64) — cursor-free — scores each
+  * verse against the full chapter transcription with the HUGEINT LCS
+  * variants (see [[FuzzySql]]). AlignersSpec golden/property tests
+  * cover the kernels besides.
   */
 object AlignQueries {
 
@@ -185,7 +185,7 @@ object AlignQueries {
     * plus the chapter rollup (tl) — identical inputs to what
     * [[verseDs]]/[[transDs]] feed the kernels.
     */
-  private def alignCtes: String =
+  private def wordCte: String =
     s"""w AS (
        SELECT 'b' || CAST(doc_id % 5 AS VARCHAR) AS book,
          CAST((doc_id // 5) % 10 + 1 AS INTEGER) AS chapter,
@@ -195,7 +195,10 @@ object AlignQueries {
          SELECT doc_id, list_filter(string_split(
            translate(lower(text), '$latin', '$hebrew'), ' '),
            x -> x <> '') AS toks
-         FROM documents WHERE doc_id < 50)),
+         FROM documents WHERE doc_id < 50))"""
+
+  private def alignCtes: String =
+    s"""$wordCte,
      wl AS (
        SELECT book, chapter,
          list(struct_pack(word := word,
@@ -246,23 +249,100 @@ object AlignQueries {
        FROM out o JOIN tl t USING (book, chapter)
        ORDER BY book, chapter, verse_num, wpos"""
 
-  /** The cursor-dependent kernels now have full oracles for greedy (q60)
-    * and windowed (q61): the per-chapter cursor merge is a recursive CTE
+  /** Portable 2-dp rounding, identical to Aligners.round2 and the
+    * q62/q63 oracles: floor(x·100 + 0.5)/100.
+    */
+  private def r2(x: String): String = s"FLOOR($x * 100 + 0.5) / 100"
+
+  /** q64 verse_fuzzy oracle: unlike greedy/windowed there is no cursor,
+    * so no recursion — per-verse scores (max of partial / token_sort /
+    * token_set against the FULL chapter transcription, via the HUGEINT
+    * LCS variants in [[FuzzySql]]) plus the same word-density cumsum
+    * timing as the q63 oracle. The chapter confidence mirrors the
+    * kernel's sequential mean of ROUNDED verse confidences via a
+    * list_reduce fold in verse order (a windowed AVG could differ in
+    * the last ulp right at a .005 rounding boundary).
+    */
+  private def verseFuzzyOracle: String = {
+    import FuzzySql.{partialHuge, tokenSetHuge, tokenSortHuge}
+    val verseDur =
+      """CASE WHEN total_words > 0
+           THEN CAST(n_words AS DOUBLE) / total_words * total_duration
+           ELSE total_duration / n_verses END"""
+    s"""WITH $wordCte,
+       verse AS (
+         SELECT book, chapter, CAST(pos // 8 + 1 AS INTEGER) AS verse_num,
+           coalesce(array_to_string(list(word ORDER BY pos), ' '), '')
+             AS vtext,
+           count(*) AS n_words
+         FROM w GROUP BY book, chapter, CAST(pos // 8 + 1 AS INTEGER)),
+       ch AS (
+         SELECT book, chapter,
+           coalesce(array_to_string(list(
+             CASE WHEN pos % 5 = 2 THEN word || 'א' ELSE word END
+             ORDER BY pos) FILTER (WHERE pos % 7 <> 3), ' '), '') AS full,
+           MAX(CAST(pos AS DOUBLE) * 0.5 + 0.4)
+             FILTER (WHERE pos % 7 <> 3) AS total_duration,
+           count(*) AS total_words,
+           count(DISTINCT CAST(pos // 8 + 1 AS INTEGER)) AS n_verses
+         FROM w GROUP BY book, chapter),
+       scored AS (
+         SELECT v.book, v.chapter, v.verse_num, v.n_words, v.vtext,
+           ch.total_duration, ch.total_words, ch.n_verses,
+           greatest(${partialHuge("v.vtext", "ch.full")},
+             greatest(${tokenSortHuge("v.vtext", "ch.full")},
+                      ${tokenSetHuge("v.vtext", "ch.full")})) / 100.0
+             AS score
+         FROM verse v JOIN ch USING (book, chapter)),
+       timed AS (
+         SELECT *,
+           $verseDur AS verse_dur,
+           coalesce(SUM($verseDur) OVER (
+             PARTITION BY book, chapter ORDER BY verse_num
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             CAST(0.0 AS DOUBLE)) AS vstart_raw
+         FROM scored),
+       conf AS (
+         SELECT book, chapter,
+           ${r2("list_reduce(list(" + r2("score") +
+        " ORDER BY verse_num), (x, y) -> x + y) / count(*)")}
+             AS overall_confidence
+         FROM timed GROUP BY book, chapter)
+       SELECT t.book, t.chapter,
+         ${r2("t.total_duration")} AS total_duration,
+         c.overall_confidence,
+         t.verse_num,
+         ${r2("t.vstart_raw")} AS verse_start,
+         ${r2("(t.vstart_raw + t.verse_dur)")} AS verse_end,
+         CAST(w.pos % 8 AS INTEGER) AS wpos, w.word,
+         ${r2("(t.vstart_raw + (w.pos % 8) * (t.verse_dur / t.n_words))")}
+           AS start,
+         ${r2("(t.vstart_raw + ((w.pos % 8) + 1) * " +
+        "(t.verse_dur / t.n_words))")} AS "end",
+         ${r2("t.score")} AS confidence
+       FROM w
+       JOIN timed t ON t.book = w.book AND t.chapter = w.chapter
+         AND t.verse_num = CAST(w.pos // 8 + 1 AS INTEGER)
+       JOIN conf c ON c.book = w.book AND c.chapter = w.chapter
+       ORDER BY w.book, w.chapter, t.verse_num, wpos"""
+  }
+
+  /** Every alignment strategy is now independently oracle-checked. The
+    * cursor kernels (q60 greedy, q61 windowed) are recursive CTEs
     * advancing one word per iteration (state = transcription cursor +
-    * running verse end, all 50 chapters advance in parallel rows), and
-    * the indel similarity the cursor gates on is the bit-parallel LCS
-    * fold above — the whole sequential recurrence the "not
-    * SQL-expressible" justification used to cover is ~100 iterations of
-    * pure arithmetic at fixture scale. Only verse_fuzzy (q64) stays
-    * rows-only: its partial/token_sort/token_set scores run against the
-    * FULL chapter transcription (~700 chars), past the 63-char BIGINT
-    * mask bound and into multi-word-block LCS territory that SQL folds
-    * can't express economically. The estimated kernels (q62 uniform,
-    * q63 density) and the declarative variant (q82) mirror the kernels'
-    * arithmetic op-for-op (same associativity, same floor-portable 2-dp
-    * rounding) so doubles match bit-exactly. These strings avoid
-    * stripMargin: the LCS fold contains literal `|` bitwise operators
-    * that a margin strip would eat if a wrap ever put one at line head.
+    * running verse end, all 50 chapters advance in parallel rows); the
+    * indel similarity the cursor gates on is the bit-parallel LCS fold
+    * — the whole sequential recurrence the old "not SQL-expressible"
+    * justification covered is ~100 iterations of pure arithmetic at
+    * fixture scale. q64 verse_fuzzy scores whole verses against the
+    * ~700-char chapter transcription — past the 63-char BIGINT mask
+    * bound — via the HUGEINT variants. The estimated kernels (q62
+    * uniform, q63 density) and the declarative variant (q82) mirror the
+    * kernels' arithmetic op-for-op (same associativity, same
+    * floor-portable 2-dp rounding) so doubles match bit-exactly. These
+    * strings avoid stripMargin: the LCS folds contain literal `|`
+    * bitwise operators that a margin strip would eat if a wrap ever put
+    * one at line head.
     */
   def oracle: Map[String, String] = Map(
     "q60_align_greedy" ->
@@ -299,6 +379,8 @@ object AlignQueries {
         """COALESCE(MIN(CASE WHEN o.m THEN o.w_start END) OVER
              (PARTITION BY o.book, o.chapter, o.verse_num),
              CAST(0.0 AS DOUBLE))""")}""",
+
+    "q64_align_verse_fuzzy" -> verseFuzzyOracle,
 
     "q61_align_windowed" ->
       s"""WITH RECURSIVE

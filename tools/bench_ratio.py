@@ -1,0 +1,37 @@
+#!/usr/bin/env python3
+"""Compare two Bench JSON artifacts (e.g. sf0.1 vs a derived sf1.0) and
+flag super-linear per-query scaling — the VERDICT r6 ask: a quadratic
+hiding behind a df-cap or hot-bucket guard shows up as a ratio well
+beyond the data growth factor.
+
+Usage: python3 tools/bench_ratio.py <base.json> <scaled.json> <factor>
+
+A query is flagged when its time ratio exceeds factor * SLACK (default
+slack 2.5x: noop-sink materialization has fixed per-query overhead that
+deflates small-query ratios, and host-load noise inflates individual
+medians; the signal sought is ratios of 20x+ at factor 10, not 12x).
+Queries on fixed-size fixtures (the doc_id<50 aligner family) naturally
+ratio ~1 and are never flagged.
+"""
+import json, sys
+
+SLACK = 2.5
+
+base, scaled, factor = sys.argv[1], sys.argv[2], float(sys.argv[3])
+b = json.load(open(base))
+s = json.load(open(scaled))
+bq, sq = b["queries"], s["queries"]
+print(f"{'query':<28}{'base':>9}{'scaled':>9}{'ratio':>8}  flag")
+flagged = []
+for q in sorted(bq):
+    if q not in sq or bq[q] <= 0 or sq[q] <= 0:
+        continue
+    r = sq[q] / bq[q]
+    flag = "SUPER-LINEAR" if r > factor * SLACK else ""
+    if flag:
+        flagged.append(q)
+    print(f"{q:<28}{bq[q]:>9.3f}{sq[q]:>9.3f}{r:>8.2f}  {flag}")
+tb = sum(v for v in bq.values() if v > 0)
+ts = sum(v for v in sq.values() if q in bq and v > 0)
+print(f"\ntotal {tb:.2f}s -> {ts:.2f}s (x{ts/tb:.2f} at data x{factor:g})")
+print("flagged:", flagged if flagged else "none")
