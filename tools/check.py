@@ -32,6 +32,50 @@ BOUNDED = {
 }
 
 
+# Outputs past this row count skip the Python fetchall compare (a 54M-row
+# pair table would need ~20 GB of tuples) and compare inside DuckDB
+# instead: schema by sorted column names, row count, then a multiset
+# symmetric difference (EXCEPT ALL both ways) over a 6-dp-rounded
+# projection. The oracle runs once into a temp table, not three times.
+BIG_ROWS = 2_000_000
+
+
+def norm_proj(con, src):
+    cols = con.sql(f"DESCRIBE {src}").fetchall()
+    parts = {}
+    for name, typ, *_ in cols:
+        q = '"' + name + '"'
+        if typ in ("DOUBLE", "FLOAT", "REAL"):
+            parts[name] = f"round(CAST({q} AS DOUBLE), 6) AS {q}"
+        else:
+            parts[name] = f"{q}"
+    names = sorted(parts)
+    return ", ".join(parts[n] for n in names), names
+
+
+def check_big(con, name, dump, sql):
+    spark_src = f"SELECT * FROM read_parquet('{dump}/*.parquet')"
+    con.execute("DROP TABLE IF EXISTS _oracle_big")
+    con.execute(f"CREATE TEMP TABLE _oracle_big AS {sql}")
+    proj_s, names_s = norm_proj(con, spark_src)
+    proj_o, names_o = norm_proj(con, "SELECT * FROM _oracle_big")
+    if names_s != names_o:
+        return f"SCHEMA: spark={names_s} duck={names_o}"
+    cnt_s = con.sql(f"SELECT count(*) FROM ({spark_src})").fetchone()[0]
+    cnt_o = con.sql("SELECT count(*) FROM _oracle_big").fetchone()[0]
+    if cnt_s != cnt_o:
+        return f"ROWCOUNT: spark={cnt_s} duck={cnt_o}"
+    diff = con.sql(f"""
+        SELECT count(*) FROM (
+          (SELECT {proj_s} FROM ({spark_src})
+           EXCEPT ALL SELECT {proj_o} FROM _oracle_big)
+          UNION ALL
+          (SELECT {proj_o} FROM _oracle_big
+           EXCEPT ALL SELECT {proj_s} FROM ({spark_src})))""").fetchone()[0]
+    con.execute("DROP TABLE IF EXISTS _oracle_big")
+    return "OK" if diff == 0 else f"VALUES: {diff} multiset-diff rows"
+
+
 def check_bounded(con, name, dump, spec):
     rel = con.sql(f"SELECT * FROM read_parquet('{dump}/*.parquet')")
     names = [c[0] for c in rel.description]
@@ -92,6 +136,12 @@ def main():
             results[name] = "NO_SPARK_OUTPUT"
             continue
         try:
+            n_spark = con.sql(
+                f"SELECT count(*) FROM read_parquet('{dump}/*.parquet')"
+            ).fetchone()[0]
+            if n_spark > BIG_ROWS:
+                results[name] = check_big(con, name, dump, sql)
+                continue
             got_names, got = rows_of(
                 con.sql(f"SELECT * FROM read_parquet('{dump}/*.parquet')"))
         except Exception as e:
