@@ -318,6 +318,11 @@ object Coverage {
       val bandsSql = (0 until 4).map(b =>
         s"SELECT vec_id, $b AS band, ${bandBucket(b)} AS bucket " +
           "FROM embeddings").mkString("\n  |  UNION ALL ")
+      // cosine via list_dot_product on the pair row, NOT a per-dimension
+      // unnest self-join: at the derived sf1 (20k vectors, ~2M distinct
+      // candidates) DuckDB's planner turned the unnest join into an
+      // i=i-first product that spilled >79 GB; the list form verified
+      // the same 90k sf1 pairs in one second
       s"""WITH bands AS (
          |  $bandsSql),
          |cand AS (
@@ -325,19 +330,17 @@ object Coverage {
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.bucket = y.bucket
          |      AND x.vec_id < y.vec_id),
-         |ax AS (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         |         unnest(embedding)::DOUBLE AS x
-         |  FROM embeddings),
-         |pairs AS (
-         |  SELECT c.id1, c.id2, sum(a.x * b2.x) AS dot,
-         |    sqrt(sum(a.x * a.x)) AS n1, sqrt(sum(b2.x * b2.x)) AS n2
+         |vec AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cos AS (
+         |  SELECT c.id1, c.id2,
+         |    list_dot_product(a.e, b.e)
+         |      / (sqrt(list_dot_product(a.e, a.e))
+         |         * sqrt(list_dot_product(b.e, b.e))) AS cs
          |  FROM cand c
-         |  JOIN ax a ON a.vec_id = c.id1
-         |  JOIN ax b2 ON b2.vec_id = c.id2 AND b2.i = a.i
-         |  GROUP BY 1, 2)
-         |SELECT id1, id2, ROUND(dot / (n1 * n2), 5) AS cos_sim
-         |FROM pairs WHERE ROUND(dot / (n1 * n2), 5) > 0.85
+         |  JOIN vec a ON a.vec_id = c.id1
+         |  JOIN vec b ON b.vec_id = c.id2)
+         |SELECT id1, id2, ROUND(cs, 5) AS cos_sim
+         |FROM cos WHERE ROUND(cs, 5) > 0.85
          |ORDER BY id1, id2""".stripMargin
     }
   )
