@@ -153,17 +153,31 @@ object Relational {
     // J6: point-in-interval range join (viewer time lookup analog).
     // Banded: [p_size, p_size+0.5) ⊂ [p_size, p_size+1) ⇒ floor(value)
     // is an exact equi-key, so Catalyst plans a broadcast-HASH join with
-    // a residual range predicate instead of a nested-loop scan — the
-    // difference between O(|e|·|p|) and O(|e|) at 100 TB.
+    // a residual range predicate instead of a nested-loop scan.
+    // SCALE SHAPE (caught by the sf1.0 ratio run, 158× at 10× data):
+    // p_size has ~50 distinct values at EVERY scale factor, so joining
+    // events directly to parts multiplies every event by every
+    // same-size part — both sides grow on a fixed key domain and the
+    // join output grows quadratically. All parts of one size define the
+    // SAME interval, so aggregate per DISTINCT interval first (~50
+    // groups regardless of SF), then broadcast the tiny aggregate back
+    // onto parts: O(events + parts), identical rows. The general rule:
+    // a banded range join stays linear only while band occupancy is
+    // bounded — when intervals duplicate, dedupe before the join and
+    // fan the aggregate back out after.
     "q12_range_join" -> ((s, d) => {
       val e = Tables.events(s, d)
         .withColumn("band", floor(col("value")).cast("int"))
-      val p = broadcast(Tables.part(s, d))
-      e.join(p, e("band") === p("p_size") &&
-          e("value") >= p("p_size") && e("value") < p("p_size") + lit(0.5))
-        .groupBy(col("p_partkey"))
-        .agg(count(lit(1)).as("n_hits"),
-          round(sum(col("value")), 2).as("sum_val"))
+      val sizes = broadcast(
+        Tables.part(s, d).select(col("p_size")).distinct())
+      val perSize = e.join(sizes, e("band") === col("p_size") &&
+          e("value") >= col("p_size") &&
+          e("value") < col("p_size") + lit(0.5))
+        .groupBy(col("p_size"))
+        .agg(count(lit(1)).as("n_hits"), sum(col("value")).as("raw_sum"))
+      Tables.part(s, d).join(broadcast(perSize), Seq("p_size"))
+        .select(col("p_partkey"), col("n_hits"),
+          round(col("raw_sum"), 2).as("sum_val"))
         .orderBy("p_partkey")
     }),
 

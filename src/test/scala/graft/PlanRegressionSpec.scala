@@ -46,6 +46,15 @@ class PlanRegressionSpec extends AnyFunSuite {
       val plan = planOf(SparkEntry.queries(q)(spark, sf))
       assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcast")
     }
+    // q12's scale shape (sf1.0 ratio run caught the direct form at 158×
+    // on 10× data): events aggregate per DISTINCT interval before the
+    // per-part fan-out, so the plan carries TWO broadcast joins — the
+    // deduped-interval probe and the aggregate re-attach. A revert to
+    // the direct events×parts join shows exactly one.
+    val q12 = planOf(SparkEntry.queries("q12_range_join")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(q12).length >= 2,
+      "q12 lost its aggregate-before-fanout shape (direct join is " +
+        "quadratic in per-size multiplicity)")
   }
 
   test("ivfAssign introduces no Exchange (zero-shuffle assignment)") {
