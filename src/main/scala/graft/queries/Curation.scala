@@ -311,6 +311,11 @@ object Curation {
          |SELECT id1, id2, n_shared FROM p WHERE n_shared >= 5
          |ORDER BY id1, id2""".stripMargin,
 
+    // mirrors tokenBudgetSampleFlag's edge handling exactly (r6 ADVICE):
+    // a zero/NULL-token stratum keeps rate 100 (nothing to budget away),
+    // and the rate join is null-safe (IS NOT DISTINCT FROM = Spark's
+    // <=>) so a NULL stratum survives like any other group — gate data
+    // has no such strata, but operator and oracle now agree on them
     "q110_token_budget_mix" ->
       """WITH base AS (
         |  SELECT doc_id, lang,
@@ -319,14 +324,16 @@ object Curation {
         |  FROM documents),
         |totals AS (
         |  SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-        |    CAST(LEAST(100, 20000 * 100 // SUM(n_tok)) AS BIGINT) AS rate_pct
+        |    CAST(CASE WHEN SUM(n_tok) > 0
+        |         THEN LEAST(100, 20000 * 100 // SUM(n_tok))
+        |         ELSE 100 END AS BIGINT) AS rate_pct
         |  FROM base GROUP BY lang),
         |flagged AS (
         |  SELECT b.lang, b.n_tok, t.rate_pct, t.total_tokens,
         |    CAST('0x' || substring(md5('budget:' ||
         |      CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
         |      < t.rate_pct AS sampled
-        |  FROM base b JOIN totals t USING (lang))
+        |  FROM base b JOIN totals t ON b.lang IS NOT DISTINCT FROM t.lang)
         |SELECT lang, MAX(rate_pct) AS rate_pct,
         |  MAX(total_tokens) AS total_tokens,
         |  CAST(SUM(CASE WHEN sampled THEN n_tok ELSE 0 END) AS BIGINT)
