@@ -218,16 +218,23 @@ object AlignQueries {
        FROM w WHERE pos % 7 <> 3 GROUP BY book, chapter)"""
 
   /** The anchor row of both aligner recursions: cursor at word 0,
-    * transcription index 0, typed NULL output fields.
+    * transcription index 0, typed NULL output fields. LEFT join to tl:
+    * the kernels still align a chapter whose transcription is EMPTY
+    * (every word gets an estimated slot, rollup (0, 0)) — an inner join
+    * would silently drop it. The fixture never produces one (pos 0 is
+    * never dropped), but operator and oracle should agree on the edge.
     */
   private def alignAnchor: String =
-    """SELECT wl.book, wl.chapter, ws, ts, 0 AS k, 0 AS ti,
+    """SELECT wl.book, wl.chapter, ws,
+         COALESCE(ts, CAST([] AS
+           STRUCT(nt VARCHAR, s DOUBLE, e DOUBLE)[])) AS ts,
+         0 AS k, 0 AS ti,
          CAST(0.0 AS DOUBLE) AS vend,
          CAST(NULL AS INTEGER) AS verse_num, CAST(NULL AS INTEGER) AS wpos,
          CAST(NULL AS VARCHAR) AS word, CAST(NULL AS DOUBLE) AS w_start,
          CAST(NULL AS DOUBLE) AS w_end, CAST(NULL AS DOUBLE) AS conf,
          CAST(NULL AS BOOLEAN) AS m
-       FROM wl JOIN tl USING (book, chapter)"""
+       FROM wl LEFT JOIN tl USING (book, chapter)"""
 
   /** Final projection shared by both aligner oracles; `verseStart`
     * differs (greedy: first MATCHED word's start; windowed: first
@@ -238,7 +245,11 @@ object AlignQueries {
          SELECT book, chapter, k, verse_num, wpos, word, w_start, w_end,
            conf, m
          FROM st WHERE k >= 1)
-       SELECT o.book, o.chapter, t.total_duration, t.overall_confidence,
+       SELECT o.book, o.chapter,
+         COALESCE(t.total_duration, CAST(0.0 AS DOUBLE))
+           AS total_duration,
+         COALESCE(t.overall_confidence, CAST(0.0 AS DOUBLE))
+           AS overall_confidence,
          o.verse_num,
          $verseStart AS verse_start,
          FIRST_VALUE(o.w_end) OVER
@@ -246,7 +257,7 @@ object AlignQueries {
            AS verse_end,
          o.wpos, o.word, o.w_start AS start, o.w_end AS "end",
          o.conf AS confidence
-       FROM out o JOIN tl t USING (book, chapter)
+       FROM out o LEFT JOIN tl t USING (book, chapter)
        ORDER BY book, chapter, verse_num, wpos"""
 
   /** Portable 2-dp rounding, identical to Aligners.round2 and the
@@ -293,7 +304,11 @@ object AlignQueries {
              greatest(${tokenSortHuge("v.vtext", "ch.full")},
                       ${tokenSetHuge("v.vtext", "ch.full")})) / 100.0
              AS score
-         FROM verse v JOIN ch USING (book, chapter)),
+         FROM verse v JOIN ch USING (book, chapter)
+         -- the kernel returns Seq.empty for a chapter with an empty
+         -- transcription (total_duration is NULL exactly then); the
+         -- fixture never produces one, but mirror the edge
+         WHERE ch.total_duration IS NOT NULL),
        timed AS (
          SELECT *,
            $verseDur AS verse_dur,
