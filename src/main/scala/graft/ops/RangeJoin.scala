@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   * `bandWidth` trades replication for selectivity: intervals replicate
   * once per band they overlap, so pick a width near the typical interval
   * length (exact replication factor = ⌈len/width⌉+1 worst case).
+  *
+  * SCALE CAVEAT (measured: the round-7 sf1.0 ratio run caught q12's
+  * direct form at 247× on 10× data): the equi-join is linear only while
+  * per-band occupancy stays bounded. If the band key domain does NOT
+  * grow with the data — duplicate intervals, or points densifying over
+  * a fixed range — the per-band product grows quadratically. When many
+  * intervals are IDENTICAL, dedupe them before the join, aggregate the
+  * points per distinct interval, and broadcast the (tiny) aggregate
+  * back onto the duplicates afterwards: identical rows, O(points +
+  * intervals). See q12_range_join in queries/Relational.scala for the
+  * committed shape and PlanRegressionSpec for its plan gate.
   */
 object RangeJoin {
 
