@@ -119,13 +119,6 @@ object AudioQueries {
       .orderBy("p_partkey")
   }
 
-  /** Sorted tokens as in Fuzzy.sortedTokens: split on \s+, drop
-    * empties, sort (part names are ASCII, so DuckDB's binary collation
-    * and Java's UTF-16 string order agree).
-    */
-  private def sortedToks(x: String): String =
-    s"list_sort(list_filter(string_split_regex($x, '\\s+'), t -> t <> ''))"
-
   /** q68: all four fuzzy kernels re-derived in SQL over the same
     * adjacent-part-name pairs. `array_to_string` of an empty list is
     * NULL in DuckDB (Scala mkString gives ""), hence the coalesces; the
@@ -134,7 +127,7 @@ object AudioQueries {
     * literal `|` bitwise operators.
     */
   private def fuzzyOracle: String = {
-    import FuzzySql.{partialExpr, ratioExpr}
+    import FuzzySql.{partialExpr, ratioExpr, sortedToks}
     s"""WITH pairs AS (
          SELECT p1.p_partkey, p1.p_name AS a, p2.p_name AS b
          FROM part p1 JOIN part p2 ON p2.p_partkey = p1.p_partkey + 1),
