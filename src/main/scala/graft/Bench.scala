@@ -114,11 +114,17 @@ object Bench {
     val total = results.map(r => median(r._2.map(_._1))).filter(_ >= 0).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"samples":$sJson,"load1":$lJson,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"sf":"$sfDir"}"""
-    println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
+    // The full self-adjudicating dump (samples + per-sample load1) goes
+    // to bench_out.json above; stdout's LAST line is a compact
+    // medians-only rendering of the driver contract (~1 KB), small
+    // enough to survive a bounded tail-capture window intact. Printed
+    // after spark.stop() so no shutdown logging can trail it.
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
   }
 }

@@ -21,8 +21,8 @@ import org.apache.spark.sql.functions._
   * intervals are IDENTICAL, dedupe them before the join, aggregate the
   * points per distinct interval, and broadcast the (tiny) aggregate
   * back onto the duplicates afterwards: identical rows, O(points +
-  * intervals). See q12_range_join in queries/Relational.scala for the
-  * committed shape and PlanRegressionSpec for its plan gate.
+  * intervals). That shape is `pointInIntervalAggregated` below —
+  * q12_range_join routes through it, PlanRegressionSpec gates the plan.
   */
 object RangeJoin {
 
@@ -32,7 +32,8 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, x: String,
       intervals: DataFrame, lo: String, hi: String,
       equiKeys: Seq[String] = Seq.empty,
-      bandWidth: Double = 1.0): DataFrame = {
+      bandWidth: Double = 1.0,
+      broadcastIntervals: Boolean = false): DataFrame = {
     val p = points.withColumn("_band",
       floor(col(x) / bandWidth).cast("long"))
     // Top band is floor(hi/bandWidth) — NOT floor((hi-ε)/bandWidth):
@@ -41,13 +42,45 @@ object RangeJoin {
     // When hi lands exactly ON a boundary this replicates one band too
     // many; the residual x < hi predicate cuts those rows — correctness
     // over a marginal replication saving.
-    val i = intervals.withColumn("_band",
+    val banded = intervals.withColumn("_band",
       explode(sequence(
         floor(col(lo) / bandWidth).cast("long"),
         greatest(floor(col(hi) / bandWidth).cast("long"),
           floor(col(lo) / bandWidth).cast("long")))))
+    // Hint AFTER the explode: a hint below a Generate is not reliably
+    // pulled up into the join, and the plan gates need a static
+    // BroadcastHashJoin even with AQE off.
+    val i = if (broadcastIntervals) broadcast(banded) else banded
     p.join(i, equiKeys :+ "_band")
       .filter(col(x) >= col(lo) && col(x) < col(hi))
       .drop("_band")
+  }
+
+  /** The scale-safe form of the caveat above, as an API so the next
+    * caller with duplicated intervals doesn't rediscover the quadratic
+    * (q12's direct form measured 247x on 10x data at sf1.0): aggregate
+    * `points` once per DISTINCT (equiKeys, lo, hi) interval — a bounded
+    * group count whenever the interval domain is bounded — then
+    * broadcast the tiny aggregate back onto every duplicate interval
+    * row. O(points + intervals) instead of O(points x duplicates).
+    *
+    * `aggs` (non-empty) aggregate the matched points per interval;
+    * `intervals` keeps ALL its columns, gaining the agg columns.
+    * `joinType` "inner" drops intervals with no matching points;
+    * "left" keeps them with null aggregates. `lo`/`hi` column names
+    * must not collide with `points` columns.
+    */
+  def pointInIntervalAggregated(points: DataFrame, x: String,
+      intervals: DataFrame, lo: String, hi: String,
+      aggs: Seq[Column], equiKeys: Seq[String] = Seq.empty,
+      bandWidth: Double = 1.0, joinType: String = "inner"): DataFrame = {
+    require(aggs.nonEmpty, "pointInIntervalAggregated needs >= 1 agg")
+    val keyCols = equiKeys :+ lo :+ hi
+    val distinctIntervals = intervals.select(keyCols.map(col): _*).distinct()
+    val perInterval = pointInInterval(points, x, distinctIntervals,
+        lo, hi, equiKeys, bandWidth, broadcastIntervals = true)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    intervals.join(broadcast(perInterval), keyCols, joinType)
   }
 }

@@ -350,7 +350,7 @@ object AlignQueries {
     * — the whole sequential recurrence the old "not SQL-expressible"
     * justification covered is ~100 iterations of pure arithmetic at
     * fixture scale. q64 verse_fuzzy scores whole verses against the
-    * ~700-char chapter transcription — past the 63-char BIGINT mask
+    * ~700-char chapter transcription — past the 62-char BIGINT mask
     * bound — via the HUGEINT variants. The estimated kernels (q62
     * uniform, q63 density) and the declarative variant (q82) mirror the
     * kernels' arithmetic op-for-op (same associativity, same

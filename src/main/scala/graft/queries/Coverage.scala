@@ -52,16 +52,15 @@ object Coverage {
         .orderBy("doc_id")
     }),
 
-    // HLL sketch counts for corpus stats (SURVEY §2.4 note). Rows-only:
-    // Spark's HLL++ and DuckDB's HLL differ by construction; the exact
-    // counts sit alongside for the error-bound sanity check.
+    // HLL sketch counts for corpus stats (SURVEY §2.4 note). The sketch
+    // value itself can't hash-match an independent engine (Spark's HLL++
+    // and DuckDB's HLL differ by construction), so the query reduces it
+    // to what IS deterministic: the exact counts, plus in-query booleans
+    // asserting the sketch landed within 3x its configured rsd (0.05).
+    // Oracle = exact counts + TRUE, TRUE; ApproxBoundSpec keeps the raw
+    // quantitative error gate as defense-in-depth.
     "q76_approx_distinct" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+      approxDistinctQuery(s, d)
     }),
 
     // P5: Hebrew-character count predicate over transliterated text.
@@ -219,7 +218,40 @@ object Coverage {
       .orderBy("grp")
   }
 
+  /** HLL++ sketch vs exact distinct, reduced to oracle-checkable output.
+    *
+    * `withApprox = true` (ApproxBoundSpec) additionally exposes the raw
+    * approx_* columns so the quantitative |approx-exact|/exact bound can
+    * be asserted directly; the driver-facing q76 shape drops them so the
+    * remaining columns are engine-independent. exact == 0 demands
+    * approx == 0 (a ratio tolerance is vacuous at zero).
+    */
+  def approxDistinctQuery(s: SparkSession, d: String,
+      withApprox: Boolean = false): DataFrame = {
+    val agg = Tables.lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      countDistinct(col("l_orderkey")).as("exact_orders"))
+    def withinTol(a: String, e: String) =
+      when(col(e) === 0, col(a) === 0)
+        .otherwise(abs(col(a) - col(e)) / col(e) <= lit(0.15))
+    val base = Seq(col("exact_parts"), col("exact_orders"),
+      withinTol("approx_parts", "exact_parts").as("parts_within_tol"),
+      withinTol("approx_orders", "exact_orders").as("orders_within_tol"))
+    val cols = if (withApprox)
+      base ++ Seq(col("approx_parts"), col("approx_orders"))
+    else base
+    agg.select(cols: _*)
+  }
+
   def oracle: Map[String, String] = Map(
+    "q76_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_within_tol, TRUE AS orders_within_tol
+        |FROM lineitem""".stripMargin,
+
     "q93_grammar_text" ->
       s"""WITH m AS (
          |  SELECT doc_id,

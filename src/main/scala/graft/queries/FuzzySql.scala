@@ -15,8 +15,12 @@ package graft.queries
   */
 private[queries] object FuzzySql {
 
-  /** LCS of `a` and `b`; `a` is the mask side and must stay ≤ 63 chars
-    * (fixture tokens ≤ 8, part names ≤ 12 — far inside the bound).
+  /** LCS of `a` and `b`; `a` is the mask side and must stay ≤ 62 chars:
+    * the confinement mask `(1::BIGINT << length(a)) - 1` overflows
+    * BIGINT at exactly 63 (DuckDB raises out-of-range), so 62 is the
+    * real bound — route longer strings through the HUGEINT variants in
+    * AlignQueries. Fixture tokens ≤ 8, part names ≤ 12, token_set's
+    * sorted-token concatenations ≤ ~58 — all inside the bound.
     */
   def lcsExpr(a: String, b: String): String =
     s"""bit_count(list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -85,7 +89,7 @@ private[queries] object FuzzySql {
 
   // ---- HUGEINT variants: general strings up to 126 chars on the mask
   // side (the verse_fuzzy kernel scores whole verses against the full
-  // chapter transcription — past the 63-char BIGINT bound, inside
+  // chapter transcription — past the 62-char BIGINT bound, inside
   // HUGEINT's 127 value bits). Character access goes through
   // string_split arrays (O(1) list indexing; DuckDB string indexing
   // rescans UTF-8 per access), and partial_ratio binds the mask list

@@ -154,28 +154,23 @@ object Relational {
     // Banded: [p_size, p_size+0.5) ⊂ [p_size, p_size+1) ⇒ floor(value)
     // is an exact equi-key, so Catalyst plans a broadcast-HASH join with
     // a residual range predicate instead of a nested-loop scan.
-    // SCALE SHAPE (caught by the sf1.0 ratio run, 158× at 10× data):
-    // p_size has ~50 distinct values at EVERY scale factor, so joining
-    // events directly to parts multiplies every event by every
-    // same-size part — both sides grow on a fixed key domain and the
-    // join output grows quadratically. All parts of one size define the
-    // SAME interval, so aggregate per DISTINCT interval first (~50
-    // groups regardless of SF), then broadcast the tiny aggregate back
-    // onto parts: O(events + parts), identical rows. The general rule:
-    // a banded range join stays linear only while band occupancy is
-    // bounded — when intervals duplicate, dedupe before the join and
-    // fan the aggregate back out after.
+    // SCALE SHAPE (caught by the sf1.0 ratio run: the direct form was
+    // 247× at 10× data): p_size has ~50 distinct values at EVERY scale
+    // factor, so joining events directly to parts multiplies every
+    // event by every same-size part — both sides grow on a fixed key
+    // domain and the join output grows quadratically. All parts of one
+    // size define the SAME interval, so RangeJoin.pointInIntervalAggregated
+    // aggregates events per DISTINCT interval first (~50 groups
+    // regardless of SF), then broadcasts the tiny aggregate back onto
+    // parts: O(events + parts), identical rows.
     "q12_range_join" -> ((s, d) => {
-      val e = Tables.events(s, d)
-        .withColumn("band", floor(col("value")).cast("int"))
-      val sizes = broadcast(
-        Tables.part(s, d).select(col("p_size")).distinct())
-      val perSize = e.join(sizes, e("band") === col("p_size") &&
-          e("value") >= col("p_size") &&
-          e("value") < col("p_size") + lit(0.5))
-        .groupBy(col("p_size"))
-        .agg(count(lit(1)).as("n_hits"), sum(col("value")).as("raw_sum"))
-      Tables.part(s, d).join(broadcast(perSize), Seq("p_size"))
+      val intervals = Tables.part(s, d)
+        .withColumn("lo", col("p_size").cast("double"))
+        .withColumn("hi", col("p_size") + lit(0.5))
+      graft.ops.RangeJoin.pointInIntervalAggregated(
+          Tables.events(s, d), "value", intervals, "lo", "hi",
+          aggs = Seq(count(lit(1)).as("n_hits"),
+            sum(col("value")).as("raw_sum")))
         .select(col("p_partkey"), col("n_hits"),
           round(col("raw_sum"), 2).as("sum_val"))
         .orderBy("p_partkey")

@@ -53,9 +53,14 @@ object TextDedup {
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(f)))
       val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
       val siblings = f.getParentFile.listFiles()
+      // Age-gate on the NEWEST mtime anywhere in the tree, not the
+      // root's: a directory's own mtime only changes when direct
+      // children are added/removed, so a >6h-old JVM still actively
+      // writing deep inside its tree would look stale at the root and
+      // get its live shards deleted by a newly started JVM.
       if (siblings != null) siblings
         .filter(sib => sib.getName.startsWith(s"graft_${tag}_${user}_") &&
-          sib.getAbsolutePath != path && sib.lastModified() < cutoff)
+          sib.getAbsolutePath != path && newestMtime(sib) < cutoff)
         .foreach(deleteTree)
     }
     path
@@ -63,6 +68,12 @@ object TextDedup {
 
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def newestMtime(f: java.io.File): Long = {
+    val children = f.listFiles()
+    if (children == null) f.lastModified()
+    else (f.lastModified() +: children.map(newestMtime)).max
+  }
 
   private def deleteTree(f: java.io.File): Unit = {
     val children = f.listFiles()

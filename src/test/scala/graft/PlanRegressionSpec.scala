@@ -46,7 +46,7 @@ class PlanRegressionSpec extends AnyFunSuite {
       val plan = planOf(SparkEntry.queries(q)(spark, sf))
       assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcast")
     }
-    // q12's scale shape (sf1.0 ratio run caught the direct form at 158×
+    // q12's scale shape (sf1.0 ratio run caught the direct form at 247×
     // on 10× data): events aggregate per DISTINCT interval before the
     // per-part fan-out, so the plan carries TWO broadcast joins — the
     // deduped-interval probe and the aggregate re-attach. A revert to

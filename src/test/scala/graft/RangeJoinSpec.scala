@@ -51,6 +51,51 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(hits == Set(1L, 3L)) // 4.0 excluded (half-open)
   }
 
+  test("pointInIntervalAggregated: duplicate intervals, rows identical " +
+      "to naive join+agg, points aggregated once per distinct interval") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val points = (1 to 500).map(i => (i.toLong, rnd.nextDouble() * 10))
+      .toDF("pid", "x")
+    // 200 interval rows over only 5 DISTINCT (lo, hi) pairs — the
+    // duplicated-interval regime where the direct join is quadratic
+    val intervals = (1 to 200).map { i =>
+      val k = i % 5
+      (i.toLong, k * 2.0, k * 2.0 + 1.5)
+    }.toDF("iid", "lo", "hi")
+
+    val got = RangeJoin.pointInIntervalAggregated(points, "x", intervals,
+        "lo", "hi",
+        aggs = Seq(count(lit(1)).as("n"), sum(col("x")).as("sx")))
+      .select("iid", "n", "sx").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+
+    val naive = points.join(intervals,
+        col("x") >= col("lo") && col("x") < col("hi"))
+      .groupBy("iid").agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    assert(got == naive)
+    assert(got.size == 200) // every duplicate interval row got its agg
+
+    // left join keeps empty intervals with null aggs
+    val far = Seq((999L, 500.0, 501.0)).toDF("iid", "lo", "hi")
+    val left = RangeJoin.pointInIntervalAggregated(points, "x",
+        intervals.union(far), "lo", "hi",
+        aggs = Seq(count(lit(1)).as("n")), joinType = "left")
+    assert(left.count() == 201)
+    assert(left.filter(col("iid") === 999L).collect().head.isNullAt(
+      left.columns.indexOf("n")))
+
+    // plan shape: both the probe and the re-attach broadcast
+    val plan = RangeJoin.pointInIntervalAggregated(points, "x", intervals,
+        "lo", "hi", aggs = Seq(count(lit(1)).as("n")))
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan.take(600))
+  }
+
   test("hi just above a band boundary keeps points in [boundary, hi)") {
     import spark.implicits._
     // hi = 2 + 1e-10 sits within 1e-9 above the band-2 boundary: the old

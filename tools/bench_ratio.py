@@ -31,7 +31,12 @@ for q in sorted(bq):
     if flag:
         flagged.append(q)
     print(f"{q:<28}{bq[q]:>9.3f}{sq[q]:>9.3f}{r:>8.2f}  {flag}")
-tb = sum(v for v in bq.values() if v > 0)
-ts = sum(v for v in sq.values() if q in bq and v > 0)
-print(f"\ntotal {tb:.2f}s -> {ts:.2f}s (x{ts/tb:.2f} at data x{factor:g})")
+# totals over the SHARED query set only (and symmetric), so a query
+# present in one file but not the other can't skew the ratio
+tb = sum(v for k, v in bq.items() if k in sq and v > 0 and sq[k] > 0)
+ts = sum(v for k, v in sq.items() if k in bq and v > 0 and bq[k] > 0)
+if tb > 0:
+    print(f"\ntotal {tb:.2f}s -> {ts:.2f}s (x{ts/tb:.2f} at data x{factor:g})")
+else:
+    print("\nno shared positive-timing queries between the two files")
 print("flagged:", flagged if flagged else "none")

@@ -16,20 +16,13 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# Approximate queries get a quantitative gate instead of rows-only: the
-# exact_* columns must EQUAL DuckDB's exact answer, and each approx_*
-# column must sit within rel_tol of it. Spark's HLL++ default rsd is
-# 0.05; 3x that absorbs the sketch's tail while still catching a wrong
-# plan (which is off by orders of magnitude, not percent).
-BOUNDED = {
-    "q76_approx_distinct": {
-        "oracle": ("SELECT count(DISTINCT l_partkey) AS exact_parts, "
-                   "count(DISTINCT l_orderkey) AS exact_orders "
-                   "FROM lineitem"),
-        "pairs": [("approx_parts", "exact_parts", 0.15),
-                  ("approx_orders", "exact_orders", 0.15)],
-    },
-}
+# Approximate queries without a full oracle get a quantitative gate
+# instead of rows-only: the exact_* columns must EQUAL DuckDB's exact
+# answer, and each approx_* column must sit within rel_tol of it.
+# Currently empty: q76 moved to the normal hash path (it now emits exact
+# counts + in-query tolerance booleans; the raw quantitative bound lives
+# in ApproxBoundSpec). The machinery stays for the next approximate op.
+BOUNDED = {}
 
 
 # Outputs past this row count skip the Python fetchall compare (a 54M-row
@@ -93,7 +86,13 @@ def check_bounded(con, name, dump, spec):
             return (f"BOUNDED_EXACT: {exact_col} spark={got[exact_col]} "
                     f"duck={exact_row[exact_col]}")
         e = exact_row[exact_col]
-        err = abs(got[approx_col] - e) / e if e else 0.0
+        if not e:
+            # A ratio tolerance is vacuous at zero: demand approx == 0.
+            if got[approx_col] != 0:
+                return (f"BOUNDED_ERROR: {approx_col}={got[approx_col]} "
+                        f"but {exact_col}=0")
+            continue
+        err = abs(got[approx_col] - e) / e
         if err > tol:
             return (f"BOUNDED_ERROR: {approx_col}={got[approx_col]} vs "
                     f"{exact_col}={e} rel_err={err:.4f} > {tol}")
