@@ -26,21 +26,83 @@ object AlignQueries {
   private val latin = "abcdefghijklmnopqrstuvwxyz0123456789"
   private val hebrew = "אבגדהוזחטיכלמנסעפצקרשתאבגדהוזחטיכלמנ"
 
-  /** (book, chapter, pos, word) rows for doc_id < 50 — 50 chapters. */
-  private def wordRows(s: SparkSession, d: String): DataFrame =
+  /** Parameterized fixture shape, identically interpreted by the Spark
+    * builders and the DuckDB oracle renderings so seeded random variants
+    * stay cross-engine comparable ([[graft.DiffAlign]]):
+    *  - words at `pos % dropMod == dropOff` are "missed" by the ASR
+    *    (`dropMod <= 0` keeps everything);
+    *  - words at `pos % perturbMod == perturbOff` are perturbed —
+    *    appended 'א' (near-match) or replaced by a junk token
+    *    (`perturbJunk`, the no-match extreme);
+    *  - chapters with `chapter % emptyChapterMod == 0` lose their ENTIRE
+    *    transcription (the empty-transcription edge both kernels and
+    *    oracles must agree on);
+    *  - `verseLen` words per verse, `nDocs` chapters.
+    * Defaults reproduce the fixed 50-chapter corpus of q60/q61/q64.
+    */
+  case class AlignFixture(
+      nDocs: Int = 50, verseLen: Int = 8,
+      dropMod: Int = 7, dropOff: Int = 3,
+      perturbMod: Int = 5, perturbOff: Int = 2,
+      perturbJunk: Boolean = false,
+      emptyChapterMod: Int = 0) {
+
+    /** Junk replacement: normalizes into the Hebrew block, shares no
+      * letters with the transliteration alphabet's common mass.
+      */
+    val junk = "טטטטטטטטטט"
+
+    private[AlignQueries] def keepCol =
+      (if (dropMod > 0) col("pos") % dropMod =!= dropOff else lit(true)) &&
+        (if (emptyChapterMod > 0) col("chapter") % emptyChapterMod =!= 0
+         else lit(true))
+
+    private[AlignQueries] def perturbCol =
+      if (perturbMod <= 0) col("word")
+      else when(col("pos") % perturbMod === perturbOff,
+        if (perturbJunk) lit(junk) else concat(col("word"), lit("א")))
+        .otherwise(col("word"))
+
+    /** SQL twin of [[keepCol]] (w-CTE rows carry pos + chapter). */
+    private[AlignQueries] def keepSql: String = {
+      val parts =
+        (if (dropMod > 0) Seq(s"pos % $dropMod <> $dropOff") else Nil) ++
+          (if (emptyChapterMod > 0)
+             Seq(s"chapter % $emptyChapterMod <> 0") else Nil)
+      if (parts.isEmpty) "TRUE" else parts.mkString("(", " AND ", ")")
+    }
+
+    /** SQL twin of [[perturbCol]]. */
+    private[AlignQueries] def perturbSql: String =
+      if (perturbMod <= 0) "word"
+      else if (perturbJunk)
+        s"CASE WHEN pos % $perturbMod = $perturbOff THEN '$junk' " +
+          "ELSE word END"
+      else
+        s"CASE WHEN pos % $perturbMod = $perturbOff THEN word || 'א' " +
+          "ELSE word END"
+  }
+
+  /** The fixed corpus every driver query uses. */
+  private val defaultFixture = AlignFixture()
+
+  /** (book, chapter, pos, word) rows for doc_id < nDocs. */
+  private def wordRows(s: SparkSession, d: String,
+      f: AlignFixture = defaultFixture): DataFrame =
     Tables.documents(s, d)
-      .filter(col("doc_id") < 50)
+      .filter(col("doc_id") < f.nDocs)
       .select(
         concat(lit("b"), (col("doc_id") % 5).cast("string")).as("book"),
         ((col("doc_id") / 5).cast("int") % 10 + 1).as("chapter"),
         posexplode(filter(split(translate(lower(col("text")), latin, hebrew),
           " "), w => w =!= "")).as(Seq("pos", "word")))
 
-  private def verseDs(s: SparkSession, d: String): Dataset[Verse] = {
+  private[graft] def verseDs(s: SparkSession, d: String,
+      f: AlignFixture = defaultFixture): Dataset[Verse] = {
     import s.implicits._
-    wordRows(s, d)
+    wordRows(s, d, f)
       .groupBy(col("book"), col("chapter"),
-        (col("pos") / 8).cast("int").as("verse0"))
+        (col("pos") / f.verseLen).cast("int").as("verse0"))
       .agg(sort_array(collect_list(struct(col("pos"), col("word"))))
         .as("pw"))
       .select(col("book"), col("chapter"),
@@ -52,14 +114,14 @@ object AlignQueries {
       .as[Verse]
   }
 
-  private def transDs(s: SparkSession, d: String): Dataset[TranscribedWord] = {
+  private[graft] def transDs(s: SparkSession, d: String,
+      f: AlignFixture = defaultFixture): Dataset[TranscribedWord] = {
     import s.implicits._
-    wordRows(s, d)
-      .filter(col("pos") % 7 =!= 3) // ASR "missed" words
+    wordRows(s, d, f)
+      .filter(f.keepCol) // ASR "missed" words / empty chapters
       .select(col("book"), col("chapter"),
         (col("pos") + 1).as("seq"),
-        when(col("pos") % 5 === 2, concat(col("word"), lit("א")))
-          .otherwise(col("word")).as("text"),
+        f.perturbCol.as("text"),
         (col("pos") * 0.5).as("start"),
         (col("pos") * 0.5 + 0.4).as("end"),
         lit(0.9).as("confidence"))
@@ -178,6 +240,23 @@ object AlignQueries {
       flatten(AlignerDataset.alignChapters(verseDs(s, d), transDs(s, d),
         "verse_fuzzy"))))
 
+  /** Spark-side aligner run over an arbitrary fixture — the per-variant
+    * unit of the seeded differential sweep ([[graft.DiffAlign]]).
+    */
+  def alignQuery(method: String, s: SparkSession, d: String,
+      f: AlignFixture): DataFrame =
+    flatten(AlignerDataset.alignChapters(verseDs(s, d, f), transDs(s, d, f),
+      method))
+
+  /** Oracle SQL matching [[alignQuery]] for the same fixture. */
+  def alignOracle(method: String, f: AlignFixture): String = method match {
+    case "greedy" => greedyOracle(f)
+    case "windowed" => windowedOracle(f)
+    case "verse_fuzzy" => verseFuzzyOracle(f)
+    case other =>
+      throw new IllegalArgumentException(s"no oracle for $other")
+  }
+
   import FuzzySql.{lcsExpr, simExpr}
 
   /** Shared oracle CTEs: the word fixture (w), per-chapter ordered word
@@ -185,7 +264,7 @@ object AlignQueries {
     * plus the chapter rollup (tl) — identical inputs to what
     * [[verseDs]]/[[transDs]] feed the kernels.
     */
-  private def wordCte: String =
+  private def wordCte(f: AlignFixture): String =
     s"""w AS (
        SELECT 'b' || CAST(doc_id % 5 AS VARCHAR) AS book,
          CAST((doc_id // 5) % 10 + 1 AS INTEGER) AS chapter,
@@ -195,27 +274,26 @@ object AlignQueries {
          SELECT doc_id, list_filter(string_split(
            translate(lower(text), '$latin', '$hebrew'), ' '),
            x -> x <> '') AS toks
-         FROM documents WHERE doc_id < 50))"""
+         FROM documents WHERE doc_id < ${f.nDocs}))"""
 
-  private def alignCtes: String =
-    s"""$wordCte,
+  private def alignCtes(f: AlignFixture): String =
+    s"""${wordCte(f)},
      wl AS (
        SELECT book, chapter,
          list(struct_pack(word := word,
            nw := regexp_replace(word, '[^א-ת]', '', 'g'),
-           verse_num := CAST(pos // 8 + 1 AS INTEGER),
-           wpos := CAST(pos % 8 AS INTEGER)) ORDER BY pos) AS ws
+           verse_num := CAST(pos // ${f.verseLen} + 1 AS INTEGER),
+           wpos := CAST(pos % ${f.verseLen} AS INTEGER)) ORDER BY pos) AS ws
        FROM w GROUP BY book, chapter),
      tl AS (
        SELECT book, chapter,
          list(struct_pack(
-           nt := regexp_replace(CASE WHEN pos % 5 = 2 THEN word || 'א'
-                                     ELSE word END, '[^א-ת]', '', 'g'),
+           nt := regexp_replace(${f.perturbSql}, '[^א-ת]', '', 'g'),
            s := CAST(pos AS DOUBLE) * 0.5,
            e := CAST(pos AS DOUBLE) * 0.5 + 0.4) ORDER BY pos) AS ts,
          MAX(CAST(pos AS DOUBLE) * 0.5 + 0.4) AS total_duration,
          CAST(0.9 AS DOUBLE) AS overall_confidence
-       FROM w WHERE pos % 7 <> 3 GROUP BY book, chapter)"""
+       FROM w WHERE ${f.keepSql} GROUP BY book, chapter)"""
 
   /** The anchor row of both aligner recursions: cursor at word 0,
     * transcription index 0, typed NULL output fields. LEFT join to tl:
@@ -274,28 +352,29 @@ object AlignQueries {
     * list_reduce fold in verse order (a windowed AVG could differ in
     * the last ulp right at a .005 rounding boundary).
     */
-  private def verseFuzzyOracle: String = {
+  private def verseFuzzyOracle(f: AlignFixture): String = {
     import FuzzySql.{partialHuge, tokenSetHuge, tokenSortHuge}
+    val L = f.verseLen
     val verseDur =
       """CASE WHEN total_words > 0
            THEN CAST(n_words AS DOUBLE) / total_words * total_duration
            ELSE total_duration / n_verses END"""
-    s"""WITH $wordCte,
+    s"""WITH ${wordCte(f)},
        verse AS (
-         SELECT book, chapter, CAST(pos // 8 + 1 AS INTEGER) AS verse_num,
+         SELECT book, chapter, CAST(pos // $L + 1 AS INTEGER) AS verse_num,
            coalesce(array_to_string(list(word ORDER BY pos), ' '), '')
              AS vtext,
            count(*) AS n_words
-         FROM w GROUP BY book, chapter, CAST(pos // 8 + 1 AS INTEGER)),
+         FROM w GROUP BY book, chapter, CAST(pos // $L + 1 AS INTEGER)),
        ch AS (
          SELECT book, chapter,
            coalesce(array_to_string(list(
-             CASE WHEN pos % 5 = 2 THEN word || 'א' ELSE word END
-             ORDER BY pos) FILTER (WHERE pos % 7 <> 3), ' '), '') AS full,
+             ${f.perturbSql}
+             ORDER BY pos) FILTER (WHERE ${f.keepSql}), ' '), '') AS full,
            MAX(CAST(pos AS DOUBLE) * 0.5 + 0.4)
-             FILTER (WHERE pos % 7 <> 3) AS total_duration,
+             FILTER (WHERE ${f.keepSql}) AS total_duration,
            count(*) AS total_words,
-           count(DISTINCT CAST(pos // 8 + 1 AS INTEGER)) AS n_verses
+           count(DISTINCT CAST(pos // $L + 1 AS INTEGER)) AS n_verses
          FROM w GROUP BY book, chapter),
        scored AS (
          SELECT v.book, v.chapter, v.verse_num, v.n_words, v.vtext,
@@ -329,15 +408,15 @@ object AlignQueries {
          t.verse_num,
          ${r2("t.vstart_raw")} AS verse_start,
          ${r2("(t.vstart_raw + t.verse_dur)")} AS verse_end,
-         CAST(w.pos % 8 AS INTEGER) AS wpos, w.word,
-         ${r2("(t.vstart_raw + (w.pos % 8) * (t.verse_dur / t.n_words))")}
+         CAST(w.pos % $L AS INTEGER) AS wpos, w.word,
+         ${r2(s"(t.vstart_raw + (w.pos % $L) * (t.verse_dur / t.n_words))")}
            AS start,
-         ${r2("(t.vstart_raw + ((w.pos % 8) + 1) * " +
+         ${r2(s"(t.vstart_raw + ((w.pos % $L) + 1) * " +
         "(t.verse_dur / t.n_words))")} AS "end",
          ${r2("t.score")} AS confidence
        FROM w
        JOIN timed t ON t.book = w.book AND t.chapter = w.chapter
-         AND t.verse_num = CAST(w.pos // 8 + 1 AS INTEGER)
+         AND t.verse_num = CAST(w.pos // $L + 1 AS INTEGER)
        JOIN conf c ON c.book = w.book AND c.chapter = w.chapter
        ORDER BY w.book, w.chapter, t.verse_num, wpos"""
   }
@@ -359,10 +438,12 @@ object AlignQueries {
     * bitwise operators that a margin strip would eat if a wrap ever put
     * one at line head.
     */
-  def oracle: Map[String, String] = Map(
-    "q60_align_greedy" ->
+  /** q60's oracle for an arbitrary fixture (seeded differential sweeps
+    * run these against random variants — [[graft.DiffAlign]]).
+    */
+  def greedyOracle(f: AlignFixture): String =
       s"""WITH RECURSIVE
-         $alignCtes,
+         ${alignCtes(f)},
          st AS (
            $alignAnchor
            UNION ALL
@@ -393,13 +474,15 @@ object AlignQueries {
          ${alignFinal(
         """COALESCE(MIN(CASE WHEN o.m THEN o.w_start END) OVER
              (PARTITION BY o.book, o.chapter, o.verse_num),
-             CAST(0.0 AS DOUBLE))""")}""",
+             CAST(0.0 AS DOUBLE))""")}"""
 
-    "q64_align_verse_fuzzy" -> verseFuzzyOracle,
+  /** q64's oracle for an arbitrary fixture. */
+  def fuzzyOracle(f: AlignFixture): String = verseFuzzyOracle(f)
 
-    "q61_align_windowed" ->
+  /** q61's oracle for an arbitrary fixture. */
+  def windowedOracle(f: AlignFixture): String =
       s"""WITH RECURSIVE
-         $alignCtes,
+         ${alignCtes(f)},
          st AS (
            $alignAnchor
            UNION ALL
@@ -425,7 +508,12 @@ object AlignQueries {
              FROM st WHERE k < len(ws))),
          ${alignFinal(
         """FIRST_VALUE(o.w_start) OVER
-             (PARTITION BY o.book, o.chapter, o.verse_num ORDER BY o.k)""")}""",
+             (PARTITION BY o.book, o.chapter, o.verse_num ORDER BY o.k)""")}"""
+
+  def oracle: Map[String, String] = Map(
+    "q60_align_greedy" -> greedyOracle(defaultFixture),
+    "q61_align_windowed" -> windowedOracle(defaultFixture),
+    "q64_align_verse_fuzzy" -> verseFuzzyOracle(defaultFixture),
 
     "q83_duration_sanity" ->
       s"""WITH w AS (
