@@ -82,8 +82,14 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     val qs = SparkEntry.queries
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated headline subset — scale
+    // sweeps time a few queries against a dir holding only the tables
+    // those queries read (e.g. the documents-only sf3 ratio points)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val loadStart = load1()
-    val results = headline.filter(qs.contains).map { name =>
+    val results = headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val fn = qs(name)
       try {
         materialize(fn(spark, sfDir)) // warm-up: codegen + file index + JIT

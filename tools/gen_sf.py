@@ -130,11 +130,21 @@ def scale_embeddings():
     print(f"embeddings: {t.num_rows} -> {out.num_rows}")
 
 
+# optional 4th arg: comma-separated table subset (e.g. "documents" for
+# the cheap documents-only ratio points at sf3+)
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+def wanted(name):
+    return ONLY is None or name in ONLY
+
 for name in ["region", "nation"]:
-    copy_fixed(name)
+    if wanted(name):
+        copy_fixed(name)
 for name in ["customer", "supplier", "part", "orders", "lineitem",
              "events"]:
-    scale_keyed(name)
-scale_documents()
-scale_embeddings()
+    if wanted(name):
+        scale_keyed(name)
+if wanted("documents"):
+    scale_documents()
+if wanted("embeddings"):
+    scale_embeddings()
 print("done:", OUT)
