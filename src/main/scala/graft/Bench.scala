@@ -56,6 +56,7 @@ object Bench {
     "q86_trim_bylength", "q88_ivf_search",
     "q89_skew_salted", // hot key detected + salted on genuinely skewed data
     "q94_simhash_neighbors", // Hamming-banded SimHash near-dup lookup
+    "q113_simhash64_neighbors", // 64-bit/16-bit-band scale form of q94
     "q97_pack_sequences", // per-stratum token-bin packing window
     "q98_decontaminate", // broadcast shingle-overlap decontamination
     "q99_repetition_stats", // in-scan dup-token / top-bigram folds

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native SimHash kernel: one MD5 pass per token, bit-sum accumulation
@@ -79,4 +79,88 @@ case class SimhashCode(child: Expression, nBits: Int)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "simhash_code"
+}
+
+/** 64-bit SimHash kernel returning a packed LONG.
+  *
+  * Why a second width: the 32-bit code's 8-bit bands give 256 buckets
+  * per band — a FIXED key domain, so banded-neighbor candidate pairs
+  * grow as n²/2⁹ no matter how diverse the corpus is (the same
+  * degeneration class as the fixed-interval-domain range join,
+  * `RangeJoin.scala`). 64 bits split into 4×16-bit bands give 65,536
+  * buckets per band: per-bucket occupancy — and with it the candidate
+  * join — stays bounded until the corpus approaches ~10⁷ docs, and the
+  * band width is a parameter beyond that.
+  *
+  * Bit derivation differs from [[SimhashKernel]] on purpose and the two
+  * are NOT prefix-compatible: the 32-bit scheme reads one bit per md5
+  * hex digit (the nibble's high bit — a historical portability choice
+  * the existing oracles encode); this kernel reads the digest's first
+  * 64 bits verbatim, MSB-first, so bit j of the code is bit j of the
+  * md5 bitstream. In oracle (hex string) terms, bit j (0-based) is bit
+  * `3-(j%4)` of hex digit `j/4+1` — still expressible in portable SQL
+  * via a nibble-value lookup, see the q113 oracle in `TextDedup`.
+  *
+  * Null tokens contribute −1 to every bit (same convention as the
+  * 32-bit kernel). Packing: bit j of the stream lands at long bit
+  * `63-j`, so the hex-prefix reading order matches the long MSB-first.
+  * The packed code is a plain LONG — negative when digest bit 0 wins —
+  * and every downstream op (shift/mask banding, `bit_count(xor)`
+  * verify) is exact on the full two's-complement range, unlike the
+  * 32-bit path's string→`conv`→cast which would NULL out at 64 bits.
+  */
+object Simhash64Kernel {
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def code(tokens: ArrayData): Long = {
+    val md = mdPool.get()
+    val sums = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      if (t == null) {
+        var j = 0
+        while (j < 64) { sums(j) -= 1; j += 1 }
+      } else {
+        md.reset()
+        val digest = md.digest(t.getBytes)
+        var j = 0
+        while (j < 64) {
+          val bit = (digest(j >> 3) >> (7 - (j & 7))) & 1
+          sums(j) += (if (bit == 1) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var code = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) > 0) code |= 1L << (63 - j)
+      j += 1
+    }
+    code
+  }
+}
+
+/** `simhash64_code(tokens)` — child must be array<string>; returns the
+  * packed 64-bit code as LONG.
+  */
+case class Simhash64Code(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    Simhash64Kernel.code(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.Simhash64Kernel.code($a)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "simhash64_code"
 }

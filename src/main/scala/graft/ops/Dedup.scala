@@ -341,6 +341,94 @@ object Dedup {
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("code"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
+    bandedHammingPairs(bandRows, maxHamming, maxBucket)
+  }
+
+  /** 64-bit banded Hamming-neighbor pairs over 3-word shingles — the
+    * scale form of [[simhashNeighbors]]. Same b×r pigeonhole search,
+    * but the code is the packed-long [[graft.functions.Simhash64Code]]
+    * and the 4 bands are 16 bits wide: 65,536 buckets per band where
+    * the 32-bit form has 256. The 8-bit band key is a FIXED domain —
+    * per-bucket occupancy, and with it the candidate join, grows as
+    * n²/2⁹ on ANY corpus once n ≫ 256·bands (measured: the quadratic
+    * term overtakes the char-linear scan between 50k and 500k docs,
+    * SCALE_r08.md). 16-bit bands push that knee out 256×, and
+    * `bandBits` parameterizes it further for corpora past ~10⁷ docs.
+    */
+  /** Packed 64-bit SimHash per document (LONG column `simhash64`).
+    * Empty token sets emit no row, matching [[simhashOver]].
+    */
+  def simhash64Over(df: DataFrame, tokensExpr: Column, idCol: String)
+  : DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    df.select(col(idCol), tokensExpr.as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col(idCol),
+        column(graft.functions.Simhash64Code(expression(col("_toks"))))
+          .as("simhash64"))
+  }
+
+  def simhashNeighbors64(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 2): DataFrame =
+    simhashNeighbors64Over(df, wordShingles(col(textCol), 3), idCol,
+      maxHamming = maxHamming,
+      collapseExactOn = Some(fingerprint(col(textCol))))
+
+  /** Long-code variant of [[simhashNeighborsOver]]: bands are bit
+    * ranges of the packed 64-bit code, extracted MSB-first with
+    * shift+mask (no string ever materializes). `bandBits` must divide
+    * 64; recall is guaranteed for `maxHamming < 64/bandBits` by
+    * pigeonhole.
+    */
+  def simhashNeighbors64Over(df: DataFrame, tokensExpr: Column,
+      idCol: String, bandBits: Int = 16, maxHamming: Int = 2,
+      collapseExactOn: Option[Column] = None, maxBucket: Int = 4096)
+  : DataFrame = {
+    require(64 % bandBits == 0 && bandBits >= 1 && bandBits <= 32,
+      s"bandBits ($bandBits) must divide 64 and leave ≥2 bands")
+    val bands = 64 / bandBits
+    require(maxHamming < bands,
+      s"pigeonhole: $bands bands only guarantee recall for distance < $bands")
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val coded = df
+      .select(col(idCol).as("id") +: tokensExpr.as("_toks") +:
+        collapseExactOn.map(_.as("_ck")).toSeq: _*)
+      .filter(size(col("_toks")) > 0)
+      .select(col("id") +:
+        column(graft.functions.Simhash64Code(expression(col("_toks"))))
+          .as("code") +:
+        collapseExactOn.map(_ => col("_ck")).toSeq: _*)
+    val codes =
+      if (collapseExactOn.isEmpty) coded
+      else keepersByKey(coded, col("_ck"), "id")
+    // Band b covers code bits [64-bandBits·(b+1), 64-bandBits·b) —
+    // MSB-first, matching the hex-prefix reading order of the oracle's
+    // bit-string rendering. shiftrightunsigned keeps the top band exact
+    // on negative codes (MSB set).
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("code"), 64 - bandBits * (b + 1))
+          .bitwiseAND(lit(mask)).as("bits")))
+    val bandRows = codes
+      .select(col("id"), col("code"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("code"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    bandedHammingPairs(bandRows, maxHamming, maxBucket)
+  }
+
+  /** Shared tail of the banded Hamming search: bucket-occupancy window,
+    * hot-bucket guard, popcount verify, cross-band dedup. `bandRows`
+    * must carry (id, code: long, band, bits); one shuffle on
+    * (band, bits) — the bucket-size window rides it, and both guard
+    * branches reuse the same exchange. Every row ships the code as 8
+    * bytes, so the verify is `bit_count(xor)` — one codegen'd
+    * instruction per pair.
+    */
+  private def bandedHammingPairs(bandRowsIn: DataFrame, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    val bandRows = bandRowsIn
       .withColumn("_g", count(lit(1))
         .over(Window.partitionBy(col("band"), col("bits"))))
       .filter(col("_g") > 1)

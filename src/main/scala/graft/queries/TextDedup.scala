@@ -237,6 +237,16 @@ object TextDedup {
         .orderBy("id1", "id2")
     }),
 
+    // 64-bit SimHash neighbors, 4×16-bit bands — the scale form of q94:
+    // 8-bit bands are a 256-value key domain whose candidate join grows
+    // n²/2⁹ on any corpus (measured super-linear past ~50k docs,
+    // SCALE_r08.md); 16-bit bands give 65,536 buckets and the packed
+    // long code never materializes a string.
+    "q113_simhash64_neighbors" -> ((s, d) => {
+      Dedup.simhashNeighbors64(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("id1", "id2")
+    }),
+
     // Pinned-boundary training shards, verified END TO END: write the
     // sharded parquet tree, read it back, and report the layout — the
     // oracle recomputes shard membership as the pure key function, so a
@@ -673,6 +683,54 @@ object TextDedup {
            |    ON x.band = y.band AND x.bits = y.bits AND x.id < y.id)
            |SELECT id1, id2, $hamSum AS hamming
            |FROM cand WHERE $hamSum <= 2
+           |ORDER BY id1, id2""".stripMargin
+      },
+
+      "q113_simhash64_neighbors" -> {
+        // 64-bit shingle SimHash, 4 bands of 16 bits — mirrors
+        // Dedup.simhashNeighbors64. Bit j (1-based) of the code is bit
+        // 3-((j-1)%4) of md5 hex digit (j-1)/4+1 (the digest's first 64
+        // bits MSB-first), extracted via a nibble-value lookup — unlike
+        // q94's one-bit-per-digit scheme, which reads only each
+        // nibble's high bit.
+        val sums64 = (1 to 64).map { j =>
+          val q = (j - 1) / 4 + 1
+          val s = 3 - ((j - 1) % 4)
+          s"SUM(CASE WHEN (((strpos('0123456789abcdef', " +
+            s"substring(md5(tok), $q, 1)) - 1) >> $s) & 1) = 1 " +
+            s"THEN 1 ELSE -1 END) AS b$j"
+        }.mkString(", ")
+        val bits64 = (1 to 64).map(j =>
+          s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+        val hamSum64 = (1 to 64).map(j =>
+          s"CASE WHEN substring(s1, $j, 1) <> substring(s2, $j, 1) " +
+            "THEN 1 ELSE 0 END").mkString(" + ")
+        val shBands64 = (0 until 4).map(b =>
+          s"SELECT id, simhash, $b AS band, " +
+            s"substring(simhash, ${b * 16 + 1}, 16) AS bits FROM sh")
+          .mkString("\n           |  UNION ALL ")
+        s"""WITH $keepCte,
+           |shingle AS (
+           |  SELECT doc_id AS id,
+           |    list_distinct(list_transform(range(1, len(t) - 1),
+           |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS toks
+           |  FROM (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+           |    FROM keep)),
+           |sh AS (
+           |  SELECT id, $bits64 AS simhash FROM (
+           |    SELECT id, $sums64
+           |    FROM (SELECT id, unnest(toks) AS tok FROM shingle)
+           |    GROUP BY id)),
+           |bands AS (
+           |  $shBands64),
+           |cand AS (
+           |  SELECT DISTINCT x.id AS id1, y.id AS id2,
+           |    x.simhash AS s1, y.simhash AS s2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bits = y.bits AND x.id < y.id)
+           |SELECT id1, id2, $hamSum64 AS hamming
+           |FROM cand WHERE $hamSum64 <= 2
            |ORDER BY id1, id2""".stripMargin
       },
 

@@ -380,6 +380,121 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs(1) == pairs(4096))
   }
 
+  test("native simhash64 kernel matches the md5-bitstream Column " +
+    "construction on multibyte text (Hebrew, niqqud, emoji)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "בְּרֵאשִׁית בָּרָא אֱלֹהִים אֵת הַשָּׁמַיִם"),
+      (2L, "וְאֵת הָאָרֶץ 🌍 mixed עם ascii"),
+      (3L, "שלום שלום שלום עולם"),
+      (4L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val toks = TextFunctions.tokenSet(col("text"))
+    // reference construction: bit j (1-based) of the code is bit
+    // 3-((j-1)%4) of md5 hex digit (j-1)/4+1 — the arithmetic the
+    // DuckDB q113 oracle runs; rendered as a 64-char bit string to
+    // keep the comparison free of long-packing arithmetic
+    def nib(h: org.apache.spark.sql.Column, q: Int) =
+      conv(substring(h, q, 1), 16, 10).cast("int")
+    val expected = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .groupBy(col("doc_id"))
+      .agg((1 to 64).map { j =>
+        val q = (j - 1) / 4 + 1
+        val s = 3 - ((j - 1) % 4)
+        sum(when(shiftright(nib(col("h"), q), s).bitwiseAND(lit(1)) === 1,
+          1).otherwise(-1)).as(s"b$j")
+      }.head, (2 to 64).map { j =>
+        val q = (j - 1) / 4 + 1
+        val s = 3 - ((j - 1) % 4)
+        sum(when(shiftright(nib(col("h"), q), s).bitwiseAND(lit(1)) === 1,
+          1).otherwise(-1)).as(s"b$j")
+      }: _*)
+      .select(col("doc_id"), concat((1 to 64).map(j =>
+        when(col(s"b$j") > 0, "1").otherwise("0")): _*).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Dedup.simhash64Over(docs, toks, "doc_id")
+      .collect().map { r =>
+        val b = java.lang.Long.toBinaryString(r.getLong(1))
+        r.getLong(0) -> ("0" * (64 - b.length) + b)
+      }.toMap
+    assert(got == expected)
+  }
+
+  test("simhashNeighbors64: finds near-dups, collapses exact dups, " +
+    "keeps reversed docs distant") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"w$i")
+    val nearDup = (words :+ "extra").mkString(" ")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.mkString(" ")), // byte-identical → collapsed
+      (3L, nearDup),             // one extra shingle → few sign flips
+      (4L, words.reverse.mkString(" "))) // reversed → distant code
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashNeighbors64(docs, "text", "doc_id",
+      maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 3L)), "near-dup pair missed")
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L),
+      "exact dup not collapsed")
+    assert(!got.contains((1L, 4L)), "reversed doc should be distant")
+  }
+
+  test("simhashNeighbors64 verify matches a brute-force Hamming scan, " +
+    "and the hot-bucket guard path returns the identical pair set") {
+    import spark.implicits._
+    // 64-bit codes spread distances ~2× wider than 32-bit ones, so the
+    // 32-bit test's random-mutation fixture has no pairs within d≤3
+    // here. This chain (each doc appends one more extra word) was
+    // solved offline against the same md5 arithmetic: pairs (1,3),
+    // (4,5), (5,6) sit at exactly d=3; everything else is farther.
+    val base = (1 to 40).map(i => s"w$i")
+    val extras = (1 to 5).map(i => s"e$i")
+    val docs = ((1L to 6L).map(id =>
+      (id, (base ++ extras.take(id.toInt - 1)).mkString(" "))) :+
+      (7L, base.reverse.mkString(" ")))
+      .toDF("doc_id", "text")
+    val sh = TextFunctions.wordShingles(col("text"), 3)
+    def pairs(maxBucket: Int) =
+      Dedup.simhashNeighbors64Over(docs, sh, "doc_id", maxHamming = 3,
+        maxBucket = maxBucket)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+        .toMap
+    val got = pairs(4096)
+    val codes = Dedup.simhash64Over(docs, sh, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = (for {
+      i <- codes.keys; j <- codes.keys if i < j
+      d = java.lang.Long.bitCount(codes(i) ^ codes(j))
+      if d <= 3 // pigeonhole: 4 bands cover d < 4 exactly
+    } yield ((i, j), d)).toMap
+    assert(got == naive)
+    assert(naive.nonEmpty, "fixture produced no close pairs — vacuous")
+    // maxBucket=1 forces EVERY bucket through the equi-join branch
+    assert(pairs(1) == got)
+  }
+
+  test("simhashNeighbors64Over rejects band widths that break the " +
+    "pigeonhole or don't divide the code") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val sh = TextFunctions.wordShingles(col("text"), 3)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNeighbors64Over(docs, sh, "doc_id", bandBits = 24)
+    }
+    intercept[IllegalArgumentException] {
+      // 1 band of 64 bits can't pigeonhole any nonzero distance
+      Dedup.simhashNeighbors64Over(docs, sh, "doc_id", bandBits = 64)
+    }
+    intercept[IllegalArgumentException] {
+      // 2×32-bit bands guarantee recall only for maxHamming < 2
+      Dedup.simhashNeighbors64Over(docs, sh, "doc_id", bandBits = 32,
+        maxHamming = 2)
+    }
+  }
+
   test("crossDedupFlags: exact via fingerprint, near via shared " +
     "shingles, independent flags") {
     import spark.implicits._

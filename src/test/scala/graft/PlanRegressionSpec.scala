@@ -231,6 +231,29 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("q113 simhash64: no shuffle ever carries document text, and the " +
+    "band shuffle ships only fixed-width columns (packed-long code)") {
+    val df = SparkEntry.queries("q113_simhash64_neighbors")(spark, sf)
+    val exchanges = shufflesOf(df)
+    assert(exchanges.nonEmpty, "expected at least one shuffle in q113")
+    exchanges.foreach { e =>
+      val wide = e.output.filter(a => a.name == "text" || a.name == "_toks")
+      assert(wide.isEmpty,
+        s"shuffle carries wide columns ${wide.map(_.name)}:\n$e")
+    }
+    // the (band, bits) exchange must be all-numeric: unlike q94 there
+    // is no bit-string code anywhere past the scan (the only string
+    // shuffle allowed is the exact-collapse content hash)
+    val bandEx = exchanges.filter(e =>
+      e.output.exists(_.name == "band") && e.output.exists(_.name == "bits"))
+    assert(bandEx.nonEmpty, "band shuffle not found in q113 plan")
+    bandEx.foreach { e =>
+      val strs = e.output.filter(_.dataType.typeName == "string")
+      assert(strs.isEmpty,
+        s"band shuffle ships strings ${strs.map(_.name)}:\n$e")
+    }
+  }
+
   test("q109 winnow near-dup: ONE documents scan (posting-list pair " +
     "generation, not a self-join that re-runs the winnow pipeline)") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
