@@ -20,16 +20,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects; read
-    * nanos as long and rebuild a microsecond timestamp (integer `div` —
-    * ns-since-epoch exceeds double precision). Truncation matches
-    * DuckDB's ns→µs handling.
+  /** events.parquet has shipped with two physical types for `ts` across
+    * fixture generations: TIMESTAMP(NANOS) — which Spark 4 rejects unless
+    * read as a raw long — and plain timestamp[us]. Sniff the loaded
+    * schema and normalize either to a session-TZ TimestampType column:
+    *   - ts reads as LONG (nanosAsLong path): rebuild micros with integer
+    *     `div` (ns-since-epoch exceeds double precision; truncation
+    *     matches DuckDB's ns→µs handling).
+    *   - ts reads as TIMESTAMP_NTZ (timestamp[us], isAdjustedToUTC=false):
+    *     cast to TimestampType — identity-valued under the UTC session TZ
+    *     that Verify/Bench/specs all set, and keeps every downstream
+    *     query on the same LTZ semantics as before.
+    *   - ts already TIMESTAMP: pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -22,17 +22,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = 0
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(name.contains) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A query that throws must leave a red trace in the gate, not a
+        // silent absence: write a sentinel the checker turns into a
+        // failing row (r8 lost 26 queries to an analysis error with the
+        // artifact still reading "0 fails").
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val dir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(dir)
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}"
+          .take(2000)
+        Files.writeString(dir.resolve("_ERROR.json"),
+          s"""{"query":${OracleJson.quote(name)},"err":${OracleJson.quote(msg)}}""")
       }
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       OracleJson.render)
+    if (failed > 0)
+      System.err.println(s"[verify] $failed quer${if (failed == 1) "y" else "ies"} FAILED — sentinels written")
     spark.stop()
   }
 }

@@ -126,10 +126,23 @@ def main():
     with open(f"{OUT}/oracle_sql.json") as f:
         oracle = json.load(f)
 
+    # Queries that threw inside graft.Verify leave an _ERROR.json sentinel
+    # instead of a parquet dump; surface those as red rows FIRST so a
+    # failed query can never read as a silent absence (r8 lost 26 queries
+    # this way while the artifact showed "0 fails").
+    errors = {}
+    for p in glob.glob(f"{OUT}/*/_ERROR.json"):
+        name = os.path.basename(os.path.dirname(p))
+        with open(p) as f:
+            errors[name] = json.load(f).get("err", "unknown error")
+
     results = {}
     for name in sorted(oracle):
         sql = oracle[name]
         dump = f"{OUT}/{name}"
+        if name in errors:
+            results[name] = f"SPARK_QUERY_FAIL: {errors[name]}"
+            continue
         files = glob.glob(f"{dump}/*.parquet")
         if not files:
             results[name] = "NO_SPARK_OUTPUT"
@@ -167,6 +180,9 @@ def main():
     for dump in sorted(glob.glob(f"{OUT}/*/")):
         name = os.path.basename(dump.rstrip("/"))
         if name in oracle:
+            continue
+        if name in errors:
+            results[name] = f"SPARK_QUERY_FAIL: {errors[name]}"
             continue
         files = glob.glob(f"{dump}/*.parquet")
         if not files:
