@@ -283,6 +283,13 @@ object Dedup {
     * dominate candidates and are already reported by
     * [[exactDedupFlags]]). The code travels WITH the band rows, so the
     * verify needs no rejoin to the corpus.
+    *
+    * '''Small-corpus / compat variant.''' The 8-bit band key is a fixed
+    * 256-value domain, so per-bucket occupancy — and with it the
+    * candidate join — grows as n²/2⁹ once n ≫ 256·bands (measured: OOM
+    * at 500k docs, SCALE_r08.md). For any corpus that can grow, use
+    * [[simhashNeighbors64]] — the default entry point — whose 16-bit
+    * bands push the occupancy knee out 256×.
     */
   def simhashNeighbors(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 2): DataFrame =
@@ -344,17 +351,6 @@ object Dedup {
     bandedHammingPairs(bandRows, maxHamming, maxBucket)
   }
 
-  /** 64-bit banded Hamming-neighbor pairs over 3-word shingles — the
-    * scale form of [[simhashNeighbors]]. Same b×r pigeonhole search,
-    * but the code is the packed-long [[graft.functions.Simhash64Code]]
-    * and the 4 bands are 16 bits wide: 65,536 buckets per band where
-    * the 32-bit form has 256. The 8-bit band key is a FIXED domain —
-    * per-bucket occupancy, and with it the candidate join, grows as
-    * n²/2⁹ on ANY corpus once n ≫ 256·bands (measured: the quadratic
-    * term overtakes the char-linear scan between 50k and 500k docs,
-    * SCALE_r08.md). 16-bit bands push that knee out 256×, and
-    * `bandBits` parameterizes it further for corpora past ~10⁷ docs.
-    */
   /** Packed 64-bit SimHash per document (LONG column `simhash64`).
     * Empty token sets emit no row, matching [[simhashOver]].
     */
@@ -368,6 +364,21 @@ object Dedup {
           .as("simhash64"))
   }
 
+  /** 64-bit banded Hamming-neighbor pairs over 3-word shingles — '''the
+    * default SimHash neighbor entry point'''. Same b×r pigeonhole
+    * search as [[simhashNeighbors]], but the code is the packed-long
+    * [[graft.functions.Simhash64Code]] and the 4 bands are 16 bits
+    * wide: 65,536 buckets per band where the 32-bit form has 256. The
+    * 8-bit band key is a FIXED domain — per-bucket occupancy, and with
+    * it the candidate join, grows as n²/2⁹ on ANY corpus once
+    * n ≫ 256·bands (measured: the quadratic term overtakes the
+    * char-linear scan between 50k and 500k docs, SCALE_r08.md). 16-bit
+    * bands push that knee out 256×, and
+    * [[simhashNeighbors64Over]]'s `bandBits` parameterizes it further
+    * for corpora past ~10⁷ docs. Prefer this form unless the corpus is
+    * provably bounded ≪ 100k docs AND a stored 32-bit code must be
+    * matched.
+    */
   def simhashNeighbors64(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 2): DataFrame =
     simhashNeighbors64Over(df, wordShingles(col(textCol), 3), idCol,

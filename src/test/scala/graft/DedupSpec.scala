@@ -442,6 +442,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains((1L, 4L)), "reversed doc should be distant")
   }
 
+  test("simhashNeighbors64 is the documented default entry point: its " +
+    "default shape is 4 bands x 16 bits over 3-word shingles with " +
+    "exact-dup collapse") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val vocab = (1 to 60).map(i => s"tok$i")
+    val docs = (1L to 30L).map { i =>
+      val body = Seq.fill(25)(vocab(rnd.nextInt(vocab.length)))
+      (i, body.mkString(" "))
+    }.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDefault = pairs(
+      Dedup.simhashNeighbors64(docs, "text", "doc_id", maxHamming = 3))
+    val viaExplicit = pairs(Dedup.simhashNeighbors64Over(docs,
+      TextFunctions.wordShingles(col("text"), 3), "doc_id",
+      bandBits = 16, maxHamming = 3,
+      collapseExactOn = Some(TextFunctions.fingerprint(col("text")))))
+    assert(viaDefault == viaExplicit,
+      "default entry point drifted from the pinned 64/16 scale shape")
+  }
+
   test("simhashNeighbors64 verify matches a brute-force Hamming scan, " +
     "and the hot-bucket guard path returns the identical pair set") {
     import spark.implicits._
