@@ -287,7 +287,7 @@ object Dedup {
     * '''Small-corpus / compat variant.''' The 8-bit band key is a fixed
     * 256-value domain, so per-bucket occupancy — and with it the
     * candidate join — grows as n²/2⁹ once n ≫ 256·bands (measured: OOM
-    * at 500k docs, SCALE_r08.md). For any corpus that can grow, use
+    * at 500k docs, SCALE_r09.md §4). For any corpus that can grow, use
     * [[simhashNeighbors64]] — the default entry point — whose 16-bit
     * bands push the occupancy knee out 256×.
     */
@@ -372,7 +372,7 @@ object Dedup {
     * 8-bit band key is a FIXED domain — per-bucket occupancy, and with
     * it the candidate join, grows as n²/2⁹ on ANY corpus once
     * n ≫ 256·bands (measured: the quadratic term overtakes the
-    * char-linear scan between 50k and 500k docs, SCALE_r08.md). 16-bit
+    * char-linear scan between 50k and 500k docs, SCALE_r09.md §4). 16-bit
     * bands push that knee out 256×, and
     * [[simhashNeighbors64Over]]'s `bandBits` parameterizes it further
     * for corpora past ~10⁷ docs. Prefer this form unless the corpus is

@@ -240,7 +240,7 @@ object TextDedup {
     // 64-bit SimHash neighbors, 4×16-bit bands — the scale form of q94:
     // 8-bit bands are a 256-value key domain whose candidate join grows
     // n²/2⁹ on any corpus (measured super-linear past ~50k docs,
-    // SCALE_r08.md); 16-bit bands give 65,536 buckets and the packed
+    // SCALE_r09.md §4); 16-bit bands give 65,536 buckets and the packed
     // long code never materializes a string.
     "q113_simhash64_neighbors" -> ((s, d) => {
       Dedup.simhashNeighbors64(Tables.documents(s, d), "text", "doc_id")
