@@ -176,6 +176,86 @@ object Similarity {
       .limit(k)
   }
 
+  /** Codebook identity stamp carried by a persisted [[ivfIndex]]: cell
+    * count + md5 of the (cid, rounded-centroid) stream. Cells are
+    * nearest-centroid regions OF A SPECIFIC CODEBOOK — probing an index
+    * assigned under a different codebook mis-routes the probe and
+    * silently returns wrong neighbors, so the reload path verifies this
+    * stamp the way [[graft.ops.Dedup.crossDedupFlagsFromIndexes]]
+    * verifies band params.
+    */
+  private def codebookStamp(cents: Seq[(Long, Seq[Double])]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    cents.foreach { case (cid, v) =>
+      md.update(cid.toString.getBytes("UTF-8"))
+      v.foreach(x => md.update(f"$x%.9e,".getBytes("UTF-8")))
+    }
+    s"ivf${cents.size}/" +
+      md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** Persistable IVF index: [[ivfAssign]] output stamped with the
+    * codebook identity — the ANN analog of
+    * [[graft.ops.Dedup.bandIndex]]. Write it `partitionBy("cell")`;
+    * [[ivfSearchIndexed]] then reads ONLY the probed cells' directories
+    * (static partition pruning on the `cell IN (...)` filter, proven by
+    * numFiles in PlanRegressionSpec), so a search against a billion-
+    * vector corpus scans ~nProbe/|codebook| of it with ZERO assignment
+    * recomputation — the amortization [[ivfSearch]] (which re-assigns
+    * the corpus per query) cannot offer.
+    */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String)
+  : DataFrame = {
+    val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
+    ivfAssignLocal(emb, vecCol, cents)
+      .withColumn("_params", lit(codebookStamp(cents)))
+  }
+
+  /** IVF probe against a RELOADED [[ivfIndex]]: pick the query vector's
+    * `nProbe` nearest centroids driver-side (codebook-sized work),
+    * filter the index to those cells — a partition-prunable predicate
+    * on a cell-partitioned layout — and rank the survivors by exact
+    * cosine. No corpus re-assignment, no join, no shuffle except the
+    * final top-k. A stamp mismatch against `centroids` fails the query
+    * loudly; a stampless index (hand-built) is flagged on stderr rather
+    * than silently trusted.
+    */
+  def ivfSearchIndexed(index: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      queryVec: Seq[Double], k: Int, nProbe: Int = 2,
+      excludeId: Option[Long] = None): DataFrame = {
+    val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
+    val stamp = codebookStamp(cents)
+    val checked =
+      if (!index.columns.contains("_params")) {
+        System.err.println(
+          "[graft] ivfSearchIndexed: index has no _params codebook " +
+            s"stamp — cannot verify it was assigned under this codebook " +
+            s"($stamp); a stale index silently mis-routes probes. Build " +
+            "indexes with ivfIndex to get the stamp.")
+        index
+      }
+      else index
+        .filter(assert_true(col("_params") === stamp,
+          concat(lit("IVF index assigned under a different codebook " +
+            s"than this probe (expected $stamp, index has "),
+            col("_params"), lit(")"))).isNull)
+        .drop("_params")
+    val probes = cents.map { case (cid, cv) =>
+      (cv.zip(queryVec).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+    }.sorted.take(nProbe).map(_._2)
+    val qLit = typedLit(queryVec)
+    val scoped = excludeId.foldLeft(
+      checked.filter(col("cell").isin(probes: _*)))(
+      (df, q) => df.filter(col(idCol) =!= q))
+    scoped
+      .select(col(idCol), col("cell"),
+        round(cosine(asDouble(col(vecCol)), qLit), 5).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** One Lloyd (k-means) iteration — the offline IVF codebook builder:
     * assign every vector with the zero-shuffle broadcast fold, then
     * recompute each cell's per-dimension mean. ONE shuffle keyed by

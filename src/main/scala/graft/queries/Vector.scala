@@ -69,6 +69,28 @@ object Vector {
         centroids, "cid", "cvec", queryId = 0L, k = 5, nProbe = 2)
     }),
 
+    // q88's amortized production path: the assigned corpus persists ONCE
+    // as a cell-partitioned parquet index (codebook stamp included), and
+    // the probe runs against the RELOADED layout — zero assignment
+    // recomputation, scan pruned to the 2 probed cell directories.
+    // Shares q88's oracle verbatim: same codebook, query, k, nProbe.
+    "q114_ivf_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val out = QueryTmp.dir("q114", s, d)
+      Similarity.ivfIndex(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec")
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$out/ivf")
+      val qVec = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .collect()(0).getSeq[Double](0)
+      Similarity.ivfSearchIndexed(s.read.parquet(s"$out/ivf"),
+        "vec_id", "embedding", centroids, "cid", "cvec",
+        qVec, k = 5, nProbe = 2, excludeId = Some(0L))
+    }),
+
     // One Lloyd iteration over the 8-centroid codebook: the offline
     // k-means step that builds the IVF index.
     "q90_kmeans_step" -> ((s, d) => {
@@ -80,6 +102,41 @@ object Vector {
         .orderBy("cell", "dim")
     })
   )
+
+  /** The IVF probe-search oracle, shared verbatim by q88 (inline
+    * assignment) and q114 (persisted index): the index changes where
+    * the assignment lives, not what the probe computes.
+    */
+  private val ivfSearchSql =
+    """WITH ax AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings),
+      |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
+      |dists AS (
+      |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
+      |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d ASC, cid ASC) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |probe AS (
+      |  SELECT cid FROM dists WHERE vec_id = 0
+      |  ORDER BY d ASC, cid ASC LIMIT 2),
+      |qx AS (SELECT i, x FROM ax WHERE vec_id = 0),
+      |nq AS (SELECT sqrt(sum(x * x)) AS n FROM qx),
+      |cand AS (
+      |  SELECT vec_id, cell FROM assigned
+      |  WHERE cell IN (SELECT cid FROM probe) AND vec_id <> 0),
+      |dots AS (
+      |  SELECT a.vec_id, sum(a.x * q.x) AS dot, sqrt(sum(a.x * a.x)) AS na
+      |  FROM ax a JOIN qx q USING (i)
+      |  WHERE a.vec_id IN (SELECT vec_id FROM cand)
+      |  GROUP BY a.vec_id)
+      |SELECT d2.vec_id, c.cell, ROUND(dot / (na * nq.n), 5) AS cos_sim
+      |FROM dots d2 JOIN cand c ON c.vec_id = d2.vec_id, nq
+      |ORDER BY cos_sim DESC, d2.vec_id LIMIT 5""".stripMargin
 
   private val duckBucket =
     """(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
@@ -106,36 +163,11 @@ object Vector {
         |FROM assigned JOIN ax USING (vec_id)
         |GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
 
-    "q88_ivf_search" ->
-      """WITH ax AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |         unnest(embedding)::DOUBLE AS x
-        |  FROM embeddings),
-        |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
-        |dists AS (
-        |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
-        |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
-        |assigned AS (
-        |  SELECT vec_id, cid AS cell FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY d ASC, cid ASC) AS rn
-        |    FROM dists) WHERE rn = 1),
-        |probe AS (
-        |  SELECT cid FROM dists WHERE vec_id = 0
-        |  ORDER BY d ASC, cid ASC LIMIT 2),
-        |qx AS (SELECT i, x FROM ax WHERE vec_id = 0),
-        |nq AS (SELECT sqrt(sum(x * x)) AS n FROM qx),
-        |cand AS (
-        |  SELECT vec_id, cell FROM assigned
-        |  WHERE cell IN (SELECT cid FROM probe) AND vec_id <> 0),
-        |dots AS (
-        |  SELECT a.vec_id, sum(a.x * q.x) AS dot, sqrt(sum(a.x * a.x)) AS na
-        |  FROM ax a JOIN qx q USING (i)
-        |  WHERE a.vec_id IN (SELECT vec_id FROM cand)
-        |  GROUP BY a.vec_id)
-        |SELECT d2.vec_id, c.cell, ROUND(dot / (na * nq.n), 5) AS cos_sim
-        |FROM dots d2 JOIN cand c ON c.vec_id = d2.vec_id, nq
-        |ORDER BY cos_sim DESC, d2.vec_id LIMIT 5""".stripMargin,
+    "q88_ivf_search" -> ivfSearchSql,
+
+    // Same oracle as q88 by construction: the persisted index changes
+    // WHERE the assignment lives, not what the probe computes.
+    "q114_ivf_indexed" -> ivfSearchSql,
 
     "q59_ivf_cells" ->
       """WITH ax AS (

@@ -103,6 +103,36 @@ class PlanRegressionSpec extends AnyFunSuite {
         s"${probes.length} probed cells of ${cellDirs.length}")
   }
 
+  test("ivfSearchIndexed on a persisted ivfIndex layout prunes to the " +
+    "probed cells' files (the q114 shape)") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val dir = TestDirs.tmp("ivf_api_layout").toFile.getAbsolutePath
+    // one file per cell directory ⇒ numFiles read == cells probed
+    Similarity.ivfIndex(emb, "vec_id", "embedding",
+      centroids, "cid", "cvec")
+      .coalesce(1).write.partitionBy("cell")
+      .mode("overwrite").parquet(dir)
+    val nCells = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(nCells > 2, s"fixture produced only $nCells cells")
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0)
+    val probed = Similarity.ivfSearchIndexed(spark.read.parquet(dir),
+      "vec_id", "embedding", centroids, "cid", "cvec",
+      qVec, k = 5, nProbe = 2, excludeId = Some(0L))
+    probed.collect() // populate scan metrics
+    val scan = probed.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScanExec leaf"))
+    assert(scan.metrics("numFiles").value == 2,
+      s"indexed probe read ${scan.metrics("numFiles").value} files for " +
+        s"2 probed cells of $nCells")
+  }
+
   test("bucketed tables co-locate: the fact⋈fact join runs with zero " +
     "Exchange") {
     // the 100 TB story for repeated big-big joins: bucket BOTH sides on

@@ -32,6 +32,58 @@ class SimilaritySpec extends AnyFunSuite {
       s"centroid 1 off: $c1")
   }
 
+  test("ivfSearchIndexed over a persisted index returns exactly " +
+    "ivfSearch's answer") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val emb = (0L until 200L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val dir = TestDirs.tmp("ivf_index").toFile.getAbsolutePath
+    Similarity.ivfIndex(emb, "vec_id", "embedding",
+      centroids, "cid", "cvec")
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val qVec = emb.filter(col("vec_id") === 7L)
+      .select(col("embedding")).collect()(0).getSeq[Double](0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cos_sim")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = rows(Similarity.ivfSearchIndexed(
+      spark.read.parquet(dir), "vec_id", "embedding",
+      centroids, "cid", "cvec", qVec, k = 10, nProbe = 2,
+      excludeId = Some(7L)))
+    val inline = rows(Similarity.ivfSearch(emb, "vec_id", "embedding",
+      centroids, "cid", "cvec", queryId = 7L, k = 10, nProbe = 2))
+    assert(indexed == inline, "persisted-index probe diverged from the " +
+      "inline assignment probe")
+  }
+
+  test("ivfSearchIndexed fails loudly when the index was assigned " +
+    "under a different codebook") {
+    import spark.implicits._
+    val emb = (0L until 50L).map(i =>
+      (i, Seq(i.toDouble, -i.toDouble))).toDF("vec_id", "embedding")
+    val cents1 = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(40.0, -40.0)))
+      .toDF("cid", "cvec")
+    val cents2 = Seq((0L, Seq(5.0, -5.0)), (1L, Seq(45.0, -45.0)))
+      .toDF("cid", "cvec")
+    val dir = TestDirs.tmp("ivf_stale").toFile.getAbsolutePath
+    Similarity.ivfIndex(emb, "vec_id", "embedding",
+      cents1, "cid", "cvec")
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val e = intercept[Exception] {
+      Similarity.ivfSearchIndexed(spark.read.parquet(dir),
+        "vec_id", "embedding", cents2, "cid", "cvec",
+        Seq(0.0, 0.0), k = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("different codebook")),
+      s"unexpected failure: $e")
+  }
+
   test("kmeansIterate: an empty cell keeps its previous centroid") {
     import spark.implicits._
     val emb = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.2, 0.0)))
