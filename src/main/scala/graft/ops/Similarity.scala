@@ -256,6 +256,81 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN against a RELOADED [[ivfIndex]]: every query row probed
+    * in ONE job — the shape a curation pipeline runs (dedup or link a
+    * whole batch against the corpus), where per-query [[ivfSearchIndexed]]
+    * would pay a driver round-trip each.
+    *
+    * Probe selection explodes the (tiny) codebook per query —
+    * |queries|·|codebook| rows, bounded by the batch being ≪ the corpus
+    * — and rank-limits to each query's `nProbe` nearest cells
+    * (WindowGroupLimit, no full sort). The union of probed cells (at
+    * most |codebook| values) is then collected and applied to the index
+    * as a STATIC `cell IN (...)` filter before the broadcast equi-join:
+    * metadata-only partition pruning on a `partitionBy("cell")` layout
+    * — only probed cell directories are read (PlanRegressionSpec
+    * numFiles gate), with no reliance on the optimizer's DPP
+    * selectivity heuristics (which decline the window-limited probe
+    * side) and no subquery at scan time. The extra driver round-trip is
+    * one distinct over the probe side — codebook-bounded, not
+    * batch-bounded. Exact cosine per candidate, rank-limited top-k per
+    * query on the rounded score (ties broken by id, matching the
+    * oracle's determinism).
+    *
+    * Returns (qid, `idCol`, cell, cos_sim). `excludeSelf` drops
+    * candidates whose id equals the query id (the common
+    * corpus-queries-corpus case).
+    */
+  def ivfSearchBatch(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, index: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      k: Int, nProbe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
+    val stamp = codebookStamp(cents)
+    val checked =
+      if (!index.columns.contains("_params")) {
+        System.err.println(
+          "[graft] ivfSearchBatch: index has no _params codebook stamp " +
+            s"— cannot verify it was assigned under this codebook " +
+            s"($stamp). Build indexes with ivfIndex to get the stamp.")
+        index
+      }
+      else index
+        .filter(assert_true(col("_params") === stamp,
+          concat(lit("IVF index assigned under a different codebook " +
+            s"than this probe (expected $stamp, index has "),
+            col("_params"), lit(")"))).isNull)
+        .drop("_params")
+    val codebook = typedLit(cents)
+    val q = queries.select(col(queryIdCol).as("qid"),
+      asDouble(col(queryVecCol)).as("qvec"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("cell").asc)
+    val qcells = q
+      .select(col("qid"), col("qvec"), explode(codebook).as("c"))
+      .select(col("qid"), col("qvec"), col("c._1").as("cell"),
+        GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d"))
+      .withColumn("_rn", row_number().over(wProbe))
+      .filter(col("_rn") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cell"))
+      .localCheckpoint(true) // probe side computed once: cells collect + join
+    val probedCells = qcells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val cand = checked.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(qcells), Seq("cell"))
+    val scoped =
+      if (excludeSelf) cand.filter(col(idCol) =!= col("qid")) else cand
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    scoped
+      .select(col("qid"), col(idCol), col("cell"),
+        round(cosine(asDouble(col(vecCol)), col("qvec")), 5).as("cos_sim"))
+      .withColumn("_rn", row_number().over(wTop))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** One Lloyd (k-means) iteration — the offline IVF codebook builder:
     * assign every vector with the zero-shuffle broadcast fold, then
     * recompute each cell's per-dimension mean. ONE shuffle keyed by

@@ -91,6 +91,26 @@ object Vector {
         qVec, k = 5, nProbe = 2, excludeId = Some(0L))
     }),
 
+    // Batch ANN: both query vectors probed against the persisted index
+    // in ONE job — static probe-cell pruning + broadcast cell join,
+    // exact cosine, top-5 per query. The whole-batch production form of
+    // q114's single probe.
+    "q115_ivf_batch_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val out = QueryTmp.dir("q115", s, d)
+      Similarity.ivfIndex(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec")
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$out/ivf")
+      Similarity.ivfSearchBatch(
+        emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+        s.read.parquet(s"$out/ivf"), "vec_id", "embedding",
+        centroids, "cid", "cvec", k = 5, nProbe = 2)
+        .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+    }),
+
     // One Lloyd iteration over the 8-centroid codebook: the offline
     // k-means step that builds the IVF index.
     "q90_kmeans_step" -> ((s, d) => {
@@ -168,6 +188,56 @@ object Vector {
     // Same oracle as q88 by construction: the persisted index changes
     // WHERE the assignment lives, not what the probe computes.
     "q114_ivf_indexed" -> ivfSearchSql,
+
+    // q88's probe generalized over a query SET (vec_id < 2), ranked
+    // per query on the ROUNDED score with id tie-break — the same
+    // determinism rule the Spark window uses.
+    "q115_ivf_batch_search" ->
+      """WITH ax AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
+        |dists AS (
+        |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
+        |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d ASC, cid ASC) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 2),
+        |probe AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, d.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY d.d ASC, d.cid ASC) AS rn
+        |    FROM qids q JOIN dists d ON d.vec_id = q.qid)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id, a.cell
+        |  FROM assigned a JOIN probe p ON a.cell = p.cid
+        |  WHERE a.vec_id <> p.qid),
+        |qx AS (
+        |  SELECT q.qid, ax.i, ax.x FROM ax JOIN qids q
+        |  ON ax.vec_id = q.qid),
+        |nq AS (SELECT qid, sqrt(sum(x * x)) AS n FROM qx GROUP BY qid),
+        |dots AS (
+        |  SELECT c.qid, a.vec_id, sum(a.x * q.x) AS dot,
+        |         sqrt(sum(a.x * a.x)) AS na
+        |  FROM cand c JOIN ax a ON a.vec_id = c.vec_id
+        |  JOIN qx q ON q.qid = c.qid AND q.i = a.i
+        |  GROUP BY c.qid, a.vec_id),
+        |ranked AS (
+        |  SELECT d.qid, d.vec_id, c.cell,
+        |    ROUND(dot / (na * nq.n), 5) AS cos_sim,
+        |    row_number() OVER (PARTITION BY d.qid
+        |      ORDER BY ROUND(dot / (na * nq.n), 5) DESC, d.vec_id ASC)
+        |      AS rn
+        |  FROM dots d
+        |  JOIN cand c ON c.qid = d.qid AND c.vec_id = d.vec_id
+        |  JOIN nq ON nq.qid = d.qid)
+        |SELECT qid, vec_id, cell, cos_sim FROM ranked WHERE rn <= 5
+        |ORDER BY qid, cos_sim DESC, vec_id""".stripMargin,
 
     "q59_ivf_cells" ->
       """WITH ax AS (

@@ -133,6 +133,58 @@ class PlanRegressionSpec extends AnyFunSuite {
         s"2 probed cells of $nCells")
   }
 
+  test("ivfSearchBatch: the collected probe-cell IN-list prunes the " +
+    "persisted index to the probed cells' files (the q115 shape)") {
+    // AQE off so the executed plan is inspectable; static partition
+    // pruning is metadata-only and independent of it
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = Tables.embeddings(spark, sf)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val dir = TestDirs.tmp("ivf_batch_layout").toFile.getAbsolutePath
+      Similarity.ivfIndex(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec")
+        .coalesce(1).write.partitionBy("cell")
+        .mode("overwrite").parquet(dir)
+      val nCells = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("cell="))
+      assert(nCells > 2, s"fixture produced only $nCells cells")
+
+      // expected probed-cell set, derived independently: each query's 2
+      // nearest centroids by (sqdist, cid)
+      val cents = centroids.select(col("cid"),
+        col("cvec").cast("array<double>")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      val qs = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val probedCells = qs.flatMap { case (_, qv) =>
+        cents.map { case (cid, cv) =>
+          (cv.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+        }.sorted.take(2).map(_._2)
+      }.distinct.sorted
+      assert(probedCells.length < nCells,
+        "fixture degenerate: every cell probed — pruning unobservable")
+
+      val res = Similarity.ivfSearchBatch(
+        emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+        spark.read.parquet(dir), "vec_id", "embedding",
+        centroids, "cid", "cvec", k = 5, nProbe = 2)
+      res.collect() // populate scan metrics
+      val scan = res.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("ivf_batch_layout")) => s
+      }.headOption.getOrElse(fail("no index-side FileSourceScanExec"))
+      assert(scan.metrics("numFiles").value == probedCells.length,
+        s"index scan read ${scan.metrics("numFiles").value} files for " +
+          s"${probedCells.length} probed cells of $nCells — the probe " +
+          "IN-list is not pruning the cell-partitioned layout")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("bucketed tables co-locate: the fact⋈fact join runs with zero " +
     "Exchange") {
     // the 100 TB story for repeated big-big joins: bucket BOTH sides on

@@ -59,6 +59,35 @@ class SimilaritySpec extends AnyFunSuite {
       "inline assignment probe")
   }
 
+  test("ivfSearchBatch: a one-query batch returns exactly " +
+    "ivfSearchIndexed's answer") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val emb = (0L until 150L).map(i =>
+      (i, Seq.fill(6)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val dir = TestDirs.tmp("ivf_batch").toFile.getAbsolutePath
+    Similarity.ivfIndex(emb, "vec_id", "embedding",
+      centroids, "cid", "cvec")
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val qVec = emb.filter(col("vec_id") === 9L)
+      .select(col("embedding")).collect()(0).getSeq[Double](0)
+    val single = Similarity.ivfSearchIndexed(index, "vec_id", "embedding",
+      centroids, "cid", "cvec", qVec, k = 8, nProbe = 2,
+      excludeId = Some(9L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val batch = Similarity.ivfSearchBatch(
+      emb.filter(col("vec_id") === 9L), "vec_id", "embedding",
+      index, "vec_id", "embedding", centroids, "cid", "cvec",
+      k = 8, nProbe = 2)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    assert(batch == single,
+      "batch probe diverged from the single-query indexed probe")
+  }
+
   test("ivfSearchIndexed fails loudly when the index was assigned " +
     "under a different codebook") {
     import spark.implicits._
