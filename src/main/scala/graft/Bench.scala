@@ -62,6 +62,8 @@ object Bench {
     "q99_repetition_stats", // in-scan dup-token / top-bigram folds
     "q103_vocab_topk", // exploded token counts, partial agg + TakeOrdered
     "q104_incremental_dedup", // batch-vs-corpus broadcast dedup flags
+    "q114_ivf_indexed", // persisted IVF index: build + pruned probe
+    "q115_ivf_batch_search", // batch ANN over the persisted index
     "q108_winnow_fingerprints", // native rolling-hash winnow kernel
     "q109_winnow_neardup") // fp equi-join with stop-gram df cap
 
