@@ -312,6 +312,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest: query vectors probed against the " +
+    "persisted IVF index per micro-batch (foreachBatch, the ANN analog " +
+    "of the band-index ingest lookup)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(59)
+    val corpus = (0L until 120L).map(i =>
+      (i, Seq.fill(6)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val centroids = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // the persisted index: built once per corpus build, one directory
+    // per cell (pruning proven in PlanRegressionSpec), re-read like an
+    // ingest job would
+    val indexDir = TestDirs.tmp("stream_ivf_index").toFile.getAbsolutePath
+    Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      centroids, "cid", "cvec")
+      .write.partitionBy("cell").mode("overwrite").parquet(indexDir)
+    val index = spark.read.parquet(indexDir)
+
+    val queries = Seq(
+      (1000L, (0 until 6).map(j => 0.9 * rnd.nextGaussian())),
+      (1001L, (0 until 6).map(j => 1.1 * rnd.nextGaussian())))
+    val expected = Similarity.ivfSearchBatch(
+      queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      index, "vec_id", "embedding", centroids, "cid", "cvec",
+      k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture degenerate: no neighbors found")
+
+    // ivfSearchBatch rank-limits per query and collects the probe-cell
+    // list — both unsupported inside a streaming plan, so the ingest
+    // shape is foreachBatch: each micro-batch is a plain DataFrame and
+    // the whole batch amortizes one index lookup.
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = stream.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Similarity.ivfSearchBatch(batch, "vec_id", "embedding",
+            index, "vec_id", "embedding", centroids, "cid", "cvec",
+            k = 3, nProbe = 2)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+        }: Unit
+      }
+      .start()
+    try {
+      stream.addData(queries: _*)
+      q.processAllAvailable()
+      assert(got.toSet === expected,
+        s"streamed probe diverged: got $got expected $expected")
+    } finally q.stop()
+  }
+
   test("band-index ingest lookup is exactly-once across a restart " +
     "(kill between microbatches; no duplicate, no missing flags)") {
     import spark.implicits._
