@@ -200,6 +200,20 @@ object TextDedup {
         .orderBy("id1", "id2")
     }),
 
+    // Near-dup GROUPS at scale: min-label components over the 64-bit
+    // SimHash pair graph. Banding recall is EXACT for hamming < bands
+    // (pigeonhole), so unlike an LSH-probabilistic pair set the
+    // components are a pure function of the data — q107's group
+    // semantics on q113's scale substrate.
+    "q116_simhash64_components" -> ((s, d) => {
+      val pairs = Dedup.simhashNeighbors64(
+        Tables.documents(s, d), "text", "doc_id")
+      Dedup.connectedComponents(pairs)
+        .groupBy("rep")
+        .agg(count(lit(1)).as("size"), max(col("id")).as("id_max"))
+        .orderBy("rep")
+    }),
+
     // Pinned-boundary training shards, verified END TO END: write the
     // sharded parquet tree, read it back, and report the layout — the
     // oracle recomputes shard membership as the pure key function, so a
@@ -362,6 +376,57 @@ object TextDedup {
           max(col("doc_id")).as("max_kept"))
     })
   )
+
+  /** Shared q113/q116 oracle prefix: the WITH-body (no `WITH` keyword)
+    * ending in `p(id1, id2, hamming)` — exact 64-bit SimHash near-dup
+    * pairs between exact-dup representatives, mirroring
+    * `Dedup.simhashNeighbors64` at maxHamming = 2. Bit j (1-based) of
+    * the code is bit 3-((j-1)%4) of md5 hex digit (j-1)/4+1 (the
+    * digest's first 64 bits MSB-first), extracted via a nibble-value
+    * lookup — unlike q94's one-bit-per-digit scheme, which reads only
+    * each nibble's high bit.
+    */
+  private def simhash64PairCtes(keepCte: String): String = {
+    val sums64 = (1 to 64).map { j =>
+      val q = (j - 1) / 4 + 1
+      val s = 3 - ((j - 1) % 4)
+      s"SUM(CASE WHEN (((strpos('0123456789abcdef', " +
+        s"substring(md5(tok), $q, 1)) - 1) >> $s) & 1) = 1 " +
+        s"THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    val bits64 = (1 to 64).map(j =>
+      s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val hamSum64 = (1 to 64).map(j =>
+      s"CASE WHEN substring(s1, $j, 1) <> substring(s2, $j, 1) " +
+        "THEN 1 ELSE 0 END").mkString(" + ")
+    val shBands64 = (0 until 4).map(b =>
+      s"SELECT id, simhash, $b AS band, " +
+        s"substring(simhash, ${b * 16 + 1}, 16) AS bits FROM sh")
+      .mkString("\n       |  UNION ALL ")
+    s"""$keepCte,
+       |shingle AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct(list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS toks
+       |  FROM (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |    FROM keep)),
+       |sh AS (
+       |  SELECT id, $bits64 AS simhash FROM (
+       |    SELECT id, $sums64
+       |    FROM (SELECT id, unnest(toks) AS tok FROM shingle)
+       |    GROUP BY id)),
+       |bands AS (
+       |  $shBands64),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id1, y.id AS id2,
+       |    x.simhash AS s1, y.simhash AS s2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bits = y.bits AND x.id < y.id),
+       |p AS (
+       |  SELECT id1, id2, $hamSum64 AS hamming
+       |  FROM cand WHERE $hamSum64 <= 2)""".stripMargin
+  }
 
   def oracle: Map[String, String] = {
     val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -639,53 +704,26 @@ object TextDedup {
            |ORDER BY id1, id2""".stripMargin
       },
 
-      "q113_simhash64_neighbors" -> {
-        // 64-bit shingle SimHash, 4 bands of 16 bits — mirrors
-        // Dedup.simhashNeighbors64. Bit j (1-based) of the code is bit
-        // 3-((j-1)%4) of md5 hex digit (j-1)/4+1 (the digest's first 64
-        // bits MSB-first), extracted via a nibble-value lookup — unlike
-        // q94's one-bit-per-digit scheme, which reads only each
-        // nibble's high bit.
-        val sums64 = (1 to 64).map { j =>
-          val q = (j - 1) / 4 + 1
-          val s = 3 - ((j - 1) % 4)
-          s"SUM(CASE WHEN (((strpos('0123456789abcdef', " +
-            s"substring(md5(tok), $q, 1)) - 1) >> $s) & 1) = 1 " +
-            s"THEN 1 ELSE -1 END) AS b$j"
-        }.mkString(", ")
-        val bits64 = (1 to 64).map(j =>
-          s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
-        val hamSum64 = (1 to 64).map(j =>
-          s"CASE WHEN substring(s1, $j, 1) <> substring(s2, $j, 1) " +
-            "THEN 1 ELSE 0 END").mkString(" + ")
-        val shBands64 = (0 until 4).map(b =>
-          s"SELECT id, simhash, $b AS band, " +
-            s"substring(simhash, ${b * 16 + 1}, 16) AS bits FROM sh")
-          .mkString("\n           |  UNION ALL ")
-        s"""WITH $keepCte,
-           |shingle AS (
-           |  SELECT doc_id AS id,
-           |    list_distinct(list_transform(range(1, len(t) - 1),
-           |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS toks
-           |  FROM (SELECT doc_id,
-           |    list_filter(string_split(text, ' '), x -> x <> '') AS t
-           |    FROM keep)),
-           |sh AS (
-           |  SELECT id, $bits64 AS simhash FROM (
-           |    SELECT id, $sums64
-           |    FROM (SELECT id, unnest(toks) AS tok FROM shingle)
-           |    GROUP BY id)),
-           |bands AS (
-           |  $shBands64),
-           |cand AS (
-           |  SELECT DISTINCT x.id AS id1, y.id AS id2,
-           |    x.simhash AS s1, y.simhash AS s2
-           |  FROM bands x JOIN bands y
-           |    ON x.band = y.band AND x.bits = y.bits AND x.id < y.id)
-           |SELECT id1, id2, $hamSum64 AS hamming
-           |FROM cand WHERE $hamSum64 <= 2
-           |ORDER BY id1, id2""".stripMargin
-      },
+      "q113_simhash64_neighbors" ->
+        s"""WITH ${simhash64PairCtes(keepCte)}
+           |SELECT id1, id2, hamming FROM p
+           |ORDER BY id1, id2""".stripMargin,
+
+      // Components over the q113 pair graph — banding recall is EXACT
+      // for hamming < bands (pigeonhole), so the groups are a pure
+      // function of the data; the recursive tail mirrors q107's.
+      "q116_simhash64_components" ->
+        s"""WITH RECURSIVE ${simhash64PairCtes(keepCte)},
+           |edges AS (
+           |  SELECT id1 AS a, id2 AS b FROM p
+           |  UNION ALL SELECT id2, id1 FROM p),
+           |reach AS (
+           |  SELECT a AS id, a AS r FROM edges
+           |  UNION
+           |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+           |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+           |SELECT rep, count(*) AS size, max(id) AS id_max
+           |FROM comp GROUP BY rep ORDER BY rep""".stripMargin,
 
       "q95_shard_layout" ->
         """SELECT ((doc_id > 40)::INT + (doc_id > 80)::INT +
