@@ -15,6 +15,14 @@ import graft.functions.GraftFunctions
   * bucket. The bucket id is a plain column ⇒ the bucket restriction is a
   * partition-prunable filter / equi-join key at 100 TB.
   *
+  * Index path: [[ivfIndex]] persists the assigned corpus
+  * `partitionBy("cell")` with a codebook stamp; [[ivfSearchIndexed]]
+  * (single query) and [[ivfSearchBatch]] (whole query set, one job)
+  * probe the RELOADED layout reading only nProbe cell directories —
+  * zero assignment recomputation. Per-query probe cost is
+  * corpus·nProbe/|codebook|, so the codebook is sized to the corpus
+  * (√n cells is the standard rule); [[kmeansIterate]] builds it.
+  *
   * All arithmetic is done in double via the native codegen vector
   * expressions (`graft.functions.VectorKernels`) — one tight JVM loop
   * per row inside whole-stage codegen; no UDF, no Python boundary, and
