@@ -367,6 +367,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest is exactly-once across a restart " +
+    "(foreachBatch probe through IdempotentSink; kill between " +
+    "micro-batches; no duplicate, no missing neighbors)") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(61)
+    val corpus = (0L until 120L).map(i =>
+      (i, Seq.fill(6)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val centroids = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val indexDir = TestDirs.tmp("eo_ivf_index").toFile.getAbsolutePath
+    Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      centroids, "cid", "cvec")
+      .write.partitionBy("cell").mode("overwrite").parquet(indexDir)
+    val index = spark.read.parquet(indexDir)
+
+    val queries = (0 until 3).map(i =>
+      (1000L + i, Seq.fill(6)(rnd.nextGaussian())))
+    // batching cannot change per-query answers: expected = one direct
+    // batch over all three queries
+    val expected = Similarity.ivfSearchBatch(
+      queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      index, "vec_id", "embedding", centroids, "cid", "cvec",
+      k = 3, nProbe = 2)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture degenerate: no neighbors")
+
+    val srcDir = TestDirs.tmp("eo_ivf_src")
+    val ckpt = TestDirs.tmp("eo_ivf_ckpt").toString
+    val outDir = TestDirs.tmp("eo_ivf_out").toString
+    def writeQuery(q: (Long, Seq[Double])): Unit =
+      Files.write(srcDir.resolve(s"q_${q._1}.json"),
+        s"""{"vec_id":${q._1},"embedding":[${q._2.mkString(",")}]}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", "long")
+      .add("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(srcDir.toString)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          graft.streaming.IdempotentSink.parquetByBatch(outDir)(
+            Similarity.ivfSearchBatch(batch, "vec_id", "embedding",
+              index, "vec_id", "embedding", centroids, "cid", "cvec",
+              k = 3, nProbe = 2), batchId)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "stream did not finish within 60 s")
+    }
+    writeQuery(queries(0))
+    runOnce() // probes query 1000, then the query stops ("crash")
+    writeQuery(queries(1))
+    writeQuery(queries(2))
+    runOnce() // restart from the SAME checkpoint
+    val out = spark.read.parquet(outDir)
+    val dupRows = out.groupBy("qid", "vec_id")
+      .count().filter(col("count") > 1).count()
+    assert(dupRows == 0, "restart duplicated already-probed neighbors")
+    val got = out.select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"restart lost or invented neighbors: got $got expected $expected")
+  }
+
   test("band-index ingest lookup is exactly-once across a restart " +
     "(kill between microbatches; no duplicate, no missing flags)") {
     import spark.implicits._
