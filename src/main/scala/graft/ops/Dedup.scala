@@ -761,6 +761,35 @@ object Dedup {
     result
   }
 
+  /** Transitive-consistent keep/drop flags for every document: keep iff
+    * the doc is its exact-dup group's keeper AND (it sits outside the
+    * near-dup pair graph OR it is its component's min-id
+    * representative). Pairwise greedy drop over raw pairs can split a
+    * transitive a~b~c chain into inconsistent decisions; component
+    * representatives cannot. The pair graph is between exact-dup
+    * REPRESENTATIVES (the pair generators pre-collapse), so a dropped
+    * representative also drops its exact-dup members — they were
+    * already non-keepers.
+    *
+    * `pairs` is any (id1, id2) near-dup pair frame over the same id
+    * space — [[simhashNeighbors64]] pairs make the flags an exact
+    * function of the data (banding recall is total for hamming <
+    * bands); MinHash-banded pairs give the LSH-probabilistic variant.
+    * One broadcast-able join against the component labels (component
+    * count ≤ paired-doc count ≪ corpus).
+    */
+  def componentDedupFlags(df: DataFrame, textCol: String, idCol: String,
+      pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val comps = connectedComponents(pairs, maxIters)
+      .withColumnRenamed("id", idCol)
+    exactDedupFlags(df, textCol, idCol)
+      .withColumnRenamed("keep", "_exact_keep")
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol),
+        (col("_exact_keep") &&
+          (col("rep").isNull || col("rep") === col(idCol))).as("keep"))
+  }
+
   /** Token-set Jaccard similarity for id-adjacent pairs (a linear-cost
     * demonstration of the n-gram Jaccard kernel; the general pair source
     * is the MinHash band join). Inner-join semantics: pairs with empty

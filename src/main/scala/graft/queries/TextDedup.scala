@@ -214,6 +214,16 @@ object TextDedup {
         .orderBy("rep")
     }),
 
+    // The dedup story's last step: per-doc keep/drop flags that are
+    // TRANSITIVE-consistent — exact-dup keeper ∧ (unpaired ∨ component
+    // representative) over the exact-recall SimHash64 pair graph.
+    "q117_component_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.componentDedupFlags(docs, "text", "doc_id",
+        Dedup.simhashNeighbors64(docs, "text", "doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // Pinned-boundary training shards, verified END TO END: write the
     // sharded parquet tree, read it back, and report the layout — the
     // oracle recomputes shard membership as the pure key function, so a
@@ -724,6 +734,28 @@ object TextDedup {
            |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
            |SELECT rep, count(*) AS size, max(id) AS id_max
            |FROM comp GROUP BY rep ORDER BY rep""".stripMargin,
+
+      // q116's components turned into per-doc flags: exact-dup keeper
+      // ∧ (outside the pair graph ∨ component representative).
+      "q117_component_dedup" ->
+        s"""WITH RECURSIVE ${simhash64PairCtes(keepCte)},
+           |edges AS (
+           |  SELECT id1 AS a, id2 AS b FROM p
+           |  UNION ALL SELECT id2, id1 FROM p),
+           |reach AS (
+           |  SELECT a AS id, a AS r FROM edges
+           |  UNION
+           |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+           |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+           |flags AS (
+           |  SELECT doc_id,
+           |    doc_id = MIN(doc_id) OVER (PARTITION BY md5($norm))
+           |      AS exact_keep
+           |  FROM documents)
+           |SELECT f.doc_id,
+           |  f.exact_keep AND (c.rep IS NULL OR c.rep = f.doc_id) AS keep
+           |FROM flags f LEFT JOIN comp c ON c.id = f.doc_id
+           |ORDER BY f.doc_id""".stripMargin,
 
       "q95_shard_layout" ->
         """SELECT ((doc_id > 40)::INT + (doc_id > 80)::INT +

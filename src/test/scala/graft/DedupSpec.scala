@@ -464,6 +464,29 @@ class DedupSpec extends AnyFunSuite {
       "default entry point drifted from the pinned 64/16 scale shape")
   }
 
+  test("componentDedupFlags keeps exactly one doc per transitive " +
+    "chain (the split a greedy pairwise drop can make is impossible)") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"w$i")
+    // a ~ b and b ~ c by one-word steps; a ~ c only transitively
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, (words :+ "x").mkString(" ")),
+      (3L, (words :+ "x" :+ "y").mkString(" ")),
+      (4L, words.mkString(" ")), // exact dup of 1 → never kept
+      (5L, words.reverse.mkString(" "))) // distant → kept
+      .toDF("doc_id", "text")
+    // the chain is the INPUT contract (any pair source qualifies —
+    // the generators have their own recall specs): a ~ b ~ c with no
+    // direct a ~ c pair, exactly the shape greedy pairwise drop splits
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val flags = Dedup.componentDedupFlags(docs, "text", "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> true),
+      s"component flags inconsistent: $flags")
+  }
+
   test("simhashNeighbors64 verify matches a brute-force Hamming scan, " +
     "and the hot-bucket guard path returns the identical pair set") {
     import spark.implicits._
