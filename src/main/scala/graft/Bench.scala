@@ -55,7 +55,10 @@ object Bench {
     "q83_duration_sanity", "q85_salted_forced", // blanket-salting contrast
     "q86_trim_bylength", "q88_ivf_search",
     "q89_skew_salted", // hot key detected + salted on genuinely skewed data
-    "q94_simhash_neighbors", // Hamming-banded SimHash near-dup lookup
+    // q94 (32-bit SimHash neighbors) is deliberately NOT headline: the
+    // form is deprecated as a measured scale-killer (n²/2⁹ candidates,
+    // OOM at 500k docs — SCALE_r09.md §4). It stays registered and
+    // oracled; the default-visible number is the 64-bit scale form:
     "q113_simhash64_neighbors", // 64-bit/16-bit-band scale form of q94
     "q97_pack_sequences", // per-stratum token-bin packing window
     "q98_decontaminate", // broadcast shingle-overlap decontamination

@@ -291,6 +291,12 @@ object Dedup {
     * [[simhashNeighbors64]] — the default entry point — whose 16-bit
     * bands push the occupancy knee out 256×.
     */
+  @deprecated("the 8-bit band key's fixed 256-value domain makes " +
+    "candidate pairs grow n²/2⁹ — measured OOM at 500k docs " +
+    "(SCALE_r09.md §4). Use simhashNeighbors64, whose 16-bit bands " +
+    "push the occupancy knee out 256×; keep this form only for " +
+    "corpora provably bounded ≪ 100k docs that must match a stored " +
+    "32-bit code.", "round 10")
   def simhashNeighbors(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 2): DataFrame =
     simhashNeighborsOver(df, wordShingles(col(textCol), 3), idCol,
@@ -306,6 +312,10 @@ object Dedup {
     * executor. Both branches consume the same (band, bits)-partitioned
     * window output, so the guard costs no extra shuffle.
     */
+  @deprecated("32-bit codes cap bands at 8 bits (n²/2⁹ candidate " +
+    "growth, measured OOM at 500k docs — SCALE_r09.md §4); use " +
+    "simhashNeighbors64Over unless a stored 32-bit code must be " +
+    "matched on a provably small corpus.", "round 10")
   def simhashNeighborsOver(df: DataFrame, tokensExpr: Column,
       idCol: String, nBits: Int = 32, bands: Int = 4, maxHamming: Int = 2,
       collapseExactOn: Option[Column] = None, maxBucket: Int = 4096)
@@ -777,6 +787,18 @@ object Dedup {
     * bands); MinHash-banded pairs give the LSH-probabilistic variant.
     * One broadcast-able join against the component labels (component
     * count ≤ paired-doc count ≪ corpus).
+    *
+    * '''Pair-source contract (load-bearing).''' `pairs` must link
+    * exact-dup REPRESENTATIVES — ids that are also the min-id exact
+    * keepers — which every pair generator in this object guarantees by
+    * pre-collapsing on the normalized fingerprint. Pairs built over RAW
+    * doc ids violate that: a component whose min-id node is itself an
+    * exact-dup NON-keeper gets a representative with `_exact_keep =
+    * false`, so `keep` is false for the representative AND for every
+    * other member (they lose `rep === id`) — the whole group is
+    * silently eliminated. The invariant is not checked at runtime (it
+    * would cost a corpus-wide join per call); if you supply custom
+    * pairs, pre-collapse them through [[keepersByKey]] first.
     */
   def componentDedupFlags(df: DataFrame, textCol: String, idCol: String,
       pairs: DataFrame, maxIters: Int = 20): DataFrame = {

@@ -151,7 +151,8 @@ object Similarity {
         when(cand.getField("d") < acc.getField("d"), cand).otherwise(acc)
       })
     emb.withColumn("_best", best)
-      .select(emb.columns.map(col) :+ col("_best.cid").as("cell") :+
+      .select(emb.columns.toIndexedSeq.map(col) :+
+        col("_best.cid").as("cell") :+
         round(col("_best.d"), 5).as("cell_dist2"): _*)
   }
 
@@ -196,11 +197,49 @@ object Similarity {
     val md = java.security.MessageDigest.getInstance("MD5")
     cents.foreach { case (cid, v) =>
       md.update(cid.toString.getBytes("UTF-8"))
-      v.foreach(x => md.update(f"$x%.9e,".getBytes("UTF-8")))
+      // Locale.ROOT: the f interpolator uses the JVM default locale, so
+      // a comma-decimal locale would render the same codebook to a
+      // DIFFERENT stamp — an index built on one machine would spuriously
+      // fail the codebook check on another (r9 ADVICE).
+      v.foreach(x => md.update(String.format(java.util.Locale.ROOT,
+        "%.9e,", Double.box(x)).getBytes("UTF-8")))
     }
     s"ivf${cents.size}/" +
       md.digest().map("%02x".format(_)).mkString.take(12)
   }
+
+  /** Verify a reloaded index's `_params` codebook stamp ONCE,
+    * driver-side, before any probe plan is built. The previous per-row
+    * `assert_true` filter only fired when a probed cell actually
+    * produced rows, so a stale index whose probed cells happened to be
+    * empty — or an empty index — skipped verification and silently
+    * returned an empty result (r9 ADVICE). The check reads one
+    * dictionary-encoded constant column (column-pruned scan, partial
+    * agg ⇒ a handful of distinct values reach the driver); at 100 TB
+    * the same stamp belongs in the layout's sidecar metadata, but the
+    * data-path check stays correct either way. A stampless index
+    * (hand-built, not via [[ivfIndex]]) is flagged on stderr rather
+    * than silently trusted.
+    */
+  private def verifyStamp(index: DataFrame, stamp: String,
+      caller: String): DataFrame =
+    if (!index.columns.contains("_params")) {
+      System.err.println(
+        s"[graft] $caller: index has no _params codebook stamp — " +
+          s"cannot verify it was assigned under this codebook ($stamp); " +
+          "a stale index silently mis-routes probes. Build indexes with " +
+          "ivfIndex to get the stamp.")
+      index
+    } else {
+      val stamps = index.select(col("_params")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (!stamps.forall(_ == stamp))
+        throw new IllegalStateException(
+          s"$caller: IVF index assigned under a different codebook " +
+            s"than this probe (expected $stamp, index has " +
+            s"${stamps.mkString(", ")})")
+      index.drop("_params")
+    }
 
   /** Persistable IVF index: [[ivfAssign]] output stamped with the
     * codebook identity — the ANN analog of
@@ -234,22 +273,8 @@ object Similarity {
       queryVec: Seq[Double], k: Int, nProbe: Int = 2,
       excludeId: Option[Long] = None): DataFrame = {
     val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
-    val stamp = codebookStamp(cents)
-    val checked =
-      if (!index.columns.contains("_params")) {
-        System.err.println(
-          "[graft] ivfSearchIndexed: index has no _params codebook " +
-            s"stamp — cannot verify it was assigned under this codebook " +
-            s"($stamp); a stale index silently mis-routes probes. Build " +
-            "indexes with ivfIndex to get the stamp.")
-        index
-      }
-      else index
-        .filter(assert_true(col("_params") === stamp,
-          concat(lit("IVF index assigned under a different codebook " +
-            s"than this probe (expected $stamp, index has "),
-            col("_params"), lit(")"))).isNull)
-        .drop("_params")
+    val checked = verifyStamp(index, codebookStamp(cents),
+      "ivfSearchIndexed")
     val probes = cents.map { case (cid, cv) =>
       (cv.zip(queryVec).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
     }.sorted.take(nProbe).map(_._2)
@@ -295,21 +320,7 @@ object Similarity {
       k: Int, nProbe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
-    val stamp = codebookStamp(cents)
-    val checked =
-      if (!index.columns.contains("_params")) {
-        System.err.println(
-          "[graft] ivfSearchBatch: index has no _params codebook stamp " +
-            s"— cannot verify it was assigned under this codebook " +
-            s"($stamp). Build indexes with ivfIndex to get the stamp.")
-        index
-      }
-      else index
-        .filter(assert_true(col("_params") === stamp,
-          concat(lit("IVF index assigned under a different codebook " +
-            s"than this probe (expected $stamp, index has "),
-            col("_params"), lit(")"))).isNull)
-        .drop("_params")
+    val checked = verifyStamp(index, codebookStamp(cents), "ivfSearchBatch")
     val codebook = typedLit(cents)
     val q = queries.select(col(queryIdCol).as("qid"),
       asDouble(col(queryVecCol)).as("qvec"))

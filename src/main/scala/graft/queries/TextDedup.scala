@@ -45,6 +45,16 @@ object TextDedup {
         floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(2000.0)))
   }
 
+  /** q94's kernel behind one nowarn: the 32-bit form is deprecated in
+    * favor of [[graft.ops.Dedup.simhashNeighbors64]] (n²/2⁹ candidate
+    * growth past ~50k docs) but stays registered and oracled as the
+    * small-corpus/compat surface.
+    */
+  @scala.annotation.nowarn("cat=deprecation")
+  private def simhash32Neighbors(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNeighbors(Tables.documents(s, d), "text", "doc_id")
+      .orderBy("id1", "id2")
+
   /** The q97/q106 oracle mirror of [[langBinnedDocs]]. */
   private def duckBinnedCte: String =
     s"""base AS (
@@ -185,10 +195,9 @@ object TextDedup {
     // SimHash Hamming-neighbor pairs: 32-bit shingle codes, 4×8-bit
     // banded candidate join + exact popcount verify (pigeonhole-complete
     // for d ≤ 3) — the lookup that makes SimHash codes a dedup index.
-    "q94_simhash_neighbors" -> ((s, d) => {
-      Dedup.simhashNeighbors(Tables.documents(s, d), "text", "doc_id")
-        .orderBy("id1", "id2")
-    }),
+    // Registered as the small-corpus/compat form (hence the nowarn);
+    // q113 is the deprecation target and the headline-bench entry.
+    "q94_simhash_neighbors" -> ((s, d) => simhash32Neighbors(s, d)),
 
     // 64-bit SimHash neighbors, 4×16-bit bands — the scale form of q94:
     // 8-bit bands are a 256-value key domain whose candidate join grows

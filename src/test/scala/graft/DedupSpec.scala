@@ -8,6 +8,22 @@ import graft.functions.TextFunctions
 class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  // The 32-bit neighbor entry points are deprecated (n²/2⁹ candidate
+  // growth — use simhashNeighbors64*) but stay covered: these
+  // forwarders scope the deprecation suppression to exactly the specs
+  // that exist to pin the compat form's behavior.
+  @scala.annotation.nowarn("cat=deprecation")
+  private def neighbors32(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, maxHamming: Int) =
+    Dedup.simhashNeighbors(df, textCol, idCol, maxHamming)
+
+  @scala.annotation.nowarn("cat=deprecation")
+  private def neighbors32Over(df: org.apache.spark.sql.DataFrame,
+      tokensExpr: org.apache.spark.sql.Column, idCol: String,
+      nBits: Int = 32, maxHamming: Int = 2, maxBucket: Int = 4096) =
+    Dedup.simhashNeighborsOver(df, tokensExpr, idCol, nBits = nBits,
+      maxHamming = maxHamming, maxBucket = maxBucket)
+
   test("minhash: identical token sets collide regardless of order/dups") {
     import spark.implicits._
     val docs = Seq(
@@ -140,8 +156,7 @@ class DedupSpec extends AnyFunSuite {
       (3L, nearDup), // one extra shingle → few sign flips
       (4L, words.reverse.mkString(" "))) // reversed → distant code
       .toDF("doc_id", "text")
-    val got = Dedup.simhashNeighbors(docs, "text", "doc_id",
-      maxHamming = 3)
+    val got = neighbors32(docs, "text", "doc_id", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((1L, 3L)), "near-dup pair missed")
     assert(!got.exists(p => p._1 == 2L || p._2 == 2L),
@@ -161,8 +176,7 @@ class DedupSpec extends AnyFunSuite {
       (id, mutated.mkString(" "))
     }.toDF("doc_id", "text")
     val sh = graft.functions.TextFunctions.wordShingles(col("text"), 3)
-    val got = Dedup.simhashNeighborsOver(docs, sh, "doc_id",
-      maxHamming = 3)
+    val got = neighbors32Over(docs, sh, "doc_id", maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
       .toMap
     val codes = Dedup.simhashOver(docs, sh, "doc_id")
@@ -181,14 +195,13 @@ class DedupSpec extends AnyFunSuite {
     val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val sh = graft.functions.TextFunctions.wordShingles(col("text"), 3)
     val e = intercept[IllegalArgumentException] {
-      Dedup.simhashNeighborsOver(docs, sh, "doc_id", nBits = 64,
-        bands = 4, maxHamming = 3)
+      neighbors32Over(docs, sh, "doc_id", nBits = 64, maxHamming = 3)
     }
     assert(e.getMessage.contains("[1, 32]"))
     // top of the supported range still verifies exactly: a 32-bit code
     // is well under Long.MaxValue, so conv→long never overflows
-    val ok = Dedup.simhashNeighborsOver(docs, sh, "doc_id", nBits = 32,
-      bands = 4, maxHamming = 3)
+    val ok = neighbors32Over(docs, sh, "doc_id", nBits = 32,
+      maxHamming = 3)
     assert(ok.columns.toSeq == Seq("id1", "id2", "hamming"))
   }
 
@@ -372,7 +385,7 @@ class DedupSpec extends AnyFunSuite {
     }.toDF("doc_id", "text")
     val sh = graft.functions.TextFunctions.wordShingles(col("text"), 3)
     def pairs(maxBucket: Int) =
-      Dedup.simhashNeighborsOver(docs, sh, "doc_id", maxHamming = 3,
+      neighbors32Over(docs, sh, "doc_id", maxHamming = 3,
         maxBucket = maxBucket)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
         .toMap

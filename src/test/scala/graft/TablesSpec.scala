@@ -104,7 +104,13 @@ class TablesSpec extends AnyFunSuite {
       .head()
     // Deterministic fixture: event 0's wall-clock micros must be stable
     // across loader paths (nanos-rebuild vs NTZ cast under UTC session).
+    // Pinned to the exact value DuckDB reads (epoch_us) from the parquet
+    // — a wrong rebuild factor (ns→µs off by 10³) would still be > 0,
+    // so the old positivity check could not catch it.
     assert(row.getLong(0) == 0L)
-    assert(row.getLong(1) > 0L, "ts normalized to a non-epoch value")
+    assert(row.getLong(1) == 1704067798778549L,
+      s"ts micros drifted: got ${row.getLong(1)}, the fixture's event 0 " +
+        "reads 1704067798778549 in DuckDB — loader conversion is wrong " +
+        "or the driver regenerated the fixture")
   }
 }
