@@ -40,10 +40,36 @@ object MultimodalQueries {
 
     // Binary → embedding → ANN: multimodal content joins the similarity
     // path (top-5 cosine neighbors of media 0 among same-kind items).
+    // Brute-force form — the baseline/parity check for q118's indexed
+    // path, and the right plan only when the corpus is scanned once.
     "q71_media_embed_ann" -> ((s, d) => {
       val emb = Multimodal.embed(media(s, d))
       Similarity.knnCosine(emb.filter(col("kind") === "image"),
         "media_id", "embedding", queryId = 0L, k = 5)
+    }),
+
+    // The production form of q71: embeddings land in a PERSISTED
+    // cell-partitioned IVF index once, and the whole query batch probes
+    // the RELOADED layout in one job — embed → ivfIndex → ivfSearchBatch,
+    // the end-to-end path a real multimodal user runs at 100 TB (q71's
+    // brute force re-scans the corpus per query; this reads only the
+    // probed cell directories, pruning proven in PlanRegressionSpec).
+    // Centroids = the first 4 image vectors; queries = the first 2.
+    "q118_media_indexed_ann" -> ((s, d) => {
+      val emb = Multimodal.embed(media(s, d))
+        .filter(col("kind") === "image")
+        .select(col("media_id"), col("embedding"))
+      val centroids = emb.filter(col("media_id") < 12)
+        .select(col("media_id").as("cid"), col("embedding").as("cvec"))
+      val out = QueryTmp.dir("q118", s, d)
+      Similarity.ivfIndex(emb, "media_id", "embedding",
+        centroids, "cid", "cvec")
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$out/ivf")
+      Similarity.ivfSearchBatch(
+        emb.filter(col("media_id") < 6), "media_id", "embedding",
+        s.read.parquet(s"$out/ivf"), "media_id", "embedding",
+        centroids, "cid", "cvec", k = 5, nProbe = 2)
+        .orderBy(col("qid"), col("cos_sim").desc, col("media_id"))
     }),
 
     // PDF→OCR→NLP pipeline: page fan-out, NFC/bitmaps/NER/validation.
@@ -133,6 +159,66 @@ object MultimodalQueries {
         |  GROUP BY v.media_id)
         |SELECT media_id, ROUND(dot / (na * nq.n), 5) AS cos_sim
         |FROM dots, nq ORDER BY cos_sim DESC, media_id LIMIT 5""".stripMargin,
+
+    // q71's md5-embedding CTEs composed with q115's probe structure:
+    // assign every image vector to its nearest of the 4 centroid
+    // vectors (media_id < 12), pick each query's (media_id < 6) 2
+    // nearest cells, rank candidates in those cells by exact cosine —
+    // rounded-score window with media_id tie-break, like the Spark
+    // side's rank limit.
+    "q118_media_indexed_ann" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, md5(text) AS hx
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |vx AS (
+        |  SELECT media_id, i,
+        |    (((CASE WHEN u >= 128 THEN u - 256 ELSE u END) + 7 * i) % 128)
+        |      / 128.0 AS x
+        |  FROM (
+        |    SELECT media_id, gs.i AS i,
+        |      CAST('0x' || substring(hx, 2 * gs.i + 1, 2) AS INTEGER) AS u
+        |    FROM img, (SELECT unnest(range(0, 16)) AS i) gs)),
+        |cx AS (SELECT media_id AS cid, i, x FROM vx WHERE media_id < 12),
+        |dists AS (
+        |  SELECT v.media_id, c.cid, sum((v.x - c.x) * (v.x - c.x)) AS d
+        |  FROM vx v JOIN cx c USING (i) GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT media_id, cid AS cell FROM (
+        |    SELECT media_id, cid, row_number() OVER (PARTITION BY media_id
+        |      ORDER BY d ASC, cid ASC) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |qids AS (SELECT media_id AS qid FROM img WHERE media_id < 6),
+        |probe AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, d.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY d.d ASC, d.cid ASC) AS rn
+        |    FROM qids q JOIN dists d ON d.media_id = q.qid)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.media_id, a.cell
+        |  FROM assigned a JOIN probe p ON a.cell = p.cid
+        |  WHERE a.media_id <> p.qid),
+        |qx AS (
+        |  SELECT q.qid, vx.i, vx.x FROM vx JOIN qids q
+        |  ON vx.media_id = q.qid),
+        |nq AS (SELECT qid, sqrt(sum(x * x)) AS n FROM qx GROUP BY qid),
+        |dots AS (
+        |  SELECT c.qid, a.media_id, sum(a.x * q.x) AS dot,
+        |         sqrt(sum(a.x * a.x)) AS na
+        |  FROM cand c JOIN vx a ON a.media_id = c.media_id
+        |  JOIN qx q ON q.qid = c.qid AND q.i = a.i
+        |  GROUP BY c.qid, a.media_id),
+        |ranked AS (
+        |  SELECT d.qid, d.media_id, c.cell,
+        |    ROUND(dot / (na * nq.n), 5) AS cos_sim,
+        |    row_number() OVER (PARTITION BY d.qid
+        |      ORDER BY ROUND(dot / (na * nq.n), 5) DESC, d.media_id ASC)
+        |      AS rn
+        |  FROM dots d
+        |  JOIN cand c ON c.qid = d.qid AND c.media_id = d.media_id
+        |  JOIN nq ON nq.qid = d.qid)
+        |SELECT qid, media_id, cell, cos_sim FROM ranked WHERE rn <= 5
+        |ORDER BY qid, cos_sim DESC, media_id""".stripMargin,
 
     // Mirrors GrammarPipeline.run's q72 projection: 1024-byte pages =
     // 2048 hex chars; the OCR text is 'עמוד ' + first 8 of

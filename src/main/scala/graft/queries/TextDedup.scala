@@ -233,6 +233,45 @@ object TextDedup {
         .orderBy("doc_id")
     }),
 
+    // The curation CAPSTONE — the chain a 100 TB training-data user
+    // actually runs, as ONE registered query: transitive-consistent
+    // dedup flags (q117's exact-recall SimHash64 components) → per-lang
+    // token-budget mixture (q110's data-derived integer rates) →
+    // per-stratum ~2000-token sequence packing (q97's exclusive-prefix
+    // window) → pinned-boundary shard write (q95's byte-stable layout),
+    // then the written tree read back and audited per (shard, lang).
+    // Every stage's shape is the proven scale form: the flag join is
+    // broadcast-able (components ≪ corpus), the budget totals are one
+    // tiny broadcast-joined aggregate, packing parallelizes across
+    // language strata, and the shard write is one task per shard.
+    "q119_curation_capstone" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val flags = Dedup.componentDedupFlags(docs, "text", "doc_id",
+        Dedup.simhashNeighbors64(docs, "text", "doc_id"))
+      val kept = docs
+        .join(flags.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      val sampled = graft.ops.CurationOps.tokenBudgetSampleFlag(
+        kept, col("lang"), col("n_tok"), col("doc_id"),
+        tokenBudget = 20000L, salt = "budget")
+        .filter(col("sampled"))
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val binned = sampled.withColumn("bin",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(2000.0)))
+      val out = queryTmpDir("q119", s, d)
+      graft.io.ShardWriter.writeShardsPinned(binned, out, "doc_id",
+        Seq(40L, 80L, 160L))
+      s.read.parquet(out)
+        .groupBy(col("shard").cast("int").as("shard"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          max(col("bin")).as("max_bin"),
+          min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"))
+        .orderBy("shard", "lang")
+    }),
+
     // Pinned-boundary training shards, verified END TO END: write the
     // sharded parquet tree, read it back, and report the layout — the
     // oracle recomputes shard membership as the pure key function, so a
@@ -765,6 +804,60 @@ object TextDedup {
            |  f.exact_keep AND (c.rep IS NULL OR c.rep = f.doc_id) AS keep
            |FROM flags f LEFT JOIN comp c ON c.id = f.doc_id
            |ORDER BY f.doc_id""".stripMargin,
+
+      // The capstone chain, stage by stage: q117's flags gate the
+      // corpus (kept), q110's integer-rate budget samples it, q97's
+      // exclusive-prefix window bins it per language, and q95's pinned
+      // boundary function assigns shards — the final audit groups by
+      // (shard, lang).
+      "q119_curation_capstone" ->
+        s"""WITH RECURSIVE ${simhash64PairCtes(keepCte)},
+           |edges AS (
+           |  SELECT id1 AS a, id2 AS b FROM p
+           |  UNION ALL SELECT id2, id1 FROM p),
+           |reach AS (
+           |  SELECT a AS id, a AS r FROM edges
+           |  UNION
+           |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+           |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+           |eflags AS (
+           |  SELECT doc_id,
+           |    doc_id = MIN(doc_id) OVER (PARTITION BY md5($norm))
+           |      AS exact_keep
+           |  FROM documents),
+           |kept AS (
+           |  SELECT d.doc_id, d.lang,
+           |    CAST(len(list_filter(string_split(d.text, ' '),
+           |      x -> x <> '')) AS BIGINT) AS n_tok
+           |  FROM documents d
+           |  JOIN eflags f ON f.doc_id = d.doc_id
+           |  LEFT JOIN comp c ON c.id = d.doc_id
+           |  WHERE f.exact_keep AND (c.rep IS NULL OR c.rep = d.doc_id)),
+           |totals AS (
+           |  SELECT lang,
+           |    CAST(CASE WHEN SUM(n_tok) > 0
+           |      THEN LEAST(100, 20000 * 100 // SUM(n_tok))
+           |      ELSE 100 END AS BIGINT) AS rate_pct
+           |  FROM kept GROUP BY lang),
+           |sampled AS (
+           |  SELECT k.doc_id, k.lang, k.n_tok
+           |  FROM kept k JOIN totals t ON k.lang IS NOT DISTINCT FROM t.lang
+           |  WHERE CAST('0x' || substring(md5('budget:' ||
+           |    CAST(k.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+           |    < t.rate_pct),
+           |binned AS (
+           |  SELECT doc_id, lang, n_tok,
+           |    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang
+           |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+           |      / 2000.0) AS BIGINT) AS bin
+           |  FROM sampled)
+           |SELECT ((doc_id > 40)::INT + (doc_id > 80)::INT +
+           |    (doc_id > 160)::INT) AS shard,
+           |  lang, count(*) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           |  MAX(bin) AS max_bin, MIN(doc_id) AS id_min,
+           |  MAX(doc_id) AS id_max
+           |FROM binned GROUP BY 1, 2 ORDER BY shard, lang""".stripMargin,
 
       "q95_shard_layout" ->
         """SELECT ((doc_id > 40)::INT + (doc_id > 80)::INT +

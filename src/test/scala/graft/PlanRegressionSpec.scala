@@ -185,6 +185,101 @@ class PlanRegressionSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q118 media embed→index→batch-ANN composition prunes the " +
+    "persisted index to the probed cells' files") {
+    // the end-to-end multimodal path: md5-stub embeddings (not the
+    // embeddings fixture) through the same ivfIndex/ivfSearchBatch
+    // machinery — proves the COMPOSED query inherits the pruning, not
+    // just the operator in isolation
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import graft.ops.Multimodal
+      import graft.ops.Multimodal.MediaRow
+      val s = spark
+      import s.implicits._
+      val media = Tables.documents(spark, sf)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          encode(col("text"), "utf-8").as("content"))
+        .as[MediaRow]
+      val emb = Multimodal.embed(media)
+        .select(col("media_id"), col("embedding"))
+      val centroids = emb.filter(col("media_id") < 12)
+        .select(col("media_id").as("cid"), col("embedding").as("cvec"))
+      val dir = TestDirs.tmp("ivf_media_layout").toFile.getAbsolutePath
+      Similarity.ivfIndex(emb, "media_id", "embedding",
+        centroids, "cid", "cvec")
+        .coalesce(1).write.partitionBy("cell")
+        .mode("overwrite").parquet(dir)
+      val nCells = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("cell="))
+      assert(nCells > 2, s"fixture produced only $nCells cells")
+      val cents = centroids.select(col("cid"),
+        col("cvec").cast("array<double>")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      val qs = emb.filter(col("media_id") < 6)
+        .select(col("media_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val probedCells = qs.flatMap { case (_, qv) =>
+        cents.map { case (cid, cv) =>
+          (cv.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+        }.sorted.take(2).map(_._2)
+      }.distinct.sorted
+      assert(probedCells.length < nCells,
+        "fixture degenerate: every cell probed — pruning unobservable")
+      val res = Similarity.ivfSearchBatch(
+        emb.filter(col("media_id") < 6), "media_id", "embedding",
+        spark.read.parquet(dir), "media_id", "embedding",
+        centroids, "cid", "cvec", k = 5, nProbe = 2)
+      res.collect()
+      val scan = res.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(
+            _.toString.contains("ivf_media_layout")) => sc
+      }.headOption.getOrElse(fail("no index-side FileSourceScanExec"))
+      assert(scan.metrics("numFiles").value == probedCells.length,
+        s"index scan read ${scan.metrics("numFiles").value} files for " +
+          s"${probedCells.length} probed cells of $nCells — the media " +
+          "composition lost the probe-cell pruning")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q119 capstone: the pinned shard write lands one file per shard " +
+    "directory and is layout-stable across input partitionings") {
+    // the capstone's sink guarantee: shard membership is a pure key
+    // function and each shard is one task ⇒ one file — so the written
+    // tree is byte-stable no matter how the upstream (dedup flags →
+    // budget sample → packing) happened to be partitioned
+    import graft.io.ShardWriter
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 200L).map(i => (i, s"l${i % 4}", 10L + i % 7))
+    val base = rows.toDF("doc_id", "lang", "n_tok")
+    val dirA = TestDirs.tmp("capstone_shards_a").toFile.getAbsolutePath
+    val dirB = TestDirs.tmp("capstone_shards_b").toFile.getAbsolutePath
+    ShardWriter.writeShardsPinned(base.repartition(7), dirA, "doc_id",
+      Seq(40L, 80L, 160L))
+    ShardWriter.writeShardsPinned(base.repartition(3, col("lang")), dirB,
+      "doc_id", Seq(40L, 80L, 160L))
+    def layout(dir: String): Seq[(String, Int)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toSeq.sortBy(_._1)
+    val la = layout(dirA)
+    assert(la.map(_._1) == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    assert(la.forall(_._2 == 1),
+      s"expected one file per shard dir, got $la")
+    assert(la == layout(dirB),
+      "shard layout drifted with upstream partitioning")
+    // no row lost or duplicated through the write
+    val back = spark.read.parquet(dirA)
+    assert(back.count() == 200)
+    assert(back.select("doc_id").distinct().count() == 200)
+  }
+
   test("bucketed tables co-locate: the fact⋈fact join runs with zero " +
     "Exchange") {
     // the 100 TB story for repeated big-big joins: bucket BOTH sides on
