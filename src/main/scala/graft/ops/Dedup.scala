@@ -756,6 +756,11 @@ object Dedup {
       labels = propagated
       converged = changed == 0
       i += 1
+      // scale-measurement hook (SCALE_r10): per-iteration label-change
+      // counts put the driver-loop cost curve on record — opt-in via
+      // env so the gate's stderr stays quiet
+      if (sys.env.contains("GRAFT_CC_LOG"))
+        System.err.println(s"[cc] iter $i changed=$changed")
     }
     edges.unpersist()
     if (!converged) {

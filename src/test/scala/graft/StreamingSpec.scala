@@ -329,8 +329,11 @@ class StreamingSpec extends AnyFunSuite {
     val indexDir = TestDirs.tmp("stream_ivf_index").toFile.getAbsolutePath
     Similarity.ivfIndex(corpus, "vec_id", "embedding",
       centroids, "cid", "cvec")
+      .coalesce(1) // one file per cell dir ⇒ numFiles == cells scanned
       .write.partitionBy("cell").mode("overwrite").parquet(indexDir)
     val index = spark.read.parquet(indexDir)
+    val nCells = new java.io.File(indexDir).listFiles()
+      .count(_.getName.startsWith("cell="))
 
     val queries = Seq(
       (1000L, (0 until 6).map(j => 0.9 * rnd.nextGaussian())),
@@ -341,21 +344,45 @@ class StreamingSpec extends AnyFunSuite {
       k = 3, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(expected.nonEmpty, "fixture degenerate: no neighbors found")
+    // expected probed-cell union, derived independently: each query's 2
+    // nearest centroids by (sqdist, cid) — the pruning target
+    val cents = centroids.select(col("cid"),
+      col("cvec").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val probedCells = queries.flatMap { case (_, qv) =>
+      cents.map { case (cid, cv) =>
+        (cv.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+      }.sorted.take(2).map(_._2)
+    }.distinct.sorted
+    assert(probedCells.length < nCells,
+      "fixture degenerate: every cell probed — pruning unobservable")
 
     // ivfSearchBatch rank-limits per query and collects the probe-cell
     // list — both unsupported inside a streaming plan, so the ingest
     // shape is foreachBatch: each micro-batch is a plain DataFrame and
-    // the whole batch amortizes one index lookup.
+    // the whole batch amortizes one index lookup. The micro-batch
+    // probe must inherit the static partition pruning — a stream that
+    // full-scans the index per batch would not survive a 100 TB
+    // corpus — so the batch records the index-side numFiles too.
     val got = scala.collection.mutable.Set[(Long, Long)]()
+    @volatile var filesRead = -1L
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     val stream = MemoryStream[(Long, Seq[Double])]
     val q = stream.toDS().toDF("vec_id", "embedding")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         got.synchronized {
-          got ++= Similarity.ivfSearchBatch(batch, "vec_id", "embedding",
+          val res = Similarity.ivfSearchBatch(batch, "vec_id", "embedding",
             index, "vec_id", "embedding", centroids, "cid", "cvec",
             k = 3, nProbe = 2)
-            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          got ++= res.collect().map(r => (r.getLong(0), r.getLong(1)))
+          res.queryExecution.executedPlan.collect {
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec
+              if sc.relation.location.rootPaths.exists(
+                _.toString.contains("stream_ivf_index")) => sc
+          }.headOption.foreach(sc =>
+            filesRead = sc.metrics("numFiles").value)
         }: Unit
       }
       .start()
@@ -364,7 +391,14 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(got.toSet === expected,
         s"streamed probe diverged: got $got expected $expected")
-    } finally q.stop()
+      assert(filesRead == probedCells.length,
+        s"micro-batch probe read $filesRead index files for " +
+          s"${probedCells.length} probed cells of $nCells — the " +
+          "streaming lookup lost the probe-cell pruning")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   test("streaming ANN ingest is exactly-once across a restart " +
