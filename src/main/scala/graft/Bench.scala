@@ -68,6 +68,7 @@ object Bench {
     "q114_ivf_indexed", // persisted IVF index: build + pruned probe
     "q115_ivf_batch_search", // batch ANN over the persisted index
     "q118_media_indexed_ann", // embed → persisted IVF → batch ANN
+    "q120_semantic_dedup", // embedding-cosine dedup via the IVF index
     "q119_curation_capstone", // dedup flags → budget mix → pack → shard
     "q108_winnow_fingerprints", // native rolling-hash winnow kernel
     "q109_winnow_neardup") // fp equi-join with stop-gram df cap

@@ -350,6 +350,46 @@ object Similarity {
       .drop("_rn")
   }
 
+  /** SemDeDup-style embedding near-dup flags against a (reloaded)
+    * [[ivfIndex]]: every batch row probes its `nProbe` nearest cells in
+    * ONE job ([[ivfSearchBatch]] with k = 1) and is dropped when its
+    * best corpus neighbor's cosine ≥ `tau` — the embedding-cosine
+    * member of the dedup family (exact / MinHash / SimHash / Jaccard /
+    * cosine), the semantic-dedup pass a training pipeline runs between
+    * near-dup text removal and mixture sampling.
+    *
+    * Semantics are the GREEDY one-pass form: each batch row decides
+    * against the standing corpus only (the batch-vs-corpus shape of
+    * [[graft.ops.Dedup.crossDedupFlags]]) — batch rows never pair with
+    * each other, so the result is order-independent and idempotent for
+    * incremental ingest. For transitive-consistent whole-corpus
+    * semantics, feed cosine-verified pairs to
+    * [[graft.ops.Dedup.componentDedupFlags]] instead.
+    *
+    * Scale: the corpus side is the persisted cell-partitioned index —
+    * scanned (pruned to the batch's probed cells), never shuffled, no
+    * assignment recomputation; the batch ships as one broadcast.
+    * Approximation boundary is the index's own: a neighbor outside the
+    * probed cells is missed with the measured 1−recall probability
+    * (SCALE_r10.md §1), tunable via `nProbe`.
+    *
+    * Returns (`batchIdCol`, neighbor_id, cos_sim, keep) — neighbor_id/
+    * cos_sim NULL when no candidate survives in the probed cells.
+    */
+  def semanticDedupFlags(batch: DataFrame, batchIdCol: String,
+      batchVecCol: String, index: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      tau: Double, nProbe: Int = 2): DataFrame = {
+    val top = ivfSearchBatch(batch, batchIdCol, batchVecCol,
+      index, idCol, vecCol, centroids, centroidIdCol, centroidVecCol,
+      k = 1, nProbe = nProbe)
+      .select(col("qid"), col(idCol).as("neighbor_id"), col("cos_sim"))
+    batch.select(col(batchIdCol))
+      .join(top, col(batchIdCol) === col("qid"), "left")
+      .select(col(batchIdCol), col("neighbor_id"), col("cos_sim"),
+        (col("cos_sim").isNull || col("cos_sim") < tau).as("keep"))
+  }
+
   /** One Lloyd (k-means) iteration — the offline IVF codebook builder:
     * assign every vector with the zero-shuffle broadcast fold, then
     * recompute each cell's per-dimension mean. ONE shuffle keyed by

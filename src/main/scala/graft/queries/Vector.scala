@@ -111,6 +111,30 @@ object Vector {
         .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
     }),
 
+    // SemDeDup-style embedding-cosine dedup: a deterministic 10% batch
+    // (vec_id % 10 = 9) probed against the persisted IVF index of the
+    // other 90% — each batch vector keeps iff its best probed-cell
+    // corpus neighbor's cosine < 0.4 (the fixture's cosines top out
+    // ~0.5, so 0.4 exercises BOTH flag branches on gate data). The
+    // embedding member of the dedup family, in the q104
+    // batch-vs-corpus shape: index scanned (cell-pruned), never
+    // shuffled; batch broadcast.
+    "q120_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val isBatch = col("vec_id") % 10 === 9
+      val out = QueryTmp.dir("q120", s, d)
+      Similarity.ivfIndex(emb.filter(!isBatch), "vec_id", "embedding",
+        centroids, "cid", "cvec")
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$out/ivf")
+      Similarity.semanticDedupFlags(
+        emb.filter(isBatch), "vec_id", "embedding",
+        s.read.parquet(s"$out/ivf"), "vec_id", "embedding",
+        centroids, "cid", "cvec", tau = 0.4, nProbe = 2)
+        .orderBy("vec_id")
+    }),
+
     // One Lloyd iteration over the 8-centroid codebook: the offline
     // k-means step that builds the IVF index.
     "q90_kmeans_step" -> ((s, d) => {
@@ -238,6 +262,59 @@ object Vector {
         |  JOIN nq ON nq.qid = d.qid)
         |SELECT qid, vec_id, cell, cos_sim FROM ranked WHERE rn <= 5
         |ORDER BY qid, cos_sim DESC, vec_id""".stripMargin,
+
+    // q115's probe CTEs specialized to k = 1 over the 90% corpus, with
+    // the batch LEFT-joined back so probed-cell misses surface as NULL
+    // neighbors (keep = true). Assignment excludes the batch; probe
+    // distances exist for every vector.
+    "q120_semantic_dedup" ->
+      """WITH ax AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
+        |dists AS (
+        |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
+        |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d ASC, cid ASC) AS rn
+        |    FROM dists WHERE vec_id % 10 <> 9) WHERE rn = 1),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 10 = 9),
+        |probe AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, d.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY d.d ASC, d.cid ASC) AS rn
+        |    FROM qids q JOIN dists d ON d.vec_id = q.qid)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id, a.cell
+        |  FROM assigned a JOIN probe p ON a.cell = p.cid
+        |  WHERE a.vec_id <> p.qid),
+        |qx AS (
+        |  SELECT q.qid, ax.i, ax.x FROM ax JOIN qids q
+        |  ON ax.vec_id = q.qid),
+        |nq AS (SELECT qid, sqrt(sum(x * x)) AS n FROM qx GROUP BY qid),
+        |dots AS (
+        |  SELECT c.qid, a.vec_id, sum(a.x * q.x) AS dot,
+        |         sqrt(sum(a.x * a.x)) AS na
+        |  FROM cand c JOIN ax a ON a.vec_id = c.vec_id
+        |  JOIN qx q ON q.qid = c.qid AND q.i = a.i
+        |  GROUP BY c.qid, a.vec_id),
+        |top1 AS (
+        |  SELECT qid, vec_id AS neighbor_id, cos_sim FROM (
+        |    SELECT d.qid, d.vec_id,
+        |      ROUND(dot / (na * nq.n), 5) AS cos_sim,
+        |      row_number() OVER (PARTITION BY d.qid
+        |        ORDER BY ROUND(dot / (na * nq.n), 5) DESC, d.vec_id ASC)
+        |        AS rn
+        |    FROM dots d JOIN nq ON nq.qid = d.qid)
+        |  WHERE rn = 1)
+        |SELECT q.qid AS vec_id, t.neighbor_id, t.cos_sim,
+        |  (t.cos_sim IS NULL OR t.cos_sim < 0.4) AS keep
+        |FROM qids q LEFT JOIN top1 t ON t.qid = q.qid
+        |ORDER BY vec_id""".stripMargin,
 
     "q59_ivf_cells" ->
       """WITH ax AS (

@@ -113,6 +113,37 @@ class SimilaritySpec extends AnyFunSuite {
       s"unexpected failure: $e")
   }
 
+  test("semanticDedupFlags: near-copy of a corpus vector drops, " +
+    "distant vector keeps, probed-cell miss keeps with NULL neighbor") {
+    import spark.implicits._
+    // two well-separated clusters; centroids sit on them
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.0, 0.0)), (11L, Seq(0.99, 0.01, 0.0)),
+      (12L, Seq(0.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0))).toDF("cid", "cvec")
+    val dir = TestDirs.tmp("semdedup").toFile.getAbsolutePath
+    Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      cents, "cid", "cvec")
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val batch = Seq(
+      (100L, Seq(0.999, 0.001, 0.0)), // ≈ corpus 10 → cos ≈ 1 → drop
+      (101L, Seq(0.5, -0.8, 0.1)), // far from everything → keep
+      (102L, Seq(0.0, 0.0, 1.0))) // cell 2 is EMPTY → null neighbor
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedupFlags(batch, "vec_id", "embedding",
+      spark.read.parquet(dir), "vec_id", "embedding",
+      cents, "cid", "cvec", tau = 0.95, nProbe = 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getBoolean(3))).toMap
+    assert(got(100L) == (Some(10L), false), s"near-copy not dropped: $got")
+    assert(got(101L)._2, s"distant vector dropped: $got")
+    // 102's single probed cell holds no corpus vectors: the LEFT join
+    // must surface it as keep with no neighbor, not lose the row
+    assert(got(102L) == (None, true), s"cell-miss row mishandled: $got")
+  }
+
   test("kmeansIterate: an empty cell keeps its previous centroid") {
     import spark.implicits._
     val emb = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.2, 0.0)))
