@@ -817,6 +817,71 @@ object Dedup {
           (col("rep").isNull || col("rep") === col(idCol))).as("keep"))
   }
 
+  /** One-scan fused form of the default transitive-consistent flag
+    * chain — identical output to
+    * `componentDedupFlags(df, …, simhashNeighbors64(df, …))` (parity
+    * spec in DedupSpec), different cost:
+    *
+    *  - The composed form scans the document TEXT twice (once for the
+    *    pair pipeline's codes, once for [[exactDedupFlags]]) and pays
+    *    the fingerprint-partitioned window shuffle twice (the banding
+    *    pre-collapse and the exact flags are the same min-id window).
+    *    At 100 TB the second text scan is another 100 TB of I/O.
+    *  - This form computes the fingerprint AND the 64-bit shingle code
+    *    in ONE pass (both are in-scan kernels), derives exact flags
+    *    and the banding pre-collapse from ONE fingerprint window, and
+    *    materializes that narrow (id, fp-derived flag, code) frame via
+    *    an eager localCheckpoint — ~50 bytes/doc, the same
+    *    narrow-index-for-text-scan trade [[corpusIndexes]] makes
+    *    explicitly — so the text is read exactly once no matter how
+    *    many downstream actions (component iterations + final join)
+    *    consume it. Checkpoint blocks are reclaimed when the returned
+    *    frame goes unreferenced, as in [[connectedComponents]].
+    */
+  def simhash64ComponentFlags(df: DataFrame, textCol: String,
+      idCol: String, bandBits: Int = 16, maxHamming: Int = 2,
+      maxBucket: Int = 4096, maxIters: Int = 20): DataFrame = {
+    require(64 % bandBits == 0 && bandBits >= 1 && bandBits <= 32,
+      s"bandBits ($bandBits) must divide 64 and leave ≥2 bands")
+    val bands = 64 / bandBits
+    require(maxHamming < bands,
+      s"pigeonhole: $bands bands only guarantee recall for distance < $bands")
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    // ONE text pass: fingerprint + shingle code together
+    val toks = wordShingles(col(textCol), 3)
+    val coded = df.select(col(idCol).as("id"),
+      fingerprint(col(textCol)).as("_fp"),
+      when(size(toks) > 0,
+        column(graft.functions.Simhash64Code(expression(toks))))
+        .as("code"))
+    // ONE fingerprint window: exact flags for every row; its min-id IS
+    // the banding pre-collapse (keepersByKey's predicate)
+    val flagged = coded
+      .withColumn("_exact_keep", col("id") ===
+        min(col("id")).over(Window.partitionBy(col("_fp"))))
+      .drop("_fp")
+      .localCheckpoint(true)
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("code"), 64 - bandBits * (b + 1))
+          .bitwiseAND(lit(mask)).as("bits")))
+    val bandRows = flagged
+      .filter(col("_exact_keep") && col("code").isNotNull)
+      .select(col("id"), col("code"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("code"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val comps = connectedComponents(
+      bandedHammingPairs(bandRows, maxHamming, maxBucket), maxIters)
+      .withColumnRenamed("id", "_cid")
+    flagged.select(col("id").as(idCol), col("_exact_keep"))
+      .join(comps, col(idCol) === col("_cid"), "left")
+      .select(col(idCol),
+        (col("_exact_keep") &&
+          (col("rep").isNull || col("rep") === col(idCol))).as("keep"))
+  }
+
   /** Token-set Jaccard similarity for id-adjacent pairs (a linear-cost
     * demonstration of the n-gram Jaccard kernel; the general pair source
     * is the MinHash band join). Inner-join semantics: pairs with empty

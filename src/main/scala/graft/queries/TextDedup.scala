@@ -226,10 +226,11 @@ object TextDedup {
     // The dedup story's last step: per-doc keep/drop flags that are
     // TRANSITIVE-consistent — exact-dup keeper ∧ (unpaired ∨ component
     // representative) over the exact-recall SimHash64 pair graph.
+    // Runs the FUSED one-scan form (text read once, one fingerprint
+    // window — parity with the composed chain pinned in DedupSpec).
     "q117_component_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.componentDedupFlags(docs, "text", "doc_id",
-        Dedup.simhashNeighbors64(docs, "text", "doc_id"))
+      Dedup.simhash64ComponentFlags(Tables.documents(s, d),
+        "text", "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -246,8 +247,7 @@ object TextDedup {
     // language strata, and the shard write is one task per shard.
     "q119_curation_capstone" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val flags = Dedup.componentDedupFlags(docs, "text", "doc_id",
-        Dedup.simhashNeighbors64(docs, "text", "doc_id"))
+      val flags = Dedup.simhash64ComponentFlags(docs, "text", "doc_id")
       val kept = docs
         .join(flags.filter(col("keep")).select("doc_id"), Seq("doc_id"))
         .select(col("doc_id"), col("lang"),

@@ -393,6 +393,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs(1) == pairs(4096))
   }
 
+  test("simhash64ComponentFlags: the fused one-scan form matches the " +
+    "composed componentDedupFlags ∘ simhashNeighbors64 chain, and its " +
+    "output plan reads the checkpointed narrow frame, not the source") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val composed = Dedup.componentDedupFlags(docs, "text", "doc_id",
+      Dedup.simhashNeighbors64(docs, "text", "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val fused = Dedup.simhash64ComponentFlags(docs, "text", "doc_id")
+    val got = fused.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == composed, {
+      val diff = (got.keySet ++ composed.keySet)
+        .filter(k => got.get(k) != composed.get(k)).take(5)
+      s"fused flags diverge from composed at e.g. $diff"
+    })
+    assert(got.values.exists(identity) && got.values.exists(!_),
+      "fixture degenerate: flags all-true or all-false prove nothing")
+    // one-scan proof: the returned frame's plan must contain NO file
+    // source scan — both join sides flow from the eager checkpoint /
+    // the components checkpoint, so the 100 TB text is read once, at
+    // materialization time, not again per downstream action
+    val scans = fused.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.isEmpty,
+      s"fused output plan re-scans the source: $scans")
+  }
+
   test("native simhash64 kernel matches the md5-bitstream Column " +
     "construction on multibyte text (Hebrew, niqqud, emoji)") {
     import spark.implicits._
