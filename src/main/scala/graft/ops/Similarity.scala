@@ -350,6 +350,47 @@ object Similarity {
       .drop("_rn")
   }
 
+  /** Incremental append to a persisted [[ivfIndex]] layout — the
+    * ingest path of the ANN story (the band index has [[graft.ops.Dedup
+    * .crossDedupFlagsFromIndexes]]; this is the vector analog): assign
+    * ONLY the new vectors under the layout's exact codebook and append
+    * their rows to the cell-partitioned directory tree. The existing
+    * index is never read beyond the driver-side stamp check and never
+    * rewritten — appending n new vectors to a billion-vector index
+    * costs O(n·|codebook|) assignment plus n row writes into the
+    * matching cell directories.
+    *
+    * The codebook stamp is verified against the existing layout BEFORE
+    * any write: appending rows assigned under a different codebook
+    * would silently corrupt every future probe of the mixed cells,
+    * which is exactly the failure the stamp exists to prevent. A
+    * missing directory degrades to a fresh [[ivfIndex]] write (the
+    * bootstrap case).
+    *
+    * Append atomicity is Spark's committer: each call is one job whose
+    * files appear only on commit. For exactly-once streaming ingest,
+    * drive this from `foreachBatch` keyed by batchId through the same
+    * idempotent-sink pattern StreamingSpec proves for the band index.
+    */
+  def ivfIndexAppend(newVectors: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, centroids: DataFrame, centroidIdCol: String,
+      centroidVecCol: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
+    val stamp = codebookStamp(cents)
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) {
+      // same driver-side check as the probes — and discard the checked
+      // frame: only the stamp agreement matters here
+      verifyStamp(spark.read.parquet(indexDir), stamp, "ivfIndexAppend")
+      ()
+    }
+    ivfAssignLocal(newVectors, vecCol, cents)
+      .withColumn("_params", lit(stamp))
+      .write.partitionBy("cell").mode("append").parquet(indexDir)
+  }
+
   /** SemDeDup-style embedding near-dup flags against a (reloaded)
     * [[ivfIndex]]: every batch row probes its `nProbe` nearest cells in
     * ONE job ([[ivfSearchBatch]] with k = 1) and is dropped when its

@@ -111,6 +111,31 @@ object Vector {
         .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
     }),
 
+    // Incremental index build: 90% of vectors build the persisted IVF
+    // layout, the remaining 10% APPEND to it (assignment under the
+    // stamped codebook, no rewrite of existing cells), and the q88
+    // probe runs against the combined layout. Shares q88/q114's oracle
+    // verbatim — the proof that an append-built index answers exactly
+    // like a single-shot build over the full corpus.
+    "q121_ivf_append" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val isNew = col("vec_id") % 10 === 9
+      val out = QueryTmp.dir("q121", s, d)
+      Similarity.ivfIndex(emb.filter(!isNew), "vec_id", "embedding",
+        centroids, "cid", "cvec")
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$out/ivf")
+      Similarity.ivfIndexAppend(emb.filter(isNew), "vec_id", "embedding",
+        s"$out/ivf", centroids, "cid", "cvec")
+      val qVec = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .collect()(0).getSeq[Double](0)
+      Similarity.ivfSearchIndexed(s.read.parquet(s"$out/ivf"),
+        "vec_id", "embedding", centroids, "cid", "cvec",
+        qVec, k = 5, nProbe = 2, excludeId = Some(0L))
+    }),
+
     // SemDeDup-style embedding-cosine dedup: a deterministic 10% batch
     // (vec_id % 10 = 9) probed against the persisted IVF index of the
     // other 90% — each batch vector keeps iff its best probed-cell
@@ -212,6 +237,11 @@ object Vector {
     // Same oracle as q88 by construction: the persisted index changes
     // WHERE the assignment lives, not what the probe computes.
     "q114_ivf_indexed" -> ivfSearchSql,
+
+    // Same oracle again: an append-built layout (90% build + 10%
+    // append under the same stamped codebook) must answer exactly like
+    // a single-shot build over the full corpus.
+    "q121_ivf_append" -> ivfSearchSql,
 
     // q88's probe generalized over a query SET (vec_id < 2), ranked
     // per query on the ROUNDED score with id tie-break — the same

@@ -144,6 +144,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(102L) == (None, true), s"cell-miss row mishandled: $got")
   }
 
+  test("ivfIndexAppend: append-built layout answers exactly like a " +
+    "single-shot build; a mismatched codebook is refused BEFORE writing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val emb = (0L until 150L).map(i =>
+      (i, Seq.fill(6)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val oneShot = TestDirs.tmp("ivf_oneshot").toFile.getAbsolutePath
+    Similarity.ivfIndex(emb, "vec_id", "embedding", cents, "cid", "cvec")
+      .write.partitionBy("cell").mode("overwrite").parquet(oneShot)
+    val appended = TestDirs.tmp("ivf_appended").toFile.getAbsolutePath
+    Similarity.ivfIndex(emb.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", cents, "cid", "cvec")
+      .write.partitionBy("cell").mode("overwrite").parquet(appended)
+    Similarity.ivfIndexAppend(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", appended, cents, "cid", "cvec")
+    def probe(dir: String) = Similarity.ivfSearchBatch(
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      spark.read.parquet(dir), "vec_id", "embedding",
+      cents, "cid", "cvec", k = 7, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .toSet
+    assert(probe(appended) == probe(oneShot),
+      "append-built index diverged from the single-shot build")
+    // wrong codebook: the append must throw at the stamp check and
+    // leave the layout untouched — a silent mixed-codebook append
+    // corrupts every future probe of the affected cells
+    val before = spark.read.parquet(appended).count()
+    val badCents = Seq((0L, Seq(9.0, 9.0, 9.0, 9.0, 9.0, 9.0)),
+      (1L, Seq(-9.0, 9.0, -9.0, 9.0, -9.0, 9.0))).toDF("cid", "cvec")
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfIndexAppend(emb.limit(5), "vec_id", "embedding",
+        appended, badCents, "cid", "cvec")
+    }
+    assert(e.getMessage.contains("different codebook"))
+    assert(spark.read.parquet(appended).count() == before,
+      "refused append still wrote rows")
+  }
+
   test("kmeansIterate: an empty cell keeps its previous centroid") {
     import spark.implicits._
     val emb = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.2, 0.0)))
