@@ -74,6 +74,10 @@ object Bench {
     "q109_winnow_neardup") // fp equi-join with stop-gram df cap
 
   def main(args: Array[String]): Unit = {
+    // the f interpolator renders %f under the JVM default locale; a
+    // comma-decimal locale would emit invalid JSON (same bug class as
+    // the codebook stamp) — pin ROOT for the whole process
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -39,6 +39,10 @@ import graft.ops.Similarity
 object RecallBench {
 
   def main(args: Array[String]): Unit = {
+    // the f interpolator renders %f under the JVM default locale; a
+    // comma-decimal locale would emit invalid JSON (same bug class as
+    // the codebook stamp) — pin ROOT for the whole process
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val n = args.lift(0).map(_.toInt).getOrElse(200000)
     val outDir = args.lift(1).getOrElse("/tmp/recall_ivf")
     val dim = 64
@@ -111,7 +115,11 @@ object RecallBench {
       (rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap, sec)
     }
 
-    // ground truth: probe every cell ⇒ exact cosine top-k
+    // ground truth: probe every cell ⇒ exact cosine top-k. Warmed like
+    // every nProbe point (discarded first run) so exact_batch_sec is
+    // comparable — timing it cold overstated the exact scan's cost in
+    // the published exact-vs-probe ratios.
+    topSets(nCells)
     val (truth, truthSec) = topSets(nCells)
     require(truth.size == nQueries && truth.values.forall(_.size == kTop),
       s"degenerate truth: ${truth.size} queries, " +

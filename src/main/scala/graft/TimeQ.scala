@@ -4,6 +4,10 @@ import org.apache.spark.sql.SparkSession
 /** Scratch: time named queries once-warm at a given SF (dev helper). */
 object TimeQ {
   def main(args: Array[String]): Unit = {
+    // the f interpolator renders %f under the JVM default locale; a
+    // comma-decimal locale would emit invalid JSON (same bug class as
+    // the codebook stamp) — pin ROOT for the whole process
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -422,21 +422,31 @@ object Dedup {
     val codes =
       if (collapseExactOn.isEmpty) coded
       else keepersByKey(coded, col("_ck"), "id")
-    // Band b covers code bits [64-bandBits·(b+1), 64-bandBits·b) —
-    // MSB-first, matching the hex-prefix reading order of the oracle's
-    // bit-string rendering. shiftrightunsigned keeps the top band exact
-    // on negative codes (MSB set).
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    bandedHammingPairs(simhash64BandRows(codes, bandBits), maxHamming,
+      maxBucket)
+  }
+
+  /** (id, code, band, bits) rows for the 64-bit banded Hamming join:
+    * band b covers code bits [64−bandBits·(b+1), 64−bandBits·b) —
+    * MSB-first, matching the hex-prefix reading order of the oracle's
+    * bit-string rendering; shiftrightunsigned keeps the top band exact
+    * on negative codes (MSB set). ONE definition shared by the
+    * neighbor search and the fused flag chain so the band layout can
+    * never silently drift between them.
+    */
+  private def simhash64BandRows(codes: DataFrame, bandBits: Int)
+  : DataFrame = {
+    val bands = 64 / bandBits
+    val mask = (1L << bandBits) - 1 // bandBits ≤ 32 by callers' require
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("code"), 64 - bandBits * (b + 1))
           .bitwiseAND(lit(mask)).as("bits")))
-    val bandRows = codes
+    codes
       .select(col("id"), col("code"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("code"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
-    bandedHammingPairs(bandRows, maxHamming, maxBucket)
   }
 
   /** Shared tail of the banded Hamming search: bucket-occupancy window,
@@ -861,17 +871,9 @@ object Dedup {
         min(col("id")).over(Window.partitionBy(col("_fp"))))
       .drop("_fp")
       .localCheckpoint(true)
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val bandStructs = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col("code"), 64 - bandBits * (b + 1))
-          .bitwiseAND(lit(mask)).as("bits")))
-    val bandRows = flagged
-      .filter(col("_exact_keep") && col("code").isNotNull)
-      .select(col("id"), col("code"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("code"),
-        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val bandRows = simhash64BandRows(
+      flagged.filter(col("_exact_keep") && col("code").isNotNull),
+      bandBits)
     val comps = connectedComponents(
       bandedHammingPairs(bandRows, maxHamming, maxBucket), maxIters)
       .withColumnRenamed("id", "_cid")

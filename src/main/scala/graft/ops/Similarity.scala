@@ -212,14 +212,22 @@ object Similarity {
     * driver-side, before any probe plan is built. The previous per-row
     * `assert_true` filter only fired when a probed cell actually
     * produced rows, so a stale index whose probed cells happened to be
-    * empty — or an empty index — skipped verification and silently
-    * returned an empty result (r9 ADVICE). The check reads one
-    * dictionary-encoded constant column (column-pruned scan, partial
-    * agg ⇒ a handful of distinct values reach the driver); at 100 TB
-    * the same stamp belongs in the layout's sidecar metadata, but the
-    * data-path check stays correct either way. A stampless index
-    * (hand-built, not via [[ivfIndex]]) is flagged on stderr rather
-    * than silently trusted.
+    * empty skipped verification and silently returned an empty result
+    * (r9 ADVICE). A zero-ROW index is likewise an error here, not an
+    * empty answer: there is no stamp to verify, and probing a
+    * truncated layout as if it were the corpus is the same silent
+    * wrong-empty-result failure. NULL stamps (a layout mixing stamped
+    * and hand-appended stampless files) fail with the diagnostic, not
+    * an NPE.
+    *
+    * Cost: one column-pruned scan of the constant `_params` column
+    * (partial agg ⇒ a handful of distinct values reach the driver) per
+    * call — for a per-micro-batch probe/append loop against a huge
+    * layout, move the stamp to sidecar metadata or cache it per path;
+    * the data-path check is the safe default, not the only option.
+    * A stampless index (no `_params` column at all) is flagged on
+    * stderr rather than silently trusted, preserving the hand-built
+    * escape hatch.
     */
   private def verifyStamp(index: DataFrame, stamp: String,
       caller: String): DataFrame =
@@ -232,7 +240,13 @@ object Similarity {
       index
     } else {
       val stamps = index.select(col("_params")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
+        .collect().map(r => Option(r.getString(0)).getOrElse("<null>"))
+        .toSeq.sorted
+      if (stamps.isEmpty)
+        throw new IllegalStateException(
+          s"$caller: IVF index has zero rows — nothing to verify the " +
+            s"codebook stamp against (expected $stamp). A truncated or " +
+            "never-built layout must fail the probe, not answer empty.")
       if (!stamps.forall(_ == stamp))
         throw new IllegalStateException(
           s"$caller: IVF index assigned under a different codebook " +
@@ -371,24 +385,41 @@ object Similarity {
     * files appear only on commit. For exactly-once streaming ingest,
     * drive this from `foreachBatch` keyed by batchId through the same
     * idempotent-sink pattern StreamingSpec proves for the band index.
+    *
+    * Per-call overhead: the stamp/schema validation reads the existing
+    * layout's `_params` column once (column-pruned; see
+    * [[verifyStamp]]'s cost note) — for a tight per-micro-batch append
+    * loop, cache the verified stamp per path or move it to sidecar
+    * metadata.
     */
   def ivfIndexAppend(newVectors: DataFrame, idCol: String, vecCol: String,
       indexDir: String, centroids: DataFrame, centroidIdCol: String,
       centroidVecCol: String): Unit = {
+    require(newVectors.columns.contains(idCol) &&
+      newVectors.columns.contains(vecCol),
+      s"ivfIndexAppend: newVectors needs columns '$idCol' and '$vecCol'" +
+        s" (has ${newVectors.columns.mkString(", ")})")
     val spark = newVectors.sparkSession
     val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
     val stamp = codebookStamp(cents)
+    val assigned = ivfAssignLocal(newVectors, vecCol, cents)
+      .withColumn("_params", lit(stamp))
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path)) {
-      // same driver-side check as the probes — and discard the checked
-      // frame: only the stamp agreement matters here
-      verifyStamp(spark.read.parquet(indexDir), stamp, "ivfIndexAppend")
-      ()
+      val existing = spark.read.parquet(indexDir)
+      // same driver-side check as the probes — only the stamp
+      // agreement matters here, so the checked frame is discarded
+      verifyStamp(existing, stamp, "ivfIndexAppend"): Unit
+      // column-set mismatch writes files a later read resolves from an
+      // arbitrary footer — silent corruption the stamp can't catch
+      require(existing.columns.toSet == assigned.columns.toSet,
+        "ivfIndexAppend: appended schema would diverge from the " +
+          s"existing layout (existing: ${existing.columns.sorted
+            .mkString(", ")}; appending: ${assigned.columns.sorted
+            .mkString(", ")})")
     }
-    ivfAssignLocal(newVectors, vecCol, cents)
-      .withColumn("_params", lit(stamp))
-      .write.partitionBy("cell").mode("append").parquet(indexDir)
+    assigned.write.partitionBy("cell").mode("append").parquet(indexDir)
   }
 
   /** SemDeDup-style embedding near-dup flags against a (reloaded)
@@ -420,10 +451,16 @@ object Similarity {
   def semanticDedupFlags(batch: DataFrame, batchIdCol: String,
       batchVecCol: String, index: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
-      tau: Double, nProbe: Int = 2): DataFrame = {
+      tau: Double, nProbe: Int = 2, excludeSelf: Boolean = true)
+  : DataFrame = {
+    // excludeSelf matters when batch and corpus SHARE an id space (the
+    // corpus-refresh case: a re-embedded doc must not match its own
+    // old row). When the batch's ids are independent of the corpus's,
+    // pass false — an id collision would otherwise silently skip a
+    // genuine near-duplicate candidate.
     val top = ivfSearchBatch(batch, batchIdCol, batchVecCol,
       index, idCol, vecCol, centroids, centroidIdCol, centroidVecCol,
-      k = 1, nProbe = nProbe)
+      k = 1, nProbe = nProbe, excludeSelf = excludeSelf)
       .select(col("qid"), col(idCol).as("neighbor_id"), col("cos_sim"))
     batch.select(col(batchIdCol))
       .join(top, col(batchIdCol) === col("qid"), "left")

@@ -184,6 +184,27 @@ class SimilaritySpec extends AnyFunSuite {
       "refused append still wrote rows")
   }
 
+  test("probing a zero-row index fails loudly instead of answering " +
+    "empty (truncated-layout guard)") {
+    import spark.implicits._
+    val emb = (0L until 20L).map(i =>
+      (i, Seq(i.toDouble, 1.0))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(0.0, 1.0)), (1L, Seq(19.0, 1.0)))
+      .toDF("cid", "cvec")
+    val dir = TestDirs.tmp("ivf_zero_rows").toFile.getAbsolutePath
+    // a schema-complete but row-free layout — what a truncated or
+    // never-populated index looks like to a reader
+    Similarity.ivfIndex(emb.filter(col("vec_id") < 0L),
+      "vec_id", "embedding", cents, "cid", "cvec")
+      .write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfSearchIndexed(spark.read.parquet(dir),
+        "vec_id", "embedding", cents, "cid", "cvec",
+        Seq(1.0, 1.0), k = 3).collect()
+    }
+    assert(e.getMessage.contains("zero rows"), s"unexpected: $e")
+  }
+
   test("kmeansIterate: an empty cell keeps its previous centroid") {
     import spark.implicits._
     val emb = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.2, 0.0)))
