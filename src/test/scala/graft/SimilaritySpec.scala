@@ -184,6 +184,46 @@ class SimilaritySpec extends AnyFunSuite {
       "refused append still wrote rows")
   }
 
+  test("ivfSearchBatch probing ALL cells equals an independent " +
+    "driver-side brute-force cosine top-k (multi-seed differential)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 23, 37)) {
+      val rnd = new scala.util.Random(seed)
+      val vecs = (0L until 120L).map(i =>
+        (i, Seq.fill(8)(rnd.nextGaussian()))).toMap
+      val emb = vecs.toSeq.toDF("vec_id", "embedding")
+      val cents = (0 until 5).map(c =>
+        (c.toLong, vecs(c * 20L))).toDF("cid", "cvec")
+      val index = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        cents, "cid", "cvec")
+      val qids = Seq(7L, 42L, 99L)
+      val got = Similarity.ivfSearchBatch(
+        emb.filter(col("vec_id").isin(qids: _*)), "vec_id", "embedding",
+        index, "vec_id", "embedding", cents, "cid", "cvec",
+        k = 10, nProbe = 5) // all 5 cells probed ⇒ exact
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(3))).toSeq
+          .sortBy { case (id, c) => (-c, id) }).toMap
+      // independent implementation: plain Scala cosine, same rounding
+      // and (−cos, id) tie order as the operator's window
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val r = dot / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum))
+        BigDecimal(r).setScale(5, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      }
+      val want = qids.map { q =>
+        q -> vecs.toSeq.filter(_._1 != q)
+          .map { case (id, v) => (id, cos(vecs(q), v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(10)
+      }.toMap
+      assert(got == want, s"seed $seed: batch ANN diverged from the " +
+        s"driver-side brute force\n got: $got\nwant: $want")
+    }
+  }
+
   test("probing a zero-row index fails loudly instead of answering " +
     "empty (truncated-layout guard)") {
     import spark.implicits._
