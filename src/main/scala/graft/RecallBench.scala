@@ -140,9 +140,18 @@ object RecallBench {
     val json =
       f"""{"n":$n,"dim":$dim,"seeds":$seeds,"cells":$nCells,"occupied_cells":$occupied,"queries":$nQueries,"k":$kTop,"kmeans_sec":$kmeansSec%.1f,"index_build_sec":$buildSec%.1f,"exact_batch_sec":$truthSec%.3f,"probes":$rowsJson}"""
     println(json)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/recall.json"), json + "\n")
-    catch { case _: Throwable => () }
+    // stdout already carried the JSON; the file is the durable record
+    // the scaledocs cite, so a failed write must be VISIBLE (a blanket
+    // Throwable catch here once silently swallowed even fatal errors)
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/recall.json"), json + "\n"): Unit
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(
+          s"[graft] RecallBench: failed to write $outDir/recall.json — " +
+            s"stdout line above is the only record ($e)")
+    }
     spark.stop()
   }
 }

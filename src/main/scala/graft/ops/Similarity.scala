@@ -326,7 +326,9 @@ object Similarity {
     *
     * Returns (qid, `idCol`, cell, cos_sim). `excludeSelf` drops
     * candidates whose id equals the query id (the common
-    * corpus-queries-corpus case).
+    * corpus-queries-corpus case). `queryIdCol` must be unique within
+    * `queries`: both rank windows partition by qid, so duplicated ids
+    * merge two queries' candidate pools into one top-k.
     */
   def ivfSearchBatch(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, index: DataFrame, idCol: String, vecCol: String,
@@ -418,6 +420,23 @@ object Similarity {
           s"existing layout (existing: ${existing.columns.sorted
             .mkString(", ")}; appending: ${assigned.columns.sorted
             .mkString(", ")})")
+      // ...and so does a TYPE mismatch under the same names (e.g.
+      // array<float> appended to an array<double> layout): parquet
+      // would hold files with divergent physical schemas and a later
+      // read resolves from whichever footer it samples. catalogString
+      // ignores nullability (presentation, not physical layout); `cell`
+      // is excluded because the existing side's type is re-inferred
+      // from partition DIRECTORY NAMES, not data.
+      val typeOf = (df: DataFrame) => df.schema.fields
+        .filter(_.name != "cell")
+        .map(f => f.name -> f.dataType.catalogString).toMap
+      val (et, at) = (typeOf(existing), typeOf(assigned))
+      val mismatched = et.keySet.intersect(at.keySet)
+        .filter(c => et(c) != at(c)).toSeq.sorted
+      require(mismatched.isEmpty,
+        "ivfIndexAppend: appended column types would diverge from the " +
+          "existing layout: " + mismatched.map(c =>
+            s"$c (existing ${et(c)}, appending ${at(c)})").mkString("; "))
     }
     assigned.write.partitionBy("cell").mode("append").parquet(indexDir)
   }
@@ -447,6 +466,16 @@ object Similarity {
     *
     * Returns (`batchIdCol`, neighbor_id, cos_sim, keep) — neighbor_id/
     * cos_sim NULL when no candidate survives in the probed cells.
+    *
+    * CONTRACT: `batchIdCol` must be unique within `batch`. The id
+    * threads through [[ivfSearchBatch]]'s per-qid top-1 window and the
+    * final left join — a duplicated id would collapse two distinct
+    * vectors' candidate pools into one window group (one vector's
+    * genuine neighbor silently evicted by the other's higher score)
+    * and then fan the merged verdict back out to BOTH rows. The same
+    * uniqueness contract as [[ivfSearchBatch]]'s qid, stated here
+    * because the flag semantics make the corruption invisible (a
+    * boolean, not an obviously-shared neighbor list).
     */
   def semanticDedupFlags(batch: DataFrame, batchIdCol: String,
       batchVecCol: String, index: DataFrame, idCol: String, vecCol: String,

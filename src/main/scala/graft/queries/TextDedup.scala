@@ -30,20 +30,31 @@ object TextDedup {
   private def queryTmpDir(tag: String, s: SparkSession, d: String): String =
     QueryTmp.dir(tag, s, d)
 
+  /** The ~2000-token bin assignment shared by q97/q106 and the q119
+    * capstone: `bin = floor(exclusivePrefixTokens / 2000)` per language
+    * stratum in doc_id order, computed with [[graft.ops.PrefixSum]]'s
+    * two-level decomposition instead of a per-stratum running-sum
+    * window — the single-window form serializes the dominant language
+    * of a skewed corpus through ONE task (r10 VERDICT ask #1); the
+    * decomposition is exact, so the DuckDB oracle (a plain windowed
+    * running sum) is unchanged. `df` needs (lang, doc_id, n_tok).
+    */
+  private[queries] def tokenBins(df: DataFrame): DataFrame =
+    graft.ops.PrefixSum.exclusive(df, "lang", "doc_id", "n_tok",
+      "__ps_prefix")
+      .withColumn("bin", floor(col("__ps_prefix") / lit(2000.0)))
+      .drop("__ps_prefix")
+
   /** The shared packing input (q97 counts it, q106 materializes it):
     * per-doc predicted language, token count, and the ~2000-token bin
-    * from the per-stratum exclusive-prefix window.
+    * from the skew-safe [[tokenBins]] prefix sum.
     */
-  private def langBinnedDocs(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+  private[queries] def langBinnedDocs(s: SparkSession, d: String)
+  : DataFrame =
+    tokenBins(Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         TextFunctions.predictedLang(col("text")).as("lang"),
-        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("bin",
-        floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(2000.0)))
-  }
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok")))
 
   /** q94's kernel behind one nowarn: the 32-bit form is deprecated in
     * favor of [[graft.ops.Dedup.simhashNeighbors64]] (n²/2⁹ candidate
@@ -238,13 +249,14 @@ object TextDedup {
     // actually runs, as ONE registered query: transitive-consistent
     // dedup flags (q117's exact-recall SimHash64 components) → per-lang
     // token-budget mixture (q110's data-derived integer rates) →
-    // per-stratum ~2000-token sequence packing (q97's exclusive-prefix
-    // window) → pinned-boundary shard write (q95's byte-stable layout),
+    // per-stratum ~2000-token sequence packing (q97's skew-safe
+    // prefix sum) → pinned-boundary shard write (q95's byte-stable layout),
     // then the written tree read back and audited per (shard, lang).
     // Every stage's shape is the proven scale form: the flag join is
     // broadcast-able (components ≪ corpus), the budget totals are one
-    // tiny broadcast-joined aggregate, packing parallelizes across
-    // language strata, and the shard write is one task per shard.
+    // tiny broadcast-joined aggregate, packing is the chunked
+    // [[tokenBins]] prefix sum (skew-bounded even when one language
+    // dominates), and the shard write is one task per shard.
     "q119_curation_capstone" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val flags = Dedup.simhash64ComponentFlags(docs, "text", "doc_id")
@@ -257,10 +269,7 @@ object TextDedup {
         tokenBudget = 20000L, salt = "budget")
         .filter(col("sampled"))
         .select(col("doc_id"), col("lang"), col("n_tok"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val binned = sampled.withColumn("bin",
-        floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(2000.0)))
+      val binned = tokenBins(sampled)
       val out = queryTmpDir("q119", s, d)
       graft.io.ShardWriter.writeShardsPinned(binned, out, "doc_id",
         Seq(40L, 80L, 160L))
@@ -309,10 +318,11 @@ object TextDedup {
     // Greedy contiguous sequence packing: fill ~2000-token training
     // bins in doc_id order WITHIN each predicted language — bin =
     // floor(exclusive-prefix-tokens / 2000), i.e. a doc opens a new bin
-    // when the running total crosses the boundary. The window is
-    // partitioned by the language stratum, so packing parallelizes
-    // across strata instead of forcing one global ordered window — the
-    // scale shape for trainer shard prep.
+    // when the running total crosses the boundary. The prefix sum is
+    // the chunked two-level decomposition ([[tokenBins]]): no task —
+    // window or otherwise — ever sees more than chunkSize full-width
+    // rows, even when one language is 90% of the corpus — the scale
+    // shape for trainer shard prep.
     "q97_pack_sequences" -> ((s, d) => {
       langBinnedDocs(s, d)
         .groupBy(col("lang"), col("bin"))

@@ -280,6 +280,39 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(back.select("doc_id").distinct().count() == 200)
   }
 
+  test("q97 packing: no full-width window partitioned by the language " +
+    "stratum alone — the prefix sum is the chunked two-level form") {
+    // the r10 scale-killer: sum().over(Window.partitionBy(lang)
+    // .orderBy(doc_id)) routes a dominant language's ENTIRE corpus
+    // through one window task. The two-level PrefixSum decomposition
+    // keeps exactly one lang-only window, over the reduced per-chunk
+    // subtotal frame (3 narrow bookkeeping columns), and does the
+    // full-width work in windows partitioned by (lang, chunk). Gate
+    // both properties on the executed plan so a rewrite can't quietly
+    // reintroduce the serializer.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val windows = try {
+      SparkEntry.queries("q97_pack_sequences")(spark, sf)
+        .queryExecution.executedPlan.collect { case w: WindowExec => w }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(windows.nonEmpty, "expected the packing windows in the plan")
+    val langOnly = windows.filter(_.partitionSpec.size == 1)
+    langOnly.foreach { w =>
+      val childCols = w.child.output.map(_.name).toSet
+      assert(!childCols.exists(Set("text", "n_tok", "doc_id")),
+        s"a lang-only window sees full-width per-doc rows " +
+          s"(child output: ${childCols.mkString(", ")}) — the " +
+          "per-stratum serializer is back")
+      assert(childCols.size <= 3,
+        s"lang-only window child should be the narrow subtotal frame, " +
+          s"got ${childCols.mkString(", ")}")
+    }
+    assert(windows.exists(_.partitionSpec.size == 2),
+      "expected the chunk-local window partitioned by (lang, chunk)")
+  }
+
   test("bucketed tables co-locate: the fact⋈fact join runs with zero " +
     "Exchange") {
     // the 100 TB story for repeated big-big joins: bucket BOTH sides on
