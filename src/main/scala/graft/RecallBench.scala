@@ -98,8 +98,8 @@ object RecallBench {
 
     // --- persisted index ----------------------------------------------
     val t1 = System.nanoTime()
-    Similarity.ivfIndex(emb, "vec_id", "embedding", cb, "cid", "cvec")
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$outDir/ivf")
+    Similarity.ivfIndexWrite(emb, "vec_id", "embedding", cb, "cid", "cvec",
+      s"$outDir/ivf")
     val buildSec = (System.nanoTime() - t1) / 1e9
     val index = spark.read.parquet(s"$outDir/ivf")
     val occupied = index.select("cell").distinct().count().toInt

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
@@ -208,6 +208,68 @@ object Similarity {
       md.digest().map("%02x".format(_)).mkString.take(12)
   }
 
+  /** Sidecar stamp file at an [[ivfIndex]] layout root. Named with a
+    * leading underscore so parquet readers treat it as hidden metadata
+    * (the `_SUCCESS` convention). The sidecar makes stamp verification
+    * O(1) — one tiny file read — where the in-data `_params` column
+    * scan grows with the layout's file count (every [[ivfIndexAppend]]
+    * adds a file set whose footers the per-call distinct must visit).
+    * The data column stays as the fallback for hand-assembled layouts
+    * and as the consistency anchor: both are written at the same
+    * commit, so they cannot diverge except by hand-tampering.
+    */
+  private val StampSidecar = "_graft_ivf_stamp"
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def writeStampSidecar(spark: SparkSession, indexDir: String,
+      stamp: String): Unit = {
+    val (fs, p) = fsOf(spark, indexDir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(p, StampSidecar), true)
+    try out.write((stamp + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readStampSidecar(spark: SparkSession, indexDir: String)
+  : Option[String] = {
+    val (fs, p) = fsOf(spark, indexDir)
+    val f = new org.apache.hadoop.fs.Path(p, StampSidecar)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(bytes.toString("UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  /** The single root directory a reloaded file-source frame scans, when
+    * it has exactly one — the hook that lets [[verifyStamp]] find the
+    * sidecar without changing the probe APIs (they take the reloaded
+    * DataFrame, not a path). Frames not backed by one file-source root
+    * (unions, in-memory test frames) return None and fall back to the
+    * data-column check.
+    */
+  private def singleRootOf(index: DataFrame): Option[String] =
+    scala.util.Try {
+      val roots = index.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => h.location.rootPaths
+            case _ => Seq.empty[org.apache.hadoop.fs.Path]
+          }
+      }.flatten
+      if (roots.size == 1) Some(roots.head.toString) else None
+    }.toOption.flatten
+
   /** Verify a reloaded index's `_params` codebook stamp ONCE,
     * driver-side, before any probe plan is built. The previous per-row
     * `assert_true` filter only fired when a probed cell actually
@@ -220,18 +282,30 @@ object Similarity {
     * and hand-appended stampless files) fail with the diagnostic, not
     * an NPE.
     *
-    * Cost: one column-pruned scan of the constant `_params` column
-    * (partial agg ⇒ a handful of distinct values reach the driver) per
-    * call — for a per-micro-batch probe/append loop against a huge
-    * layout, move the stamp to sidecar metadata or cache it per path;
-    * the data-path check is the safe default, not the only option.
-    * A stampless index (no `_params` column at all) is flagged on
-    * stderr rather than silently trusted, preserving the hand-built
-    * escape hatch.
+    * Cost: O(1) when the layout carries the [[StampSidecar]] file
+    * (every [[ivfIndexWrite]]/[[ivfIndexAppend]] commit writes it) —
+    * one tiny metadata read, independent of how many append batches
+    * the layout accumulated. Without a sidecar (hand-built layout, or
+    * a frame that isn't one file-source root) it falls back to the
+    * column-pruned `_params` distinct scan, whose cost grows with the
+    * layout's file count. A stampless index (no sidecar AND no
+    * `_params` column) is flagged on stderr rather than silently
+    * trusted, preserving the hand-built escape hatch.
     */
   private def verifyStamp(index: DataFrame, stamp: String,
-      caller: String): DataFrame =
-    if (!index.columns.contains("_params")) {
+      caller: String): DataFrame = {
+    val sidecar = singleRootOf(index)
+      .flatMap(root => readStampSidecar(index.sparkSession, root))
+    sidecar.foreach { s =>
+      if (s != stamp)
+        throw new IllegalStateException(
+          s"$caller: IVF index assigned under a different codebook " +
+            s"than this probe (expected $stamp, sidecar has $s)")
+    }
+    if (sidecar.isDefined) {
+      if (index.columns.contains("_params")) index.drop("_params")
+      else index
+    } else if (!index.columns.contains("_params")) {
       System.err.println(
         s"[graft] $caller: index has no _params codebook stamp — " +
           s"cannot verify it was assigned under this codebook ($stamp); " +
@@ -254,6 +328,7 @@ object Similarity {
             s"${stamps.mkString(", ")})")
       index.drop("_params")
     }
+  }
 
   /** Persistable IVF index: [[ivfAssign]] output stamped with the
     * codebook identity — the ANN analog of
@@ -271,6 +346,83 @@ object Similarity {
     val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
     ivfAssignLocal(emb, vecCol, cents)
       .withColumn("_params", lit(codebookStamp(cents)))
+  }
+
+  /** Build AND persist an [[ivfIndex]] layout: the cell-partitioned
+    * parquet tree plus the [[StampSidecar]] stamp file, so every later
+    * probe/append verifies the codebook in O(1) instead of scanning
+    * the `_params` column of a layout whose file count grows with
+    * every append (the in-data column is still written — it is the
+    * fallback for frames that lose their path, and the consistency
+    * anchor for the sidecar). Use this over hand-writing the frame
+    * unless the write must be embedded in a larger job.
+    */
+  def ivfIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      indexDir: String): Unit = {
+    val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
+    ivfAssignLocal(emb, vecCol, cents)
+      .withColumn("_params", lit(codebookStamp(cents)))
+      .write.partitionBy("cell").mode("overwrite").parquet(indexDir)
+    // after the data commit: a crash between the two leaves a layout
+    // that still verifies (slow path), never one that lies
+    writeStampSidecar(emb.sparkSession, indexDir, codebookStamp(cents))
+  }
+
+  /** Compact an [[ivfIndex]] layout's fragmented cells: every
+    * [[ivfIndexAppend]] adds one file set per cell it touches, so a
+    * per-micro-batch ingest loop grows unbounded small files (and with
+    * them probe-side open/footer costs). This rewrites ONLY the cells
+    * whose file count exceeds `maxFilesPerCell` — cost proportional to
+    * the fragmented fraction, not the index — coalescing each to one
+    * file, and returns the compacted cell ids.
+    *
+    * Mechanics: fragmented cell ids are found from the directory
+    * listing (metadata-only); their rows are read with the same
+    * `cell IN (...)` partition pruning the probes use, shuffled so
+    * each cell lands in one task, and written to a temp subtree; each
+    * cell directory is then swapped in via delete + rename. The swap
+    * is atomic PER CELL (one rename), not across cells — run
+    * compaction from the ingest owner, not concurrently with itself;
+    * a reader racing a swap can transiently miss one cell's rows, the
+    * same contract as any non-transactional parquet rewrite. The
+    * sidecar stamp is untouched: compaction moves rows, never
+    * reassigns them.
+    */
+  def compactCells(spark: SparkSession, indexDir: String,
+      maxFilesPerCell: Int = 4): Seq[Long] = {
+    require(maxFilesPerCell >= 1,
+      s"maxFilesPerCell must be ≥1 (got $maxFilesPerCell)")
+    val (fs, root) = fsOf(spark, indexDir)
+    val cellDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    def parquetCount(d: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet"))
+    val fragmented = cellDirs
+      .filter(d => parquetCount(d.getPath) > maxFilesPerCell)
+      .map(_.getPath.getName.stripPrefix("cell=").toLong)
+      .toSeq.sorted
+    if (fragmented.nonEmpty) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        root.getParent, root.getName + "_compact_tmp")
+      // partition-pruned read of just the fragmented cells; repartition
+      // on cell puts each cell in one task ⇒ one file per cell dir
+      spark.read.parquet(indexDir)
+        .filter(col("cell").isin(fragmented: _*))
+        .repartition(fragmented.size, col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(tmp.toString)
+      fragmented.foreach { cid =>
+        val oldDir = new org.apache.hadoop.fs.Path(root, s"cell=$cid")
+        val newDir = new org.apache.hadoop.fs.Path(tmp, s"cell=$cid")
+        fs.delete(oldDir, true)
+        if (!fs.rename(newDir, oldDir))
+          throw new java.io.IOException(
+            s"compactCells: rename $newDir -> $oldDir failed — " +
+              s"cell $cid's rows are in the temp tree, not the index")
+      }
+      fs.delete(tmp, true): Unit
+    }
+    fragmented
   }
 
   /** IVF probe against a RELOADED [[ivfIndex]]: pick the query vector's
@@ -388,11 +540,14 @@ object Similarity {
     * drive this from `foreachBatch` keyed by batchId through the same
     * idempotent-sink pattern StreamingSpec proves for the band index.
     *
-    * Per-call overhead: the stamp/schema validation reads the existing
-    * layout's `_params` column once (column-pruned; see
-    * [[verifyStamp]]'s cost note) — for a tight per-micro-batch append
-    * loop, cache the verified stamp per path or move it to sidecar
-    * metadata.
+    * Per-call overhead: O(1) against a sidecar-stamped layout (every
+    * [[ivfIndexWrite]]/append commit leaves the [[StampSidecar]]; the
+    * schema check reads footer metadata, not data). Only a legacy
+    * stampless layout pays the `_params` column scan, once — this call
+    * writes the sidecar after a successful append. A long-running
+    * micro-batch ingest should also run [[compactCells]] periodically:
+    * each append adds one file set per touched cell, and probe-side
+    * file-open cost grows with the fragment count.
     */
   def ivfIndexAppend(newVectors: DataFrame, idCol: String, vecCol: String,
       indexDir: String, centroids: DataFrame, centroidIdCol: String,
@@ -439,6 +594,10 @@ object Similarity {
             s"$c (existing ${et(c)}, appending ${at(c)})").mkString("; "))
     }
     assigned.write.partitionBy("cell").mode("append").parquet(indexDir)
+    // bootstrap case and legacy (pre-sidecar) layouts: leave the O(1)
+    // stamp behind so the next probe/append skips the column scan
+    if (readStampSidecar(spark, indexDir).isEmpty)
+      writeStampSidecar(spark, indexDir, stamp)
   }
 
   /** SemDeDup-style embedding near-dup flags against a (reloaded)

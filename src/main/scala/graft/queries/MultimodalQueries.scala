@@ -62,9 +62,8 @@ object MultimodalQueries {
       val centroids = emb.filter(col("media_id") < 12)
         .select(col("media_id").as("cid"), col("embedding").as("cvec"))
       val out = QueryTmp.dir("q118", s, d)
-      Similarity.ivfIndex(emb, "media_id", "embedding",
-        centroids, "cid", "cvec")
-        .write.partitionBy("cell").mode("overwrite").parquet(s"$out/ivf")
+      Similarity.ivfIndexWrite(emb, "media_id", "embedding",
+        centroids, "cid", "cvec", s"$out/ivf")
       Similarity.ivfSearchBatch(
         emb.filter(col("media_id") < 6), "media_id", "embedding",
         s.read.parquet(s"$out/ivf"), "media_id", "embedding",

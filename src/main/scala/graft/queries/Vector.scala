@@ -79,10 +79,8 @@ object Vector {
       val centroids = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val out = QueryTmp.dir("q114", s, d)
-      Similarity.ivfIndex(emb, "vec_id", "embedding",
-        centroids, "cid", "cvec")
-        .write.partitionBy("cell").mode("overwrite")
-        .parquet(s"$out/ivf")
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", s"$out/ivf")
       val qVec = emb.filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>"))
         .collect()(0).getSeq[Double](0)
@@ -100,10 +98,8 @@ object Vector {
       val centroids = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val out = QueryTmp.dir("q115", s, d)
-      Similarity.ivfIndex(emb, "vec_id", "embedding",
-        centroids, "cid", "cvec")
-        .write.partitionBy("cell").mode("overwrite")
-        .parquet(s"$out/ivf")
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", s"$out/ivf")
       Similarity.ivfSearchBatch(
         emb.filter(col("vec_id") < 2), "vec_id", "embedding",
         s.read.parquet(s"$out/ivf"), "vec_id", "embedding",
@@ -123,9 +119,8 @@ object Vector {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val isNew = col("vec_id") % 10 === 9
       val out = QueryTmp.dir("q121", s, d)
-      Similarity.ivfIndex(emb.filter(!isNew), "vec_id", "embedding",
-        centroids, "cid", "cvec")
-        .write.partitionBy("cell").mode("overwrite").parquet(s"$out/ivf")
+      Similarity.ivfIndexWrite(emb.filter(!isNew), "vec_id", "embedding",
+        centroids, "cid", "cvec", s"$out/ivf")
       Similarity.ivfIndexAppend(emb.filter(isNew), "vec_id", "embedding",
         s"$out/ivf", centroids, "cid", "cvec")
       val qVec = emb.filter(col("vec_id") === 0L)
@@ -150,9 +145,8 @@ object Vector {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val isBatch = col("vec_id") % 10 === 9
       val out = QueryTmp.dir("q120", s, d)
-      Similarity.ivfIndex(emb.filter(!isBatch), "vec_id", "embedding",
-        centroids, "cid", "cvec")
-        .write.partitionBy("cell").mode("overwrite").parquet(s"$out/ivf")
+      Similarity.ivfIndexWrite(emb.filter(!isBatch), "vec_id", "embedding",
+        centroids, "cid", "cvec", s"$out/ivf")
       Similarity.semanticDedupFlags(
         emb.filter(isBatch), "vec_id", "embedding",
         s.read.parquet(s"$out/ivf"), "vec_id", "embedding",

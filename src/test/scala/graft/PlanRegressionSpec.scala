@@ -133,6 +133,39 @@ class PlanRegressionSpec extends AnyFunSuite {
         s"2 probed cells of $nCells")
   }
 
+  test("after a micro-batch append loop, compactCells restores " +
+    "one-file-per-cell and the probe reads exactly nProbe files") {
+    // the ingest-loop failure mode: every ivfIndexAppend adds a file
+    // set per touched cell, so probe-side numFiles grows with append
+    // count even though pruning still limits the DIRECTORIES read.
+    // compactCells must bring numFiles back to one per probed cell.
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val dir = TestDirs.tmp("ivf_compact_layout").toFile.getAbsolutePath
+    Similarity.ivfIndexWrite(emb.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", centroids, "cid", "cvec", dir)
+    for (b <- 1 to 4)
+      Similarity.ivfIndexAppend(emb.filter(col("vec_id") % 5 === b),
+        "vec_id", "embedding", dir, centroids, "cid", "cvec")
+    val compacted = Similarity.compactCells(spark, dir, maxFilesPerCell = 1)
+    assert(compacted.nonEmpty, "append loop produced no fragmentation")
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0)
+    val probed = Similarity.ivfSearchIndexed(spark.read.parquet(dir),
+      "vec_id", "embedding", centroids, "cid", "cvec",
+      qVec, k = 5, nProbe = 2, excludeId = Some(0L))
+    probed.collect()
+    val scan = probed.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScanExec leaf"))
+    assert(scan.metrics("numFiles").value == 2,
+      s"post-compaction probe read ${scan.metrics("numFiles").value} " +
+        "files for 2 probed cells — compaction or pruning regressed")
+  }
+
   test("ivfSearchBatch: the collected probe-cell IN-list prunes the " +
     "persisted index to the probed cells' files (the q115 shape)") {
     // AQE off so the executed plan is inspectable; static partition

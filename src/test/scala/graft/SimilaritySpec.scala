@@ -245,6 +245,113 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("zero rows"), s"unexpected: $e")
   }
 
+  test("sidecar stamp is authoritative and O(1): probes trust it over " +
+    "the _params column, and refuse a tampered one") {
+    // "probe cost independent of append count" as a mechanism proof:
+    // a layout whose _params DATA column is bogus but whose sidecar is
+    // correct must probe fine — possible only if the per-file column
+    // scan never ran. Conversely a corrupted sidecar must fail even
+    // though the data column is fine, and deleting the sidecar must
+    // fall back to the data column (bogus column ⇒ throw).
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val emb = (0L until 90L).map(i =>
+      (i, Seq.fill(5)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val good = TestDirs.tmp("ivf_sidecar_good").toFile.getAbsolutePath
+    Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+      cents, "cid", "cvec", good)
+    val sidecarPath = java.nio.file.Paths.get(good, "_graft_ivf_stamp")
+    assert(java.nio.file.Files.exists(sidecarPath),
+      "ivfIndexWrite left no stamp sidecar")
+    val goodStamp = java.nio.file.Files.readString(sidecarPath)
+    // tampering bypasses the Hadoop LocalFileSystem, so drop its .crc
+    // shadow or the reader fails on checksum, not on stamp content
+    def setSidecar(dir: String, content: String): Unit = {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "_graft_ivf_stamp"), content): Unit
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "._graft_ivf_stamp.crc")): Unit
+    }
+    def probe(dir: String) = Similarity.ivfSearchIndexed(
+      spark.read.parquet(dir), "vec_id", "embedding",
+      cents, "cid", "cvec",
+      Seq.fill(5)(0.3), k = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val expect = probe(good)
+    assert(expect.size == 4)
+
+    // bogus _params column + correct sidecar ⇒ works (column unread)
+    val bogusCol = TestDirs.tmp("ivf_sidecar_bogus").toFile.getAbsolutePath
+    Similarity.ivfIndex(emb, "vec_id", "embedding", cents, "cid", "cvec")
+      .withColumn("_params", lit("ivf3/deadbeef0000"))
+      .write.partitionBy("cell").mode("overwrite").parquet(bogusCol)
+    setSidecar(bogusCol, goodStamp)
+    assert(probe(bogusCol) == expect,
+      "sidecar-stamped probe diverged — the _params column was scanned")
+
+    // corrupted sidecar ⇒ refused even though the data column is fine
+    setSidecar(good, "ivf3/deadbeef0000\n")
+    val e1 = intercept[IllegalStateException] { probe(good) }
+    assert(e1.getMessage.contains("different codebook"))
+    setSidecar(good, goodStamp) // restore
+    assert(probe(good) == expect)
+
+    // no sidecar ⇒ data-column fallback catches the bogus column
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(bogusCol, "_graft_ivf_stamp"))
+    val e2 = intercept[IllegalStateException] { probe(bogusCol) }
+    assert(e2.getMessage.contains("different codebook"))
+  }
+
+  test("compactCells: fragmented cells coalesce to one file, probe " +
+    "results are byte-identical, and the pass is idempotent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val emb = (0L until 200L).map(i =>
+      (i, Seq.fill(5)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val dir = TestDirs.tmp("ivf_compact").toFile.getAbsolutePath
+    Similarity.ivfIndexWrite(emb.filter(col("vec_id") % 7 === 0),
+      "vec_id", "embedding", cents, "cid", "cvec", dir)
+    // a micro-batch ingest loop: 6 appends, each lands a file set
+    for (b <- 1 to 6)
+      Similarity.ivfIndexAppend(emb.filter(col("vec_id") % 7 === b),
+        "vec_id", "embedding", dir, cents, "cid", "cvec")
+    def filesPerCell: Map[String, Int] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(filesPerCell.values.max > 4,
+      s"fixture never fragmented: $filesPerCell")
+    def probe() = Similarity.ivfSearchBatch(
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      spark.read.parquet(dir), "vec_id", "embedding",
+      cents, "cid", "cvec", k = 6, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .toSet
+    val before = probe()
+    val rowsBefore = spark.read.parquet(dir).count()
+    val compacted = Similarity.compactCells(spark, dir, maxFilesPerCell = 1)
+    assert(compacted.nonEmpty)
+    assert(filesPerCell.values.max == 1,
+      s"cells still fragmented after compaction: $filesPerCell")
+    assert(spark.read.parquet(dir).count() == rowsBefore,
+      "compaction lost or duplicated rows")
+    assert(probe() == before, "compaction changed probe results")
+    // sidecar survived ⇒ the stamp check still passes O(1)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_graft_ivf_stamp")))
+    assert(Similarity.compactCells(spark, dir, maxFilesPerCell = 1).isEmpty,
+      "second compaction pass found work")
+    // and the layout still accepts appends afterwards
+    Similarity.ivfIndexAppend(emb.filter(col("vec_id") % 7 === 0),
+      "vec_id", "embedding", dir, cents, "cid", "cvec")
+  }
+
   test("kmeansIterate: an empty cell keeps its previous centroid") {
     import spark.implicits._
     val emb = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.2, 0.0)))
