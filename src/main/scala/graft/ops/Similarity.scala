@@ -156,6 +156,138 @@ object Similarity {
         round(col("_best.d"), 5).as("cell_dist2"): _*)
   }
 
+  /** Driver-side Lloyd iterations over a codebook-sized point set —
+    * used to cluster the CODEBOOK itself for [[ivfAssignHierarchical]]
+    * (points = centroids, so |points| ≤ tens of thousands; this never
+    * touches corpus data). Deterministic: strided init over the input
+    * order, ties to the lower index, empty clusters keep their
+    * previous mean.
+    */
+  private def localKmeans(points: IndexedSeq[Seq[Double]], k: Int,
+      iters: Int = 10): IndexedSeq[Seq[Double]] = {
+    val stride = math.max(1, points.size / k)
+    var means = (0 until k).map(i =>
+      points(math.min(i * stride, points.size - 1)))
+    def sq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    for (_ <- 0 until iters) {
+      val assign = points.map(p => means.indices.minBy(j => sq(p, means(j))))
+      means = means.indices.map { j =>
+        val mine = points.indices.filter(assign(_) == j)
+        if (mine.isEmpty) means(j)
+        else {
+          val dim = points(0).size
+          (0 until dim).map(d => mine.map(points(_)(d)).sum / mine.size)
+        }
+      }
+    }
+    means
+  }
+
+  /** Two-level IVF assignment — the coarse-quantizer tier for codebooks
+    * past ~10³ cells, where the flat fold's O(|codebook|) sqdists per
+    * row dominates (√n sizing at 10⁹ vectors ⇒ ~31k cells ⇒ 31k
+    * sqdists/row in [[ivfAssign]]'s single fold).
+    *
+    * The codebook is clustered driver-side ([[localKmeans]] over the
+    * CENTROIDS — never corpus data) into `superCells` groups; each row
+    * then folds over the super-centroids, takes its `superProbe`
+    * nearest groups, and folds over only those groups' member
+    * centroids: O(s + superProbe·k/s) work per row instead of O(k) —
+    * at 31k cells and s = √k ≈ 176, ~60× fewer sqdists.
+    *
+    * MEASURED (graft.AssignBench, 200k×64-dim interpolated corpus,
+    * local[32], ASSIGN_200k_r11.json): flat per-row cost is linear in
+    * cells exactly as the fold predicts — 4.2 / 10.2 / 21.7 / 85.6
+    * µs/row at 128 / 447 / 1000 / 4000 cells — while this form grows
+    * ~√cells: 2.5 / 3.7 / 4.4 / 10.3 µs/row (8.3× at 4000 cells, the
+    * gap still widening). Cell agreement vs flat at superProbe = 2:
+    * 0.9984 at the √n operating point (447), 0.989 / 0.983 at
+    * 1000 / 4000 — the ~1–2% misrouted rows land in a neighboring
+    * cell, shifting recall-at-fixed-nProbe the same way a slightly
+    * smaller nProbe would.
+    *
+    * APPROXIMATION CONTRACT: with `superProbe` < `superCells` a row
+    * whose true nearest centroid lies in a group whose super-centroid
+    * is not among the row's `superProbe` nearest can land in a
+    * neighboring cell. This changes which IVF cell stores the vector
+    * (recall shifts at fixed nProbe, same knob family as nProbe
+    * itself — measured in SCALE_r11); it never loses the vector.
+    * `superProbe = superCells` degenerates to exactly the flat
+    * assignment. Default superProbe = 2 bounds the misassignment to
+    * rows near super-cell boundaries.
+    *
+    * Plan size: the member map is still an O(k) literal, but Spark
+    * ships task binaries ONCE per executor via torrent broadcast, so
+    * the payload cost is per-stage, not per-row — the per-row compute
+    * was the scale problem, and that is what the hierarchy removes.
+    */
+  def ivfAssignHierarchical(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      superCells: Int = 0, superProbe: Int = 2): DataFrame = {
+    val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
+    val s = if (superCells > 0) superCells
+      else math.ceil(math.sqrt(cents.size.toDouble)).toInt
+    require(superProbe >= 1 && superProbe <= 2 || superProbe >= s,
+      s"superProbe must be 1, 2, or ≥ superCells=$s (got $superProbe); " +
+        "the two-minima fold tracks at most two groups")
+    val superMeans = localKmeans(cents.map(_._2).toIndexedSeq, s)
+    def sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // each centroid joins its nearest super-centroid's member list
+    // (cid order preserved within a group, so in-group ties keep the
+    // flat fold's smallest-cid behavior)
+    val membership = cents.groupBy(c =>
+      superMeans.indices.minBy(j => sq(c._2, superMeans(j))).toLong)
+    if (superProbe >= s) {
+      // degenerate exact form — one fold over everything, as flat
+      ivfAssignLocal(emb, vecCol, cents)
+    } else {
+      // only super-cells that won members: an empty localKmeans cluster
+      // must not be probe-able (element_at would return null members)
+      val superBook = typedLit(membership.keys.toSeq.sorted.map(sid =>
+        (sid, superMeans(sid.toInt))))
+      val memberMap = typedLit(membership)
+      val v = asDouble(col(vecCol))
+      // two-minima fold over the super-centroids
+      val init2 = struct(
+        lit(-1L).as("s1"), lit(Double.MaxValue).as("d1"),
+        lit(-1L).as("s2"), lit(Double.MaxValue).as("d2"))
+      val best2 = aggregate(superBook, init2, (acc, c) => {
+        val d = GraftFunctions.vec_sqdist(v, c.getField("_2"))
+        val sid = c.getField("_1")
+        when(d < acc.getField("d1"), struct(
+          sid.as("s1"), d.as("d1"),
+          acc.getField("s1").as("s2"), acc.getField("d1").as("d2")))
+          .when(d < acc.getField("d2"), struct(
+            acc.getField("s1").as("s1"), acc.getField("d1").as("d1"),
+            sid.as("s2"), d.as("d2")))
+          .otherwise(acc)
+      })
+      val groups =
+        if (superProbe == 1) element_at(memberMap, col("_sb.s1"))
+        else concat(
+          element_at(memberMap, col("_sb.s1")),
+          coalesce(element_at(memberMap, col("_sb.s2")),
+            typedLit(Seq.empty[(Long, Seq[Double])])))
+      val bestCell = aggregate(groups,
+        struct(lit(-1L).as("cid"), lit(Double.MaxValue).as("d")),
+        (acc, c) => {
+          val d = GraftFunctions.vec_sqdist(v, c.getField("_2"))
+          val cand = struct(c.getField("_1").as("cid"), d.as("d"))
+          when(cand.getField("d") < acc.getField("d"), cand).otherwise(acc)
+        })
+      emb.withColumn("_sb", best2)
+        .withColumn("_best", bestCell)
+        .select(emb.columns.toIndexedSeq.map(col) :+
+          col("_best.cid").as("cell") :+
+          round(col("_best.d"), 5).as("cell_dist2"): _*)
+    }
+  }
+
   /** IVF probe search: assign every vector to its cell (zero-shuffle
     * fold), pick the query's `nProbe` nearest centroids driver-side
     * (codebook + one query row — the broadcast pattern), and search

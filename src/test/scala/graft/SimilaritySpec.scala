@@ -352,6 +352,58 @@ class SimilaritySpec extends AnyFunSuite {
       "vec_id", "embedding", dir, cents, "cid", "cvec")
   }
 
+  test("ivfAssignHierarchical: degenerate superProbe is exactly flat; " +
+    "two-probe agrees on nearly all rows and never improves a distance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    // a STRUCTURED codebook — 8 well-separated groups of 8 centroids —
+    // the shape a k-means codebook actually has (a fully random
+    // codebook has no group structure for the coarse tier to find and
+    // is the documented worst case, not the operating point)
+    val groupBase = (0 until 8).map(g =>
+      Seq.tabulate(6)(j => if (j == g % 6) 40.0 * (1 + g / 6) else 0.0))
+    val centVecs = (0L until 64L).map { c =>
+      val g = (c / 8).toInt
+      (c, groupBase(g).map(_ + rnd.nextGaussian()))
+    }
+    val cents = centVecs.toDF("cid", "cvec")
+    val emb = (0L until 400L).map { i =>
+      val near = centVecs(rnd.nextInt(64))._2
+      (i, near.map(_ + rnd.nextGaussian() * 2.0))
+    }.toDF("vec_id", "embedding")
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "cell_dist2").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val flat = cellsOf(Similarity.ivfAssign(emb, "vec_id", "embedding",
+      cents, "cid", "cvec"))
+    // superProbe ≥ superCells ⇒ bit-identical to the flat fold
+    val exact = cellsOf(Similarity.ivfAssignHierarchical(
+      emb, "vec_id", "embedding", cents, "cid", "cvec",
+      superCells = 8, superProbe = 8))
+    assert(exact == flat, "degenerate hierarchical diverged from flat")
+    // superProbe = 2: boundary rows may land in a neighboring cell,
+    // but (a) every row is assigned, (b) a disagreement can only give
+    // a GREATER-OR-EQUAL distance (it searched a subset), and (c) the
+    // overwhelming majority agree
+    val hier = cellsOf(Similarity.ivfAssignHierarchical(
+      emb, "vec_id", "embedding", cents, "cid", "cvec",
+      superCells = 8, superProbe = 2))
+    assert(hier.keySet == flat.keySet, "hierarchical lost rows")
+    val disagree = hier.filter { case (id, (c, _)) => flat(id)._1 != c }
+    disagree.foreach { case (id, (_, d)) =>
+      assert(d >= flat(id)._2 - 1e-9,
+        s"row $id: hierarchical found a BETTER distance than flat — " +
+          "the subset search is broken")
+    }
+    assert(disagree.size <= flat.size / 10,
+      s"${disagree.size}/${flat.size} rows disagree — super-clustering " +
+        "is routing badly")
+    // and the default super-cell count also runs end to end
+    val auto = cellsOf(Similarity.ivfAssignHierarchical(
+      emb, "vec_id", "embedding", cents, "cid", "cvec"))
+    assert(auto.keySet == flat.keySet)
+  }
+
   test("kmeansIterate: an empty cell keeps its previous centroid") {
     import spark.implicits._
     val emb = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.2, 0.0)))
