@@ -242,8 +242,13 @@ object Similarity {
     // flat fold's smallest-cid behavior)
     val membership = cents.groupBy(c =>
       superMeans.indices.minBy(j => sq(c._2, superMeans(j))).toLong)
-    if (superProbe >= s) {
+    if (superProbe >= s && s > 2) {
       // degenerate exact form — one fold over everything, as flat
+      // (the two-minima fold below cannot track more than 2 groups).
+      // s ≤ 2 with superProbe = s stays on the general path: probing
+      // EVERY group is also exact, but runs the full two-level
+      // machinery — the registered q122 gate uses that shape to pin
+      // the hierarchy against the flat DuckDB oracle.
       ivfAssignLocal(emb, vecCol, cents)
     } else {
       // only super-cells that won members: an empty localKmeans cluster

@@ -59,6 +59,27 @@ object Vector {
         .orderBy("cell")
     }),
 
+    // q59 through the two-level (coarse-quantizer) assignment: the 8
+    // fixture centroids cluster into 2 super-groups driver-side and
+    // each vector runs the full hierarchy — two-minima super fold,
+    // member-map lookup, fold over the probed groups' members. With
+    // BOTH groups probed the subset is the whole codebook, so the
+    // result is exact by construction and q59's flat-assignment oracle
+    // applies VERBATIM — the hash match pins the two-level expression
+    // machinery (not the routing heuristic, whose measured
+    // agreement/cost trade on a real corpus is ASSIGN_200k_r11.json).
+    "q122_ivf_hier_cells" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfAssignHierarchical(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", superCells = 2, superProbe = 2)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_id"),
+          round(avg(col("cell_dist2")), 4).as("avg_dist2"))
+        .orderBy("cell")
+    }),
+
     // IVF probe search: top-5 cosine neighbors of vec_id 0 scanning only
     // the query's 2 nearest cells.
     "q88_ivf_search" -> ((s, d) => {
@@ -341,6 +362,27 @@ object Vector {
         |ORDER BY vec_id""".stripMargin,
 
     "q59_ivf_cells" ->
+      """WITH ax AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
+        |dists AS (
+        |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
+        |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
+        |best AS (
+        |  SELECT vec_id, cid, ROUND(d, 5) AS d5,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d ASC, cid ASC) AS rn
+        |  FROM dists)
+        |SELECT cid AS cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_id,
+        |  ROUND(AVG(d5), 4) AS avg_dist2
+        |FROM best WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // q122 shares q59's FLAT-assignment oracle on purpose: the
+    // hierarchical router must agree with flat on every fixture row
+    // for the hash to match (see the queries-side comment).
+    "q122_ivf_hier_cells" ->
       """WITH ax AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |         unnest(embedding)::DOUBLE AS x

@@ -381,6 +381,14 @@ class SimilaritySpec extends AnyFunSuite {
       emb, "vec_id", "embedding", cents, "cid", "cvec",
       superCells = 8, superProbe = 8))
     assert(exact == flat, "degenerate hierarchical diverged from flat")
+    // superCells = superProbe = 2 stays on the GENERAL path (super
+    // fold + member map + group concat) but probes every group — must
+    // also be exactly flat; this is the q122 gate shape
+    val bothGroups = cellsOf(Similarity.ivfAssignHierarchical(
+      emb, "vec_id", "embedding", cents, "cid", "cvec",
+      superCells = 2, superProbe = 2))
+    assert(bothGroups == flat,
+      "all-groups-probed hierarchical diverged from flat")
     // superProbe = 2: boundary rows may land in a neighboring cell,
     // but (a) every row is assigned, (b) a disagreement can only give
     // a GREATER-OR-EQUAL distance (it searched a subset), and (c) the
