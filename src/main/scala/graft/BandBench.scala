@@ -46,7 +46,8 @@ object BandBench {
 
     def pairsAt(bandBits: Int) = Dedup.simhashNeighbors64Over(
       docs, wordShingles(col("text"), 3), "doc_id", bandBits = bandBits,
-      maxHamming = 2, collapseExactOn = Some(fingerprint(col("text"))))
+      maxHamming = 2, collapseExactOn = Some(fingerprint(col("text"))),
+      allowPartialRecall = true)
 
     def run(bandBits: Int): (Set[(Long, Long)], Double) = {
       pairsAt(bandBits).write.format("noop").mode("overwrite").save()

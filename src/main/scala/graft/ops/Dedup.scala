@@ -399,17 +399,30 @@ object Dedup {
     * ranges of the packed 64-bit code, extracted MSB-first with
     * shift+mask (no string ever materializes). `bandBits` must divide
     * 64; recall is guaranteed for `maxHamming < 64/bandBits` by
-    * pigeonhole.
+    * pigeonhole, and the call refuses settings that void the
+    * guarantee unless `allowPartialRecall` opts in EXPLICITLY —
+    * bandBits = 32 with maxHamming = 2 finds a distance-2 pair only
+    * when both flipped bits land in the same 32-bit band.
+    *
+    * MEASURED (graft.BandBench, 1M docs, BAND_1m_r11.json): the
+    * 16-bit default's candidate occupancy is the knee past ~10⁷ docs
+    * (n²/2¹⁶ per band; 3.6× cost at docs ×2, SCALE_r10 §2); 32-bit
+    * bands push the occupancy domain to 2³² at a measured
+    * pairs-recall cost recorded in SCALE_r11 §2 — every missed pair
+    * sits at exactly Hamming 2, the pigeonhole edge.
     */
   def simhashNeighbors64Over(df: DataFrame, tokensExpr: Column,
       idCol: String, bandBits: Int = 16, maxHamming: Int = 2,
-      collapseExactOn: Option[Column] = None, maxBucket: Int = 4096)
+      collapseExactOn: Option[Column] = None, maxBucket: Int = 4096,
+      allowPartialRecall: Boolean = false)
   : DataFrame = {
     require(64 % bandBits == 0 && bandBits >= 1 && bandBits <= 32,
       s"bandBits ($bandBits) must divide 64 and leave ≥2 bands")
     val bands = 64 / bandBits
-    require(maxHamming < bands,
-      s"pigeonhole: $bands bands only guarantee recall for distance < $bands")
+    require(maxHamming < bands || allowPartialRecall,
+      s"pigeonhole: $bands bands only guarantee recall for distance < " +
+        s"$bands — pass allowPartialRecall=true to accept probabilistic " +
+        "recall at this bandBits (trade measured in SCALE_r11)")
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val coded = df
       .select(col(idCol).as("id") +: tokensExpr.as("_toks") +:
