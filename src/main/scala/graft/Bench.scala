@@ -71,7 +71,8 @@ object Bench {
     "q120_semantic_dedup", // embedding-cosine dedup via the IVF index
     "q119_curation_capstone", // dedup flags → budget mix → pack → shard
     "q108_winnow_fingerprints", // native rolling-hash winnow kernel
-    "q109_winnow_neardup") // fp equi-join with stop-gram df cap
+    "q109_winnow_neardup", // fp equi-join with stop-gram df cap
+    "q122_ivf_hier_cells") // two-level (coarse-quantizer) assignment
 
   def main(args: Array[String]): Unit = {
     // the f interpolator renders %f under the JVM default locale; a

@@ -86,9 +86,28 @@ object SemDedupBench {
     val index = spark.read.parquet(s"$outDir/ivf")
 
     // batch: NEW vectors (id space disjoint; different rng salt so they
-    // interpolate different (a,b,t) triples than any corpus id)
-    val batch = interpolated(
-      spark.range(1000000L, 1000000L + batchN).as[java.lang.Long], 91L)
+    // interpolate different (a,b,t) triples than any corpus id), with
+    // per-row noise amplitude swept 0.05 → 0.65 so the true best
+    // corpus cosine SPREADS across the τ range — an all-near-copy
+    // batch (the corpus-salt fixture) makes every τ degenerate:
+    // true_dups = batch and recall@1 ≈ 1 because a near-copy shares
+    // its neighbor's cell almost surely
+    val batch = spark.range(1000000L, 1000000L + batchN).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val r = new scala.util.Random(id * 1000003L + 91L)
+          val a = r.nextInt(seeds)
+          val b0 = r.nextInt(seeds)
+          val b = if (b0 == a) (b0 + 1) % seeds else b0
+          val t = r.nextDouble()
+          val amp = 0.05 + 0.6 * ((id % 97).toDouble / 96.0)
+          val raw = Array.tabulate(dim)(j =>
+            (1 - t) * bc.value(a)(j) + t * bc.value(b)(j) +
+              amp * r.nextGaussian())
+          val nrm = math.sqrt(raw.map(x => x * x).sum)
+          (id, raw.map(_ / nrm).toSeq)
+        }
+      }.toDF("vec_id", "embedding")
       .cache()
     batch.count(): Unit
 

@@ -115,7 +115,19 @@ object Simhash64Kernel {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def code(tokens: ArrayData): Long = {
+  def code(tokens: ArrayData): Long =
+    codeSalted(tokens, Array.emptyByteArray)
+
+  /** Salted form: each token hashes as md5(token ⧺ salt) — md5 of the
+    * concatenated BYTES, so the DuckDB mirror is `md5(tok || '#2')`
+    * for salt "#2". An empty salt is bit-identical to [[code]] (md5 of
+    * the same bytes), which is how [[code]] delegates here. The salt
+    * makes a second, independent 64-bit simhash from the SAME token
+    * array in the same native pass — the 128-bit code family
+    * ([[graft.ops.Dedup.simhashNeighbors128Over]]) is (code, salted
+    * code) concatenated.
+    */
+  def codeSalted(tokens: ArrayData, salt: Array[Byte]): Long = {
     val md = mdPool.get()
     val sums = new Array[Int](64)
     val n = tokens.numElements()
@@ -127,7 +139,9 @@ object Simhash64Kernel {
         while (j < 64) { sums(j) -= 1; j += 1 }
       } else {
         md.reset()
-        val digest = md.digest(t.getBytes)
+        md.update(t.getBytes)
+        if (salt.length > 0) md.update(salt)
+        val digest = md.digest()
         var j = 0
         while (j < 64) {
           val bit = (digest(j >> 3) >> (7 - (j & 7))) & 1
@@ -163,4 +177,27 @@ case class Simhash64Code(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "simhash64_code"
+}
+
+/** `simhash64_code_salted(tokens, salt)` — [[Simhash64Kernel.codeSalted]]
+  * as a codegen expression; the salt is a compile-time constant carried
+  * as a reference object, so the generated loop is identical to the
+  * unsalted kernel's (one extra md5 update per token).
+  */
+case class Simhash64CodeSalted(child: Expression, salt: String)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val saltBytes = salt.getBytes("UTF-8")
+  override def nullSafeEval(v: Any): Any =
+    Simhash64Kernel.codeSalted(v.asInstanceOf[ArrayData], saltBytes)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("simhashSalt", saltBytes, "byte[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.Simhash64Kernel.codeSalted($a, $saltRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "simhash64_code_salted"
 }

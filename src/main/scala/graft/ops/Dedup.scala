@@ -470,8 +470,85 @@ object Dedup {
     * bytes, so the verify is `bit_count(xor)` — one codegen'd
     * instruction per pair.
     */
+  /** 128-bit SimHash neighbor pairs — the band-domain lever that does
+    * NOT shrink the pigeonhole guarantee: 64-bit codes offer either
+    * 16-bit bands (4 bands, H ≤ 2 guaranteed, 2¹⁶ occupancy domain —
+    * quadratic knee past ~10⁶ docs, SCALE_r10 §2) or 32-bit bands
+    * (2³² domain but only 2 bands ⇒ H ≤ 1 guaranteed; measured 29% of
+    * the H ≤ 2 pairs lost, BAND_1m_r11.json). A 128-bit code with
+    * 32-bit bands has BOTH: 4 bands ⇒ H ≤ 3 guaranteed by pigeonhole,
+    * per-band occupancy n²/2³².
+    *
+    * The code is two independent 64-bit simhashes over the same
+    * shingle set — the second over salt-suffixed shingles (`tok ⧺
+    * "#2"`, mirrored exactly by the DuckDB oracle as `md5(tok ||
+    * '#2')`) — so the existing native one-pass kernel runs twice in
+    * the same scan and no new expression is needed. Hamming distance
+    * is the sum of the two 64-bit XOR popcounts. Distances scale ~2×
+    * the 64-bit code's for the same text similarity (twice the bits
+    * vote on the same shingles), so `maxHamming = 3` here sits
+    * between the 64-bit default's H ≤ 1 and H ≤ 2 in strictness;
+    * measured pair-set overlap vs the 64/16 default is in SCALE_r11.
+    */
+  def simhashNeighbors128(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashNeighbors128Over(df, wordShingles(col(textCol), 3), idCol,
+      maxHamming = maxHamming,
+      collapseExactOn = Some(fingerprint(col(textCol))))
+
+  /** See [[simhashNeighbors128]]. `bandBits` ∈ {8, 16, 32} (must
+    * divide 64 so every band sits inside one of the two longs);
+    * recall is guaranteed for `maxHamming < 128/bandBits`, and as in
+    * the 64-bit form, voiding the guarantee requires the explicit
+    * `allowPartialRecall` opt-in.
+    */
+  def simhashNeighbors128Over(df: DataFrame, tokensExpr: Column,
+      idCol: String, bandBits: Int = 32, maxHamming: Int = 3,
+      collapseExactOn: Option[Column] = None, maxBucket: Int = 4096,
+      allowPartialRecall: Boolean = false): DataFrame = {
+    require(64 % bandBits == 0 && bandBits >= 8 && bandBits <= 32,
+      s"bandBits ($bandBits) must divide 64 (each band inside one long)")
+    val bands = 128 / bandBits
+    require(maxHamming < bands || allowPartialRecall,
+      s"pigeonhole: $bands bands only guarantee recall for distance < " +
+        s"$bands — pass allowPartialRecall=true to accept probabilistic " +
+        "recall at this bandBits")
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val coded = df
+      .select(col(idCol).as("id") +: tokensExpr.as("_toks") +:
+        collapseExactOn.map(_.as("_ck")).toSeq: _*)
+      .filter(size(col("_toks")) > 0)
+      .select(col("id") +:
+        column(graft.functions.Simhash64Code(expression(col("_toks"))))
+          .as("hi") +:
+        column(graft.functions.Simhash64CodeSalted(
+          expression(col("_toks")), "#2")).as("lo") +:
+        collapseExactOn.map(_ => col("_ck")).toSeq: _*)
+    val codes =
+      if (collapseExactOn.isEmpty) coded
+      else keepersByKey(coded, col("_ck"), "id")
+    // MSB-first across the 128-bit concat hi‖lo, matching the oracle's
+    // bit-string rendering (chars 1–64 = hi, 65–128 = lo)
+    val perLong = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    val bandStructs = (0 until bands).map { b =>
+      val src = if (b < perLong) col("hi") else col("lo")
+      val off = if (b < perLong) b else b - perLong
+      struct(lit(b).as("band"),
+        shiftrightunsigned(src, 64 - bandBits * (off + 1))
+          .bitwiseAND(lit(mask)).as("bits"))
+    }
+    val bandRows = codes
+      .select(col("id"), col("hi"), col("lo"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("hi"), col("lo"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    bandedHammingPairs(bandRows, maxHamming, maxBucket,
+      codeCols = Seq("hi", "lo"))
+  }
+
   private def bandedHammingPairs(bandRowsIn: DataFrame, maxHamming: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, codeCols: Seq[String] = Seq("code")): DataFrame = {
     val bandRows = bandRowsIn
       .withColumn("_g", count(lit(1))
         .over(Window.partitionBy(col("band"), col("bits"))))
@@ -488,29 +565,39 @@ object Dedup {
     // the explode (measured ~4× less interpreted work per pair).
     val buckets = bandRows.filter(col("_g") <= maxBucket)
       .groupBy(col("band"), col("bits"))
-      .agg(collect_list(struct(col("id"), col("code"))).as("ms"))
+      .agg(collect_list(struct(col("id") +: codeCols.map(col): _*))
+        .as("ms"))
     val pairArr = flatten(transform(col("ms"), (m, i) =>
       transform(slice(col("ms"), i + lit(2), size(col("ms"))), n =>
         struct(m.as("a"), n.as("b")))))
     val smallCands = buckets.select(explode(pairArr).as("p"))
-      .select(col("p.a.id").as("xid"), col("p.b.id").as("yid"),
-        col("p.a.code").as("c1"), col("p.b.code").as("c2"))
+      .select(col("p.a.id").as("xid") +: col("p.b.id").as("yid") +:
+        (codeCols.zipWithIndex.map { case (cc, i) =>
+          col(s"p.a.$cc").as(s"ac$i") } ++
+          codeCols.zipWithIndex.map { case (cc, i) =>
+            col(s"p.b.$cc").as(s"bc$i") }): _*)
     // Hot buckets: equi-join on the bucket key streams the g² pair
     // enumeration through the shuffle machinery (spillable) instead of
     // collecting g members into one aggregation row.
     val hot = bandRows.filter(col("_g") > maxBucket)
-      .select(col("id"), col("code"), col("band"), col("bits"))
+      .select(col("id") +: col("band") +: col("bits") +:
+        codeCols.map(col): _*)
     val hotCands = hot.as("x").join(hot.as("y"), Seq("band", "bits"))
       .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("xid"), col("y.id").as("yid"),
-        col("x.code").as("c1"), col("y.code").as("c2"))
+      .select(col("x.id").as("xid") +: col("y.id").as("yid") +:
+        (codeCols.zipWithIndex.map { case (cc, i) =>
+          col(s"x.$cc").as(s"ac$i") } ++
+          codeCols.zipWithIndex.map { case (cc, i) =>
+            col(s"y.$cc").as(s"bc$i") }): _*)
     // Verify BEFORE the cross-band dedup: hamming is a pure function of
     // the pair, so the distinct shuffles (id1, id2, hamming) — two longs
     // and an int — and only for pairs that already passed the distance
     // cut. A pair caught by ≤`bands` bands recomputes the popcount that
     // many times; one xor+popcount beats shipping codes through a
     // shuffle.
-    val ham = bit_count(col("c1").bitwiseXOR(col("c2"))).cast("int")
+    val ham = codeCols.indices.map(i =>
+      bit_count(col(s"ac$i").bitwiseXOR(col(s"bc$i"))).cast("int"))
+      .reduce(_ + _)
     smallCands.unionByName(hotCands)
       .select(least(col("xid"), col("yid")).as("id1"),
         greatest(col("xid"), col("yid")).as("id2"), ham.as("hamming"))

@@ -220,6 +220,18 @@ object TextDedup {
         .orderBy("id1", "id2")
     }),
 
+    // 128-bit SimHash neighbors — wider bands WITHOUT shrinking the
+    // pigeonhole guarantee (4×32-bit bands ⇒ H ≤ 3 guaranteed, 2³²
+    // occupancy domain where q113's 16-bit bands knee at n²/2¹⁶;
+    // measured trade: BAND_1m/2m_r11.json + SCALE_r11 §2). The code is
+    // (simhash64, salted simhash64) from ONE shingle pass — both via
+    // the native kernel, the salt mirrored by the oracle as
+    // md5(tok || '#2').
+    "q123_simhash128_neighbors" -> ((s, d) => {
+      Dedup.simhashNeighbors128(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("id1", "id2")
+    }),
+
     // Near-dup GROUPS at scale: min-label components over the 64-bit
     // SimHash pair graph. Banding recall is EXACT for hamming < bands
     // (pigeonhole), so unlike an LSH-probabilistic pair set the
@@ -494,6 +506,58 @@ object TextDedup {
        |p AS (
        |  SELECT id1, id2, $hamSum64 AS hamming
        |  FROM cand WHERE $hamSum64 <= 2)""".stripMargin
+  }
+
+  /** q123's oracle mirror of [[graft.ops.Dedup.simhashNeighbors128Over]]:
+    * two 64-bit simhashes per doc — the second over salt-suffixed
+    * shingles (`md5(tok || '#2')`, byte-identical to the salted native
+    * kernel) — concatenated to a 128-char bit string, banded in 4×32
+    * chars, Hamming-verified at ≤ 3 (the pigeonhole-guaranteed radius
+    * for 4 bands).
+    */
+  private def simhash128PairCtes(keepCte: String): String = {
+    def sums(prefix: String, tokExpr: String) = (1 to 64).map { j =>
+      val q = (j - 1) / 4 + 1
+      val s = 3 - ((j - 1) % 4)
+      s"SUM(CASE WHEN (((strpos('0123456789abcdef', " +
+        s"substring(md5($tokExpr), $q, 1)) - 1) >> $s) & 1) = 1 " +
+        s"THEN 1 ELSE -1 END) AS $prefix$j"
+    }.mkString(", ")
+    // two parenthesized 64-term sub-chains: a single 128-term `||` (or
+    // `+`) chain left-recurses past DuckDB's 128 binder-depth cap
+    def bits(p: String) = (1 to 64).map(j =>
+      s"CASE WHEN $p$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    def hamHalf(lo: Int, hi: Int) = (lo to hi).map(j =>
+      s"CASE WHEN substring(s1, $j, 1) <> substring(s2, $j, 1) " +
+        "THEN 1 ELSE 0 END").mkString(" + ")
+    val hamSum = s"(${hamHalf(1, 64)}) + (${hamHalf(65, 128)})"
+    val shBands = (0 until 4).map(b =>
+      s"SELECT id, simhash, $b AS band, " +
+        s"substring(simhash, ${b * 32 + 1}, 32) AS bits FROM sh")
+      .mkString("\n       |  UNION ALL ")
+    s"""$keepCte,
+       |shingle AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct(list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS toks
+       |  FROM (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |    FROM keep)),
+       |sh AS (
+       |  SELECT id, (${bits("b")}) || (${bits("c")}) AS simhash FROM (
+       |    SELECT id, ${sums("b", "tok")}, ${sums("c", "tok || '#2'")}
+       |    FROM (SELECT id, unnest(toks) AS tok FROM shingle)
+       |    GROUP BY id)),
+       |bands AS (
+       |  $shBands),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id1, y.id AS id2,
+       |    x.simhash AS s1, y.simhash AS s2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bits = y.bits AND x.id < y.id),
+       |p AS (
+       |  SELECT id1, id2, $hamSum AS hamming
+       |  FROM cand WHERE $hamSum <= 3)""".stripMargin
   }
 
   def oracle: Map[String, String] = {
@@ -774,6 +838,11 @@ object TextDedup {
 
       "q113_simhash64_neighbors" ->
         s"""WITH ${simhash64PairCtes(keepCte)}
+           |SELECT id1, id2, hamming FROM p
+           |ORDER BY id1, id2""".stripMargin,
+
+      "q123_simhash128_neighbors" ->
+        s"""WITH ${simhash128PairCtes(keepCte)}
            |SELECT id1, id2, hamming FROM p
            |ORDER BY id1, id2""".stripMargin,
 

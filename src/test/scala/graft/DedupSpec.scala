@@ -393,6 +393,47 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs(1) == pairs(4096))
   }
 
+  test("simhash128: 16-bit and 32-bit band layouts yield the same " +
+    "H≤3 pair set (both guarantee it by pigeonhole), and the salted " +
+    "second code actually differs from the first") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    // base template + per-doc mutations: some pairs land within
+    // Hamming 3 of each other on the 128-bit code, most don't
+    val base = (1 to 40).map(i => s"w$i")
+    val docs = (1L to 30L).map { id =>
+      val mutated = base.map(w =>
+        if (rnd.nextInt(12) == 0) w + "m" + (id % 3) else w)
+      (id, mutated.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = graft.functions.TextFunctions.wordShingles(col("text"), 3)
+    def pairs(bandBits: Int) =
+      Dedup.simhashNeighbors128Over(docs, sh, "doc_id",
+        bandBits = bandBits, maxHamming = 3)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+        .toMap
+    val p32 = pairs(32) // 4 bands  — guarantees H ≤ 3
+    val p16 = pairs(16) // 8 bands — guarantees H ≤ 7 ⊇ H ≤ 3
+    assert(p32.nonEmpty, "fixture produced no near-dup pairs")
+    assert(p32 == p16,
+      "band layouts disagree on a pigeonhole-guaranteed pair set")
+    // the salted code is an independent hash: hi ≠ lo except by chance
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val hiLo = docs.select(
+      column(graft.functions.Simhash64Code(expression(sh))).as("hi"),
+      column(graft.functions.Simhash64CodeSalted(expression(sh), "#2"))
+        .as("lo"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hiLo.forall { case (h, l) => h != l },
+      "salted simhash collapsed to the unsalted code")
+    // empty salt IS the unsalted code (md5 of identical bytes)
+    val same = docs.select(
+      (column(graft.functions.Simhash64Code(expression(sh))) ===
+        column(graft.functions.Simhash64CodeSalted(expression(sh), "")))
+        .as("eq")).collect().map(_.getBoolean(0))
+    assert(same.forall(identity))
+  }
+
   test("simhash64ComponentFlags: the fused one-scan form matches the " +
     "composed componentDedupFlags ∘ simhashNeighbors64 chain, and its " +
     "output plan reads the checkpointed narrow frame, not the source") {
