@@ -60,6 +60,26 @@ object BandBench {
       (set, sec)
     }
 
+    // the 128-bit alternative: 4×32-bit bands. H ≤ 3 is the fully
+    // guaranteed radius; H ≤ 4 is the threshold that MATCHES the
+    // 64-bit H ≤ 2 semantic (independent hashes ⇒ distances ~double
+    // with code length) with partial recall at the edge distance only
+    // (a distance-4 pair is missed iff its 4 flipped bits hit 4
+    // distinct bands, ~4!/4⁴ ≈ 9%)
+    def pairs128(maxH: Int) = Dedup.simhashNeighbors128Over(
+      docs, wordShingles(col("text"), 3), "doc_id", bandBits = 32,
+      maxHamming = maxH, collapseExactOn = Some(fingerprint(col("text"))),
+      allowPartialRecall = true)
+    def run128(maxH: Int): (Set[(Long, Long)], Double) = {
+      pairs128(maxH).write.format("noop").mode("overwrite").save()
+      val t0 = System.nanoTime()
+      pairs128(maxH).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val set = pairs128(maxH).select(col("id1"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (set, sec)
+    }
+
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(outDir)): Unit
     val results = Seq(16, 32).map { bb =>
@@ -67,6 +87,10 @@ object BandBench {
       println(f"bandBits=$bb: ${set.size} pairs, $sec%.1f s")
       bb -> (set, sec)
     }.toMap
+    val (p128h3, sec128h3) = run128(3)
+    println(f"128/32 H≤3: ${p128h3.size} pairs, $sec128h3%.1f s")
+    val (p128, sec128) = run128(4)
+    println(f"128/32 H≤4: ${p128.size} pairs, $sec128%.1f s")
     val (p16, sec16) = results(16)
     val (p32, sec32) = results(32)
     val missed = p16 -- p32
@@ -92,10 +116,17 @@ object BandBench {
       .groupBy(identity).view.mapValues(_.size).toMap
     val histJson = missHist.toSeq.sorted
       .map { case (h, c) => s""""$h":$c""" }.mkString("{", ",", "}")
+    // the 128-bit code is a DIFFERENT code space (its own H ≤ 3
+    // semantic) — report set overlap vs the 64/16 truth, not "recall"
     val json =
       f"""{"docs":$nDocs,"pairs_16":${p16.size},"pairs_32":${p32.size},""" +
         f""""recall_32_vs_16":$recall32%.4f,"sec_16":$sec16%.1f,""" +
-        f""""sec_32":$sec32%.1f,"missed_hamming_hist":$histJson}"""
+        f""""sec_32":$sec32%.1f,"missed_hamming_hist":$histJson,""" +
+        f""""pairs_128_h3":${p128h3.size},"sec_128_h3":$sec128h3%.1f,""" +
+        f""""pairs_128_h4":${p128.size},"sec_128_h4":$sec128%.1f,""" +
+        f""""overlap_h4_and_16":${(p128 & p16).size},""" +
+        f""""only_128_h4":${(p128 -- p16).size},""" +
+        f""""only_16":${(p16 -- p128).size}}"""
     println(json)
     try {
       java.nio.file.Files.writeString(

@@ -484,11 +484,18 @@ object Dedup {
     * "#2"`, mirrored exactly by the DuckDB oracle as `md5(tok ||
     * '#2')`) — so the existing native one-pass kernel runs twice in
     * the same scan and no new expression is needed. Hamming distance
-    * is the sum of the two 64-bit XOR popcounts. Distances scale ~2×
-    * the 64-bit code's for the same text similarity (twice the bits
-    * vote on the same shingles), so `maxHamming = 3` here sits
-    * between the 64-bit default's H ≤ 1 and H ≤ 2 in strictness;
-    * measured pair-set overlap vs the 64/16 default is in SCALE_r11.
+    * is the sum of the two 64-bit XOR popcounts.
+    *
+    * CALIBRATION: distances here are ~Binomial-doubled versions of the
+    * 64-bit code's (a 64-bit-H=2 pair lands at mean 4, sd ≈ 2), so
+    * thresholds do NOT map proportionally — measured at 1M docs
+    * (SCALE_r11 §2): H ≤ 3 keeps ~30% of the 64/16 H ≤ 2 population
+    * (a substantially TIGHTER similarity notion), H ≤ 4 ~55%, with
+    * disagreement in both directions because the longer code is a
+    * √2-lower-variance estimator of the same shingle similarity.
+    * Calibrate `maxHamming` (3…5 spans the 64-bit H ≤ 2 strictness
+    * range; >3 needs `allowPartialRecall`) to the corpus rather than
+    * porting the 64-bit threshold.
     */
   def simhashNeighbors128(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame =
