@@ -103,6 +103,17 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(vd(a), vd(b)))
 
+  // Product-quantization kernels (PqExpressions.scala). m/k are plan
+  // constants (they shape the codebook layout), so they are Scala Ints
+  // here and literal-only in the SQL registration below.
+  def pq_encode(vec: Column, codebook: Column, m: Int, k: Int): Column =
+    column(PqEncode(vd(vec), vd(codebook), m, k))
+  def pq_lut(vec: Column, codebook: Column, m: Int, k: Int): Column =
+    column(PqLut(vd(vec), vd(codebook), m, k))
+  def pq_adc(lut: Column, codes: Column): Column =
+    column(PqAdc(vd(lut),
+      expression(codes.cast("array<int>"))))
+
   private def castD(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(e,
       org.apache.spark.sql.types.ArrayType(
@@ -145,6 +156,29 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "simhash_code(tokens, nBits): nBits must be an integer literal")
       }))),
+    ("pq_encode", withArity("pq_encode(vec, codebook, m, k)", 4)(es => {
+      def intLit(e: Expression, name: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case _ => throw new IllegalArgumentException(
+          s"pq_encode(vec, codebook, m, k): $name must be an integer literal")
+      }
+      PqEncode(castD(es(0)), castD(es(1)),
+        intLit(es(2), "m"), intLit(es(3), "k"))
+    })),
+    ("pq_lut", withArity("pq_lut(vec, codebook, m, k)", 4)(es => {
+      def intLit(e: Expression, name: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case _ => throw new IllegalArgumentException(
+          s"pq_lut(vec, codebook, m, k): $name must be an integer literal")
+      }
+      PqLut(castD(es(0)), castD(es(1)),
+        intLit(es(2), "m"), intLit(es(3), "k"))
+    })),
+    ("pq_adc", withArity("pq_adc(lut, codes)", 2)(es =>
+      PqAdc(castD(es(0)),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(1),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType))))),
     ("winnow_fingerprints", withArity("winnow_fingerprints(text, k, w)", 3)(
       es => {
         def intLit(e: Expression, name: String): Int = e match {

@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Product-quantization kernels — the memory tier of the ANN family
+  * (reference similarity surface `hebrew_alignment_tool.py:351`
+  * generalized; the IVF cell tier is `graft.ops.Similarity`).
+  *
+  * A PQ code replaces a d-dim float vector with `m` small integers: the
+  * vector is split into `m` contiguous sub-vectors of `d/m` dims, and
+  * each sub-vector is quantized to its nearest of `k` sub-centroids
+  * (one codebook per subspace, trained offline). At d=64 doubles that
+  * is 512 bytes → m bytes (m=8, k≤256): the compression that lets a
+  * 10⁹-vector index live in executor memory / a partition-pruned scan
+  * instead of re-reading full vectors.
+  *
+  * Search is asymmetric distance computation (ADC): the QUERY stays
+  * un-quantized; a per-query lookup table holds the squared distance
+  * from the query's sub-vector j to every sub-centroid (m·k doubles,
+  * computed once per query), and a candidate's approximate distance is
+  * the sum of m table lookups — no per-candidate vector arithmetic at
+  * all.
+  *
+  * Layout conventions (shared by all three kernels and the DuckDB
+  * oracles): the codebook ships FLATTENED as `array<double>` of length
+  * m·k·(d/m), ordered subspace-major then centroid (codebook[(j·k + c)
+  * ·dsub + t] = dim t of centroid c in subspace j); the LUT is
+  * `array<double>` of length m·k with lut[j·k + c]; codes are
+  * `array<int>` of length m. Argmin ties break to the LOWER centroid
+  * index (strict `<` keeps the first), matching [[graft.ops.Similarity
+  * .ivfAssign]] and the oracle's `ORDER BY d ASC, c ASC` row_number.
+  *
+  * Null semantics match [[VectorKernels]]: a NULL element anywhere
+  * makes the result NULL (a corrupt embedding must not quantize to a
+  * legitimate-looking code); a LENGTH mismatch throws — corrupt-data
+  * signal, not a null.
+  */
+object PqKernels {
+  private def anyNull(a: ArrayData, n: Int): Boolean = {
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
+  /** codes[j] = argmin_c Σ_t (vec[j·dsub+t] − codebook[(j·k+c)·dsub+t])². */
+  def encode(vec: ArrayData, codebook: ArrayData, m: Int, k: Int)
+  : ArrayData = {
+    val cb = codebook.numElements()
+    require(cb % (m * k) == 0,
+      s"pq_encode: codebook length $cb is not divisible by m*k=${m * k}")
+    val dsub = cb / (m * k)
+    val d = vec.numElements()
+    require(d == m * dsub,
+      s"pq_encode: vector length $d != m*dsub=${m * dsub}")
+    if (anyNull(vec, d) || anyNull(codebook, cb)) return null
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var bestC = -1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var s = 0.0
+        val base = (j * k + c) * dsub
+        val vbase = j * dsub
+        var t = 0
+        while (t < dsub) {
+          val diff = vec.getDouble(vbase + t) - codebook.getDouble(base + t)
+          s += diff * diff
+          t += 1
+        }
+        if (s < bestD) { bestD = s; bestC = c }
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** lut[j·k + c] = Σ_t (vec[j·dsub+t] − codebook[(j·k+c)·dsub+t])² —
+    * the per-query ADC table.
+    */
+  def lut(vec: ArrayData, codebook: ArrayData, m: Int, k: Int): ArrayData = {
+    val cb = codebook.numElements()
+    require(cb % (m * k) == 0,
+      s"pq_lut: codebook length $cb is not divisible by m*k=${m * k}")
+    val dsub = cb / (m * k)
+    val d = vec.numElements()
+    require(d == m * dsub,
+      s"pq_lut: vector length $d != m*dsub=${m * dsub}")
+    if (anyNull(vec, d) || anyNull(codebook, cb)) return null
+    val out = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        var s = 0.0
+        val base = (j * k + c) * dsub
+        val vbase = j * dsub
+        var t = 0
+        while (t < dsub) {
+          val diff = vec.getDouble(vbase + t) - codebook.getDouble(base + t)
+          s += diff * diff
+          t += 1
+        }
+        out(j * k + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC distance: Σ_j lut[j·k + codes[j]], k inferred as lut.len/m. */
+  def adc(lut: ArrayData, codes: ArrayData): java.lang.Double = {
+    val m = codes.numElements()
+    val lk = lut.numElements()
+    require(m > 0 && lk % m == 0,
+      s"pq_adc: LUT length $lk is not a multiple of code length $m")
+    val k = lk / m
+    if (anyNull(lut, lk) || anyNull(codes, m)) return null
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      require(c >= 0 && c < k,
+        s"pq_adc: code $c out of range [0, $k) at subspace $j")
+      s += lut.getDouble(j * k + c)
+      j += 1
+    }
+    s
+  }
+}
+
+abstract class PqArrayExpression extends BinaryExpression
+    with Serializable {
+  def m: Int
+  def k: Int
+  // nullable: a NULL ELEMENT (not captured by array nullability) nulls
+  // the result, same contract as VecBinaryExpression
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  protected def kernel: String
+  protected def call(a: ArrayData, b: ArrayData): ArrayData
+  override def nullSafeEval(l: Any, r: Any): Any =
+    call(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+         |  graft.functions.PqKernels.$kernel($a, $b, $m, $k);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r; }
+         |""".stripMargin)
+}
+
+/** `pq_encode(vec, codebook, m, k)` → array<int> of length m. */
+case class PqEncode(left: Expression, right: Expression, m: Int, k: Int)
+    extends PqArrayExpression {
+  require(m > 0 && k > 0, "m and k must be positive")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def kernel: String = "encode"
+  override protected def call(a: ArrayData, b: ArrayData): ArrayData =
+    PqKernels.encode(a, b, m, k)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "pq_encode"
+}
+
+/** `pq_lut(queryVec, codebook, m, k)` → array<double> of length m·k. */
+case class PqLut(left: Expression, right: Expression, m: Int, k: Int)
+    extends PqArrayExpression {
+  require(m > 0 && k > 0, "m and k must be positive")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def kernel: String = "lut"
+  override protected def call(a: ArrayData, b: ArrayData): ArrayData =
+    PqKernels.lut(a, b, m, k)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "pq_lut"
+}
+
+/** `pq_adc(lut, codes)` → double: the ADC approximate squared distance. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any =
+    PqKernels.adc(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Double ${ev.value}_r =
+         |  graft.functions.PqKernels.adc($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+         |""".stripMargin)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "pq_adc"
+}

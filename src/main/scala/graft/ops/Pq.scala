@@ -1,0 +1,305 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Product quantization — the MEMORY tier of the ANN family
+  * (reference similarity surface `hebrew_alignment_tool.py:351`
+  * generalized to corpus scale; the cell/partition tier is
+  * [[Similarity]]'s IVF, the code tier is this).
+  *
+  * Why it exists at 100 TB: an IVF index still stores the full vector
+  * per row (d=64 doubles = 512 bytes). At 10⁹ vectors that is ~0.5 TB
+  * of embedding payload the probe scan reads; a PQ code is `m` bytes
+  * (m=8: 64× less), so the probed cells' scan becomes almost free and
+  * a whole-corpus brute rescore stays I/O-bounded at ~m·n bytes.
+  * Search uses asymmetric distance computation (ADC): queries stay
+  * exact, candidates cost m table lookups each — no per-candidate
+  * vector arithmetic. The decode-free layout trades a bounded
+  * quantization error, measured in PQ_*_r11.json / SCALE_r11.
+  *
+  * The kernels ([[graft.functions.PqKernels]]) are native codegen
+  * expressions; the flat-codebook layout convention is documented
+  * there. Codebooks are driver-sized plan literals (m·k·dsub doubles —
+  * m=8,k=256,d=64 ⇒ 128 KB, the same torrent-broadcast footprint class
+  * as the IVF codebook literal).
+  */
+object Pq {
+
+  /** A trained PQ codebook: `flat` is subspace-major
+    * (codebook[(j·k + c)·dsub + t]), split into `m` subspaces of `k`
+    * sub-centroids each.
+    */
+  case class Codebook(flat: IndexedSeq[Double], m: Int, k: Int) {
+    require(m > 0 && k > 0 && flat.nonEmpty && flat.length % (m * k) == 0,
+      s"PQ codebook: ${flat.length} doubles is not m·k·dsub for m=$m k=$k")
+    def dsub: Int = flat.length / (m * k)
+    def dim: Int = m * dsub
+
+    /** Identity stamp, the PQ analog of the IVF codebook stamp: probing
+      * codes encoded under a different codebook silently returns wrong
+      * neighbors, so persisted layouts carry (and verify) this.
+      */
+    def stamp: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      flat.foreach(x => md.update(String.format(java.util.Locale.ROOT,
+        "%.9e,", Double.box(x)).getBytes("UTF-8")))
+      s"pq$m/$k/" + md.digest().map("%02x".format(_)).mkString.take(12)
+    }
+  }
+
+  /** Train per-subspace codebooks with driver-side Lloyd iterations
+    * over a DETERMINISTIC bounded sample (the first `sampleN` rows by
+    * `idCol` — a TakeOrdered, k·log n work, no full sort). Driver-side
+    * on a sample is the standard PQ training regime (codebooks
+    * generalize from ~10⁴–10⁵ points; the corpus-scale passes are
+    * encode and search, not training) and keeps this collect in the
+    * same bounded class as [[Similarity.collectCodebook]].
+    *
+    * Deterministic: strided init over the sample order, strict-<
+    * argmin (ties to the lower index), empty clusters keep their
+    * previous mean — same rules as the IVF codebook builder.
+    */
+  def train(emb: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+      sampleN: Int = 20000, iters: Int = 10): Codebook = {
+    val rows = emb.orderBy(col(idCol))
+      .select(col(vecCol).cast("array<double>"))
+      .limit(sampleN).collect()
+    require(rows.nonEmpty, "Pq.train: empty training sample")
+    val dim = rows(0).getSeq[Double](0).length
+    require(dim % m == 0, s"Pq.train: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val pts = rows.map(_.getSeq[Double](0).toArray)
+    val flat = new Array[Double](m * k * dsub)
+    var j = 0
+    while (j < m) {
+      val off = j * dsub
+      val n = pts.length
+      // strided init over sample order
+      val means = Array.ofDim[Double](k, dsub)
+      val stride = math.max(1, n / k)
+      var c = 0
+      while (c < k) {
+        val src = pts(math.min(c * stride, n - 1))
+        System.arraycopy(src, off, means(c), 0, dsub)
+        c += 1
+      }
+      val assign = new Array[Int](n)
+      var it = 0
+      while (it < iters) {
+        var i = 0
+        while (i < n) {
+          var best = -1; var bestD = Double.MaxValue
+          var cc = 0
+          while (cc < k) {
+            var s = 0.0; var t = 0
+            while (t < dsub) {
+              val d0 = pts(i)(off + t) - means(cc)(t); s += d0 * d0; t += 1
+            }
+            if (s < bestD) { bestD = s; best = cc }
+            cc += 1
+          }
+          assign(i) = best
+          i += 1
+        }
+        val sums = Array.ofDim[Double](k, dsub)
+        val counts = new Array[Int](k)
+        i = 0
+        while (i < n) {
+          val a = assign(i); counts(a) += 1
+          var t = 0
+          while (t < dsub) { sums(a)(t) += pts(i)(off + t); t += 1 }
+          i += 1
+        }
+        var cc = 0
+        while (cc < k) {
+          if (counts(cc) > 0) {
+            var t = 0
+            while (t < dsub) {
+              means(cc)(t) = sums(cc)(t) / counts(cc); t += 1
+            }
+          } // empty cluster keeps its previous mean
+          cc += 1
+        }
+        it += 1
+      }
+      c = 0
+      while (c < k) {
+        System.arraycopy(means(c), 0, flat, (j * k + c) * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
+    Codebook(flat.toIndexedSeq, m, k)
+  }
+
+  private def cbLit(cb: Codebook): Column = typedLit(cb.flat)
+
+  /** Append a `pq_code` column (array<int> of length m) — the encode
+    * pass: one native-kernel scan, zero shuffle, the corpus-scale step
+    * that replaces 512-byte vectors with m-byte codes.
+    */
+  def encode(df: DataFrame, vecCol: String, cb: Codebook): DataFrame =
+    df.withColumn("pq_code",
+      GraftFunctions.pq_encode(col(vecCol), cbLit(cb), cb.m, cb.k))
+
+  /** Brute-force ADC batch search over a CODES table — the
+    * whole-corpus rescore baseline (the scale path is
+    * [[ivfPqSearchBatch]], which prunes to probed cells first). Each
+    * query row computes its m·k LUT once (native kernel), the query
+    * batch broadcasts against the code scan — the deliberate
+    * broadcast-crossJoin form every brute baseline here uses
+    * ([[Similarity.knnCosine]]'s shape): candidate work is
+    * |batch|·|corpus| ADC lookups, which is the POINT of ADC — m table
+    * reads per candidate instead of d multiplies.
+    *
+    * Returns (qid, `idCol`, adc_dist) — top `k` per query, ranked on
+    * the ROUNDED ADC distance ascending with id tie-break (the
+    * determinism rule every ANN surface here shares). `queryIdCol`
+    * must be unique within `queries` (same window contract as
+    * [[Similarity.ivfSearchBatch]]).
+    */
+  def searchBatch(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, codes: DataFrame, idCol: String,
+      cb: Codebook, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(queryIdCol).as("qid"),
+      GraftFunctions.pq_lut(col(queryVecCol), cbLit(cb), cb.m, cb.k)
+        .as("_lut"))
+    val cand = codes.crossJoin(broadcast(q))
+    val scoped =
+      if (excludeSelf) cand.filter(col(idCol) =!= col("qid")) else cand
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+    scoped
+      .select(col("qid"), col(idCol),
+        round(GraftFunctions.pq_adc(col("_lut"), col("pq_code")), 5)
+          .as("adc_dist"))
+      .withColumn("_rn", row_number().over(wTop))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  private def combinedStamp(ivfStamp: String, cb: Codebook): String =
+    s"$ivfStamp+${cb.stamp}"
+
+  /** Build AND persist an IVF-PQ index: cell-partitioned like
+    * [[Similarity.ivfIndexWrite]], but each row stores its PQ code and
+    * NOT the vector — the layout whose probed-cell scan reads m bytes
+    * per candidate instead of the embedding payload. The `_params`
+    * stamp (and O(1) sidecar) covers BOTH codebooks: a probe under a
+    * different IVF codebook mis-routes, a probe under a different PQ
+    * codebook mis-scores, and either must fail loudly, not
+    * approximately.
+    *
+    * Exact re-ranking needs the original vectors; fetch them by id
+    * from the SOURCE table for the top candidates only
+    * ([[ivfPqSearchRefined]]) — that join is k·|batch| rows, not the
+    * corpus.
+    */
+  def ivfPqIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      cb: Codebook, indexDir: String): Unit = {
+    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
+      centroidVecCol)
+    val stamp = combinedStamp(Similarity.codebookStamp(cents), cb)
+    encode(Similarity.ivfAssignLocal(emb, vecCol, cents), vecCol, cb)
+      .select(col(idCol), col("pq_code"), col("cell"))
+      .withColumn("_params", lit(stamp))
+      .write.partitionBy("cell").mode("overwrite").parquet(indexDir)
+    Similarity.writeStampSidecar(emb.sparkSession, indexDir, stamp)
+  }
+
+  /** Batch ANN against a RELOADED IVF-PQ index: probe-cell selection
+    * and static `cell IN (...)` partition pruning exactly as
+    * [[Similarity.ivfSearchBatch]] (the plan shape with the proven
+    * numFiles gate), but candidates are scored by ADC — the probed
+    * cells' scan reads (id, pq_code) only, never a vector column.
+    * Returns (qid, `idCol`, cell, adc_dist), top `k` per query by
+    * rounded ADC ascending, id tie-break.
+    */
+  def ivfPqSearchBatch(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, index: DataFrame, idCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      cb: Codebook, k: Int, nProbe: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
+      centroidVecCol)
+    val checked = Similarity.verifyStamp(index,
+      combinedStamp(Similarity.codebookStamp(cents), cb),
+      "ivfPqSearchBatch")
+    val codebook = typedLit(cents)
+    val q = queries.select(col(queryIdCol).as("qid"),
+      col(queryVecCol).cast("array<double>").as("qvec"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("cell").asc)
+    val qcells = q
+      .select(col("qid"), col("qvec"), explode(codebook).as("c"))
+      .select(col("qid"), col("qvec"), col("c._1").as("cell"),
+        GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d"))
+      .withColumn("_rn", row_number().over(wProbe))
+      .filter(col("_rn") <= nProbe)
+      .select(col("qid"),
+        GraftFunctions.pq_lut(col("qvec"), cbLit(cb), cb.m, cb.k)
+          .as("_lut"),
+        col("cell"))
+      .localCheckpoint(true) // probe side computed once: collect + join
+    val probedCells = qcells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val cand = checked.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(qcells), Seq("cell"))
+    val scoped =
+      if (excludeSelf) cand.filter(col(idCol) =!= col("qid")) else cand
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+    scoped
+      .select(col("qid"), col(idCol), col("cell"),
+        round(GraftFunctions.pq_adc(col("_lut"), col("pq_code")), 5)
+          .as("adc_dist"))
+      .withColumn("_rn", row_number().over(wTop))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** IVF-PQ search with an exact re-rank tail: take the top
+    * `k·refineFactor` ADC candidates per query, fetch ONLY those rows'
+    * full vectors from the source table (an id equi-join over
+    * k·refineFactor·|batch| rows — candidate-sized, never
+    * corpus-sized; Spark broadcasts the candidate side under AQE), and
+    * re-rank by exact cosine. The standard IVFADC+refine shape: ADC
+    * error only matters when it reorders across the refine boundary,
+    * measured in PQ_*_r11.json.
+    *
+    * Returns (qid, `idCol`, cos_sim) — top `k` per query by rounded
+    * cosine descending, id tie-break.
+    */
+  def ivfPqSearchRefined(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, index: DataFrame, source: DataFrame,
+      sourceIdCol: String, sourceVecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      cb: Codebook, k: Int, nProbe: Int = 2, refineFactor: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(refineFactor >= 1, "refineFactor must be ≥ 1")
+    val cand = ivfPqSearchBatch(queries, queryIdCol, queryVecCol, index,
+      sourceIdCol, centroids, centroidIdCol, centroidVecCol, cb,
+      k = k * refineFactor, nProbe = nProbe, excludeSelf = excludeSelf)
+      .select(col("qid"), col(sourceIdCol))
+    val qv = queries.select(col(queryIdCol).as("qid"),
+      col(queryVecCol).cast("array<double>").as("qvec"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col(sourceIdCol).asc)
+    cand
+      .join(source.select(col(sourceIdCol),
+        col(sourceVecCol).cast("array<double>").as("_sv")), Seq(sourceIdCol))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col(sourceIdCol),
+        round(GraftFunctions.cosine_sim(col("_sv"), col("qvec")), 5)
+          .as("cos_sim"))
+      .withColumn("_rn", row_number().over(wTop))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+}

@@ -124,7 +124,7 @@ object Similarity {
   /** Pull the (tiny) codebook to the driver once; callers that need it
     * both for assignment and probe selection collect a single time.
     */
-  private def collectCodebook(centroids: DataFrame, centroidIdCol: String,
+  private[ops] def collectCodebook(centroids: DataFrame, centroidIdCol: String,
       centroidVecCol: String): Seq[(Long, Seq[Double])] = {
     val cents = centroids
       .select(col(centroidIdCol).cast("long"),
@@ -137,7 +137,7 @@ object Similarity {
     cents
   }
 
-  private def ivfAssignLocal(emb: DataFrame, vecCol: String,
+  private[ops] def ivfAssignLocal(emb: DataFrame, vecCol: String,
       cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val codebook = typedLit(cents) // array<struct<_1:bigint,_2:array<double>>>
     val v = asDouble(col(vecCol))
@@ -330,7 +330,7 @@ object Similarity {
     * stamp the way [[graft.ops.Dedup.crossDedupFlagsFromIndexes]]
     * verifies band params.
     */
-  private def codebookStamp(cents: Seq[(Long, Seq[Double])]): String = {
+  private[ops] def codebookStamp(cents: Seq[(Long, Seq[Double])]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     cents.foreach { case (cid, v) =>
       md.update(cid.toString.getBytes("UTF-8"))
@@ -362,7 +362,7 @@ object Similarity {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  private def writeStampSidecar(spark: SparkSession, indexDir: String,
+  private[ops] def writeStampSidecar(spark: SparkSession, indexDir: String,
       stamp: String): Unit = {
     val (fs, p) = fsOf(spark, indexDir)
     val out = fs.create(
@@ -370,7 +370,7 @@ object Similarity {
     try out.write((stamp + "\n").getBytes("UTF-8")) finally out.close()
   }
 
-  private def readStampSidecar(spark: SparkSession, indexDir: String)
+  private[ops] def readStampSidecar(spark: SparkSession, indexDir: String)
   : Option[String] = {
     val (fs, p) = fsOf(spark, indexDir)
     val f = new org.apache.hadoop.fs.Path(p, StampSidecar)
@@ -429,7 +429,7 @@ object Similarity {
     * `_params` column) is flagged on stderr rather than silently
     * trusted, preserving the hand-built escape hatch.
     */
-  private def verifyStamp(index: DataFrame, stamp: String,
+  private[ops] def verifyStamp(index: DataFrame, stamp: String,
       caller: String): DataFrame = {
     val sidecar = singleRootOf(index)
       .flatMap(root => readStampSidecar(index.sparkSession, root))

@@ -175,6 +175,79 @@ object Vector {
         .orderBy("vec_id")
     }),
 
+    // Product-quantization code assignment under a DATA-DERIVED
+    // codebook (the sub-vectors of vec_id < 4, m=2 subspaces × k=4
+    // sub-centroids — the same fixture-as-codebook trick q59 uses, so
+    // the oracle can re-derive the codebook in SQL): per-vector codes
+    // rolled up to code-pair occupancy. The corpus-scale point is the
+    // encode pass itself: one native-kernel scan, zero shuffle, m
+    // bytes of code replacing the 512-byte embedding payload.
+    "q124_pq_codes" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = fixturePqCodebook(emb)
+      graft.ops.Pq.encode(emb, "embedding", cb)
+        .select(col("vec_id"),
+          element_at(col("pq_code"), 1).cast("long").as("code0"),
+          element_at(col("pq_code"), 2).cast("long").as("code1"))
+        .groupBy(col("code0"), col("code1"))
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_id"))
+        .orderBy("code0", "code1")
+    }),
+
+    // Brute-force ADC batch search: both query vectors (vec_id < 2)
+    // against every corpus code — per-query LUT computed once (native
+    // kernel), candidates cost m table lookups each. The whole-corpus
+    // rescore baseline for the IVF-PQ probe below.
+    "q125_pq_adc_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = fixturePqCodebook(emb)
+      val codes = graft.ops.Pq.encode(emb, "embedding", cb)
+        .select(col("vec_id"), col("pq_code"))
+      graft.ops.Pq.searchBatch(emb.filter(col("vec_id") < 2), "vec_id",
+        "embedding", codes, "vec_id", cb, k = 5)
+        .orderBy(col("qid"), col("adc_dist"), col("vec_id"))
+    }),
+
+    // IVF-PQ: the persisted cell-partitioned index stores (id, code) —
+    // NOT the vector — and the batch probe prunes to each query's 2
+    // nearest cells before ADC-scoring the survivors. The memory tier
+    // (64× smaller probe scan) on top of q115's pruning tier.
+    "q126_ivfpq_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = fixturePqCodebook(emb)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val out = QueryTmp.dir("q126", s, d)
+      graft.ops.Pq.ivfPqIndexWrite(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", cb, s"$out/ivfpq")
+      graft.ops.Pq.ivfPqSearchBatch(
+        emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+        s.read.parquet(s"$out/ivfpq"), "vec_id",
+        centroids, "cid", "cvec", cb, k = 5, nProbe = 2)
+        .orderBy(col("qid"), col("adc_dist"), col("vec_id"))
+    }),
+
+    // IVF-PQ with the exact re-rank tail (the production search shape):
+    // top-20 ADC candidates per query, ONLY those rows' full vectors
+    // fetched back from the source by id (candidate-sized join), exact
+    // cosine top-5. ADC error only matters when it reorders across the
+    // refine boundary.
+    "q127_ivfpq_refined" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = fixturePqCodebook(emb)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val out = QueryTmp.dir("q127", s, d)
+      graft.ops.Pq.ivfPqIndexWrite(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", cb, s"$out/ivfpq")
+      graft.ops.Pq.ivfPqSearchRefined(
+        emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+        s.read.parquet(s"$out/ivfpq"), emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", cb, k = 5, nProbe = 2,
+        refineFactor = 4)
+        .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+    }),
+
     // One Lloyd iteration over the 8-centroid codebook: the offline
     // k-means step that builds the IVF index.
     "q90_kmeans_step" -> ((s, d) => {
@@ -186,6 +259,43 @@ object Vector {
         .orderBy("cell", "dim")
     })
   )
+
+  /** m=2 × k=4 PQ codebook whose sub-centroid c in subspace j is the
+    * j-th HALF of fixture vector c (vec_id < 4) — data-derived, like
+    * q59's centroids, so the DuckDB oracle reconstructs the identical
+    * codebook from the table (subspace j of index i = (i−1)//32).
+    */
+  private def fixturePqCodebook(emb: DataFrame): graft.ops.Pq.Codebook = {
+    val rows = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1))
+    require(rows.length == 4, "PQ fixture codebook needs vec_id 0..3")
+    val dsub = rows(0).length / 2
+    val flat = (0 until 2).flatMap(j => (0 until 4).flatMap(c =>
+      rows(c).slice(j * dsub, (j + 1) * dsub))).toIndexedSeq
+    graft.ops.Pq.Codebook(flat, 2, 4)
+  }
+
+  /** Shared oracle prefix for the PQ family: re-derive the m=2 × k=4
+    * data-derived codebook and every vector's code in SQL. `//` is
+    * DuckDB integer division (= Spark `div`); subscripts are 1-based.
+    */
+  private val pqPrefix =
+    """WITH ax AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, (i - 1) // 32 AS j, (i - 1) % 32 AS t, x FROM ax),
+      |pcent AS (SELECT vec_id AS c, j, t, x FROM sub WHERE vec_id < 4),
+      |pqd AS (
+      |  SELECT s.vec_id, s.j, p.c, sum((s.x - p.x) * (s.x - p.x)) AS d
+      |  FROM sub s JOIN pcent p ON p.j = s.j AND p.t = s.t
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, j, c AS code FROM (
+      |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j
+      |      ORDER BY d ASC, c ASC) AS rn FROM pqd) WHERE rn = 1)""".stripMargin
 
   /** The IVF probe-search oracle, shared verbatim by q88 (inline
     * assignment) and q114 (persisted index): the index changes where
@@ -399,6 +509,124 @@ object Vector {
         |SELECT cid AS cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_id,
         |  ROUND(AVG(d5), 4) AS avg_dist2
         |FROM best WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "q124_pq_codes" -> (pqPrefix +
+      """,
+        |wide AS (
+        |  SELECT vec_id, MAX(CASE WHEN j = 0 THEN code END) AS code0,
+        |         MAX(CASE WHEN j = 1 THEN code END) AS code1
+        |  FROM codes GROUP BY vec_id)
+        |SELECT code0, code1, COUNT(*) AS n_vecs, MIN(vec_id) AS min_id
+        |FROM wide GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q125_pq_adc_search" -> (pqPrefix +
+      """,
+        |qlut AS (SELECT vec_id AS qid, j, c, d FROM pqd WHERE vec_id < 2),
+        |adc AS (
+        |  SELECT q.qid, co.vec_id, sum(q.d) AS adc
+        |  FROM codes co JOIN qlut q ON q.j = co.j AND q.c = co.code
+        |  WHERE co.vec_id <> q.qid
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT qid, vec_id, ROUND(adc, 5) AS adc_dist,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY ROUND(adc, 5) ASC, vec_id ASC) AS rn
+        |  FROM adc)
+        |SELECT qid, vec_id, adc_dist FROM ranked WHERE rn <= 5
+        |ORDER BY qid, adc_dist, vec_id""".stripMargin),
+
+    "q126_ivfpq_search" -> (pqPrefix +
+      """,
+        |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
+        |cdists AS (
+        |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
+        |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d ASC, cid ASC) AS rn
+        |    FROM cdists) WHERE rn = 1),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 2),
+        |probe AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, d.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY d.d ASC, d.cid ASC) AS rn
+        |    FROM qids q JOIN cdists d ON d.vec_id = q.qid)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id, a.cell
+        |  FROM assigned a JOIN probe p ON a.cell = p.cid
+        |  WHERE a.vec_id <> p.qid),
+        |qlut AS (SELECT vec_id AS qid, j, c, d FROM pqd WHERE vec_id < 2),
+        |adc AS (
+        |  SELECT cd.qid, cd.vec_id, cd.cell, sum(q.d) AS adc
+        |  FROM cand cd
+        |  JOIN codes co ON co.vec_id = cd.vec_id
+        |  JOIN qlut q ON q.qid = cd.qid AND q.j = co.j AND q.c = co.code
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT qid, vec_id, cell, ROUND(adc, 5) AS adc_dist,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY ROUND(adc, 5) ASC, vec_id ASC) AS rn
+        |  FROM adc)
+        |SELECT qid, vec_id, cell, adc_dist FROM ranked WHERE rn <= 5
+        |ORDER BY qid, adc_dist, vec_id""".stripMargin),
+
+    // q126's ADC ranking widened to the top-20 refine set, then exact
+    // cosine over ONLY those candidates — the re-rank tail.
+    "q127_ivfpq_refined" -> (pqPrefix +
+      """,
+        |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
+        |cdists AS (
+        |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
+        |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d ASC, cid ASC) AS rn
+        |    FROM cdists) WHERE rn = 1),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 2),
+        |probe AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, d.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY d.d ASC, d.cid ASC) AS rn
+        |    FROM qids q JOIN cdists d ON d.vec_id = q.qid)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id, a.cell
+        |  FROM assigned a JOIN probe p ON a.cell = p.cid
+        |  WHERE a.vec_id <> p.qid),
+        |qlut AS (SELECT vec_id AS qid, j, c, d FROM pqd WHERE vec_id < 2),
+        |adc AS (
+        |  SELECT cd.qid, cd.vec_id, sum(q.d) AS adc
+        |  FROM cand cd
+        |  JOIN codes co ON co.vec_id = cd.vec_id
+        |  JOIN qlut q ON q.qid = cd.qid AND q.j = co.j AND q.c = co.code
+        |  GROUP BY 1, 2),
+        |refine AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY ROUND(adc, 5) ASC, vec_id ASC) AS rn
+        |    FROM adc) WHERE rn <= 20),
+        |qx AS (
+        |  SELECT q.qid, ax.i, ax.x FROM ax JOIN qids q
+        |  ON ax.vec_id = q.qid),
+        |nq AS (SELECT qid, sqrt(sum(x * x)) AS n FROM qx GROUP BY qid),
+        |dots AS (
+        |  SELECT r.qid, a.vec_id, sum(a.x * q.x) AS dot,
+        |         sqrt(sum(a.x * a.x)) AS na
+        |  FROM refine r JOIN ax a ON a.vec_id = r.vec_id
+        |  JOIN qx q ON q.qid = r.qid AND q.i = a.i
+        |  GROUP BY 1, 2),
+        |rr AS (
+        |  SELECT d.qid, d.vec_id, ROUND(dot / (na * nq.n), 5) AS cos_sim,
+        |    row_number() OVER (PARTITION BY d.qid
+        |      ORDER BY ROUND(dot / (na * nq.n), 5) DESC, d.vec_id ASC)
+        |      AS rn
+        |  FROM dots d JOIN nq ON nq.qid = d.qid)
+        |SELECT qid, vec_id, cos_sim FROM rr WHERE rn <= 5
+        |ORDER BY qid, cos_sim DESC, vec_id""".stripMargin),
 
     "q55_embedding_norms" ->
       """SELECT vec_id, ROUND(sqrt(sum(x * x)), 5) AS l2_norm

@@ -660,4 +660,56 @@ class PlanRegressionSpec extends AnyFunSuite {
         s"unexpected extra shuffles: ${exchanges.size}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("ivfPqSearchBatch: the probe prunes the IVF-PQ index to the " +
+    "probed cells' files AND reads codes, never a vector column " +
+    "(the q126 shape)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = Tables.embeddings(spark, sf)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = graft.ops.Pq.train(emb, "vec_id", "embedding",
+        m = 2, k = 4, sampleN = 64)
+      val dir = TestDirs.tmp("ivfpq_layout").toFile.getAbsolutePath
+      graft.ops.Pq.ivfPqIndexWrite(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", cb, dir)
+      val probed = graft.ops.Pq.ivfPqSearchBatch(
+        emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+        spark.read.parquet(dir), "vec_id",
+        centroids, "cid", "cvec", cb, k = 5, nProbe = 2)
+      probed.collect() // populate scan metrics
+      val scans = probed.queryExecution.executedPlan.collectLeaves()
+        .collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+      val idxScan = scans.find(
+        _.schema.fieldNames.contains("pq_code")).getOrElse(
+        fail("no index FileSourceScanExec leaf"))
+      // the union of both queries' nProbe=2 cells, counted from disk:
+      // numFiles must equal the files living under exactly those dirs
+      val planStr = idxScan.toString
+      assert(planStr.contains("PartitionFilters") &&
+        planStr.replaceAll("(?s).*PartitionFilters", "").contains("cell"),
+        planStr.take(1200))
+      val probedCells = "cell#\\d+L? IN \\(([^)]*)\\)".r
+        .findFirstMatchIn(planStr).map(_.group(1).split(",").length)
+        .getOrElse(fail(s"no cell IN-list in:\n${planStr.take(1200)}"))
+      val filesInProbed = idxScan.metrics("numFiles").value
+      val allCellFiles = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles()
+          .count(_.getName.endsWith(".parquet"))).toMap
+      assert(probedCells < allCellFiles.size,
+        s"probe did not prune: $probedCells of ${allCellFiles.size} cells")
+      assert(filesInProbed < allCellFiles.values.sum,
+        s"probe read $filesInProbed of ${allCellFiles.values.sum} files")
+      // the memory tier: the probed scan's schema is codes + ids only —
+      // no 64-float embedding payload rides through the probe
+      assert(idxScan.schema.fieldNames.toSet
+        .subsetOf(Set("vec_id", "pq_code", "cell")),
+        s"index scan reads ${idxScan.schema.fieldNames.mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

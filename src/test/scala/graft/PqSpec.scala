@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.ops.{Pq, Similarity}
+
+/** Product-quantization family: kernel correctness against a
+  * driver-side reference, search differentials against brute force,
+  * training determinism, and the stamp contract on persisted IVF-PQ
+  * layouts.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // driver-side reference implementations (independent of the kernels)
+  private def refEncode(v: Seq[Double], flat: IndexedSeq[Double],
+      m: Int, k: Int): Seq[Int] = {
+    val dsub = flat.length / (m * k)
+    (0 until m).map { j =>
+      (0 until k).minBy { c =>
+        val d = (0 until dsub).map { t =>
+          val x = v(j * dsub + t) - flat((j * k + c) * dsub + t); x * x
+        }.sum
+        (d, c)
+      }
+    }
+  }
+
+  private def refAdc(q: Seq[Double], code: Seq[Int],
+      flat: IndexedSeq[Double], m: Int, k: Int): Double = {
+    val dsub = flat.length / (m * k)
+    (0 until m).map { j =>
+      val c = code(j)
+      (0 until dsub).map { t =>
+        val x = q(j * dsub + t) - flat((j * k + c) * dsub + t); x * x
+      }.sum
+    }.sum
+  }
+
+  private def randVecs(n: Int, dim: Int, seed: Int): Seq[(Long, Seq[Double])] = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map(i => (i, Seq.fill(dim)(rnd.nextGaussian())))
+  }
+
+  test("pq_encode / pq_lut / pq_adc match the driver-side reference") {
+    import spark.implicits._
+    val m = 4; val k = 8; val dim = 16
+    val vecs = randVecs(100, dim, 7)
+    val cbSrc = randVecs(m * k, dim / m, 8)
+    val flat = cbSrc.flatMap(_._2).toIndexedSeq
+    val cb = Pq.Codebook(flat, m, k)
+    val df = vecs.toDF("id", "vec")
+    val q = vecs.head._2
+    val out = Pq.encode(df, "vec", cb)
+      .withColumn("adc", GraftFunctions.pq_adc(
+        GraftFunctions.pq_lut(typedLit(q), typedLit(flat), m, k),
+        col("pq_code")))
+      .orderBy("id").collect()
+    vecs.zip(out).foreach { case ((_, v), row) =>
+      val code = row.getSeq[Int](row.fieldIndex("pq_code"))
+      assert(code == refEncode(v, flat, m, k))
+      // same IEEE op order in kernel and reference: exact equality
+      assert(row.getDouble(row.fieldIndex("adc")) ==
+        refAdc(q, code, flat, m, k))
+    }
+  }
+
+  test("null element nulls the result; bad lengths throw") {
+    import spark.implicits._
+    val cb = Pq.Codebook(IndexedSeq(0.0, 1.0, 2.0, 3.0), 2, 2) // dsub=1
+    val df = Seq((1L, Seq(Some(1.0), None))).toDF("id", "vec")
+    val out = df.select(GraftFunctions.pq_encode(col("vec"),
+      typedLit(cb.flat), 2, 2)).collect()
+    assert(out(0).isNullAt(0))
+    val bad = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      bad.select(GraftFunctions.pq_encode(col("vec"),
+        typedLit(cb.flat), 2, 2)).collect()
+    }
+    assert(e.getMessage != null)
+    val e2 = intercept[Exception] {
+      Seq((Seq(0.0, 0.0, 0.0), Seq(0, 1))).toDF("lut", "code")
+        .select(GraftFunctions.pq_adc(col("lut"), col("code"))).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
+  test("train is deterministic and codes cover the centroid range") {
+    import spark.implicits._
+    val df = randVecs(500, 16, 21).toDF("id", "vec")
+    val cb1 = Pq.train(df, "id", "vec", m = 4, k = 4, sampleN = 300)
+    val cb2 = Pq.train(df, "id", "vec", m = 4, k = 4, sampleN = 300)
+    assert(cb1 == cb2)
+    assert(cb1.dsub == 4 && cb1.dim == 16)
+    val codes = Pq.encode(df, "vec", cb1)
+      .select(explode(col("pq_code"))).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(codes.subsetOf((0 until 4).toSet) && codes.size > 1)
+  }
+
+  test("searchBatch top-k matches a driver-side ADC brute force") {
+    import spark.implicits._
+    val m = 4; val k = 8; val dim = 16
+    val vecs = randVecs(300, dim, 33)
+    val df = vecs.toDF("id", "vec")
+    val cb = Pq.train(df, "id", "vec", m, k, sampleN = 300)
+    val codes = Pq.encode(df, "vec", cb).select(col("id"), col("pq_code"))
+    val queries = vecs.take(3).toDF("id", "vec")
+    val got = Pq.searchBatch(queries, "id", "vec", codes, "id", cb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val codeMap = vecs.map { case (i, v) =>
+      i -> refEncode(v, cb.flat, cb.m, cb.k)
+    }.toMap
+    vecs.take(3).foreach { case (qid, qv) =>
+      val want = vecs.filter(_._1 != qid).map { case (i, _) =>
+        (i, BigDecimal(refAdc(qv, codeMap(i), cb.flat, cb.m, cb.k))
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (i, d) => (d, i) }.take(5)
+      assert(got(qid).sortBy { case (i, d) => (d, i) } == want,
+        s"query $qid")
+    }
+  }
+
+  test("ivfPqSearchBatch == searchBatch restricted to probed cells; " +
+    "refined with a corpus-wide factor == exact knn") {
+    import spark.implicits._
+    val dim = 16
+    val vecs = randVecs(400, dim, 55)
+    val df = vecs.toDF("id", "vec")
+    val cb = Pq.train(df, "id", "vec", m = 4, k = 8, sampleN = 400)
+    val cents = vecs.take(6).map { case (i, v) => (i, v) }
+      .toDF("cid", "cvec")
+    val dir = TestDirs.tmp("ivfpq").toFile.getAbsolutePath
+    Pq.ivfPqIndexWrite(df, "id", "vec", cents, "cid", "cvec", cb, dir)
+    val index = spark.read.parquet(dir)
+    assert(index.columns.toSet == Set("id", "pq_code", "cell", "_params"))
+    val queries = vecs.take(2).toDF("id", "vec")
+    val got = Pq.ivfPqSearchBatch(queries, "id", "vec", index, "id",
+      cents, "cid", "cvec", cb, k = 5, nProbe = 6) // all cells probed
+      .select(col("qid"), col("id"), col("adc_dist")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val codes = Pq.encode(df, "vec", cb).select(col("id"), col("pq_code"))
+    val want = Pq.searchBatch(queries, "id", "vec", codes, "id", cb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(got == want) // every cell probed ⇒ identical to brute ADC
+    // refine over the whole candidate set ⇒ exact cosine knn
+    val refined = Pq.ivfPqSearchRefined(queries, "id", "vec", index,
+      df, "id", "vec", cents, "cid", "cvec", cb, k = 3, nProbe = 6,
+      refineFactor = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    vecs.take(2).foreach { case (qid, qv) =>
+      val want = vecs.filter(_._1 != qid).map { case (i, v) =>
+        (i, BigDecimal(cos(qv, v))
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (i, c) => (-c, i) }.take(3)
+      assert(refined(qid).sortBy { case (i, c) => (-c, i) } == want,
+        s"refined query $qid")
+    }
+  }
+
+  test("a probe under a different PQ codebook is refused") {
+    import spark.implicits._
+    val vecs = randVecs(60, 8, 77)
+    val df = vecs.toDF("id", "vec")
+    val cb = Pq.train(df, "id", "vec", m = 2, k = 4, sampleN = 60)
+    val cents = vecs.take(2).toDF("cid", "cvec")
+    val dir = TestDirs.tmp("ivfpq_stale").toFile.getAbsolutePath
+    Pq.ivfPqIndexWrite(df, "id", "vec", cents, "cid", "cvec", cb, dir)
+    val other = Pq.Codebook(cb.flat.map(_ + 0.5), cb.m, cb.k)
+    val e = intercept[IllegalStateException] {
+      Pq.ivfPqSearchBatch(vecs.take(1).toDF("id", "vec"), "id", "vec",
+        spark.read.parquet(dir), "id", cents, "cid", "cvec", other,
+        k = 3, nProbe = 2).collect()
+    }
+    assert(e.getMessage.contains("different codebook"))
+  }
+}
