@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{Pq, Similarity}
+
+/** PQ quality/cost study — measures what the q124–q127 gate fixtures
+  * cannot (their m=2/k=4 codebook exists for SQL-mirrorability, not
+  * quality): at a production-shaped m=8/k=256 codebook over the
+  * boundary-straddling interpolated corpus ([[RecallBench]]'s fixture,
+  * same determinism), record
+  *
+  *  - train/encode cost and the on-disk payload ratio (the 64×-class
+  *    memory claim, measured as parquet bytes: full-vector corpus vs
+  *    (id, code) table);
+  *  - recall@10 of brute ADC ranking vs the exact cosine top-10 — the
+  *    quantization error alone;
+  *  - IVF-PQ probe recall/cost at nProbe ∈ {1,2,4,8} against a √n
+  *    kmeansIterate codebook — banding loss × quantization loss, the
+  *    operating point; and
+  *  - the refined (exact re-rank, refineFactor=4) recall at the same
+  *    nProbe points — how much of the ADC error the candidate-sized
+  *    re-rank buys back.
+  *
+  * Usage: PqBench [n] [outDir] — one JSON line, mirrored to
+  * outDir/pq.json (PQ_*_r11.json in the repo).
+  */
+object PqBench {
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val n = args.lift(0).map(_.toInt).getOrElse(200000)
+    val outDir = args.lift(1).getOrElse("/tmp/pq_bench")
+    val m = args.lift(2).map(_.toInt).getOrElse(8) // bytes/vector knob
+    val refineFactor = args.lift(3).map(_.toInt).getOrElse(4)
+    val dim = 64
+    val seeds = 32
+    val kSub = 256
+    val kTop = 10
+    val nQueries = 100
+    val kCells = math.sqrt(n.toDouble).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-pq")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // --- fixture: RecallBench's interpolated corpus, verbatim ---------
+    val seedRnd = new scala.util.Random(7)
+    val cents = Array.fill(seeds)(Array.fill(dim)(seedRnd.nextGaussian()))
+    val bc = spark.sparkContext.broadcast(cents)
+    val corpus = spark.range(n).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val r = new scala.util.Random(id * 1000003L + 17L)
+        val a = r.nextInt(seeds)
+        val b0 = r.nextInt(seeds)
+        val b = if (b0 == a) (b0 + 1) % seeds else b0
+        val t = r.nextDouble()
+        val raw = Array.tabulate(dim)(j =>
+          (1 - t) * bc.value(a)(j) + t * bc.value(b)(j) +
+            0.05 * r.nextGaussian())
+        val nrm = math.sqrt(raw.map(x => x * x).sum)
+        (id, raw.map(_ / nrm).toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+    corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
+    val emb = spark.read.parquet(s"$outDir/corpus")
+    val queries = emb.filter(col("vec_id") < nQueries)
+
+    // --- PQ codebook + encoded corpus ---------------------------------
+    val t0 = System.nanoTime()
+    val cb = Pq.train(emb, "vec_id", "embedding", m, kSub,
+      sampleN = 20000, iters = 10)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    Pq.encode(emb, "embedding", cb)
+      .select(col("vec_id"), col("pq_code"))
+      .write.mode("overwrite").parquet(s"$outDir/codes")
+    val encodeSec = (System.nanoTime() - t1) / 1e9
+    val codes = spark.read.parquet(s"$outDir/codes")
+    def bytesOf(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(dir))
+    }
+    val corpusBytes = bytesOf(s"$outDir/corpus")
+    val codesBytes = bytesOf(s"$outDir/codes")
+
+    // --- exact cosine ground truth (brute, Spark-side) ----------------
+    def exactTop(): (Map[Long, Set[Long]], Double) = {
+      val t = System.nanoTime()
+      val q = queries.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qvec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      val rows = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(graft.functions.GraftFunctions.cosine_sim(
+            col("embedding").cast("array<double>"), col("qvec")), 5)
+            .as("cos_sim"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= kTop)
+        .select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+      val sec = (System.nanoTime() - t) / 1e9
+      (rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap, sec)
+    }
+    exactTop() // warm
+    val (truth, exactSec) = exactTop()
+    require(truth.size == nQueries && truth.values.forall(_.size == kTop),
+      s"degenerate truth: ${truth.size} queries")
+
+    def recallOf(got: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, ts) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(ts).size.toDouble / kTop
+      }.sum / truth.size
+
+    // --- brute ADC: quantization error alone, both metrics ------------
+    // l2 carries the reconstruction-norm bias on this unit-norm corpus;
+    // ip approximates q·x = cos directly — the honest ranking metric
+    def adcTop(metric: String): (Map[Long, Set[Long]], Double) = {
+      val t = System.nanoTime()
+      val rows = Pq.searchBatch(queries, "vec_id", "embedding",
+        codes, "vec_id", cb, k = kTop, metric = metric)
+        .select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+      val sec = (System.nanoTime() - t) / 1e9
+      (rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap, sec)
+    }
+    adcTop("l2") // warm
+    val (adcGot, adcSec) = adcTop("l2")
+    val adcRecall = recallOf(adcGot)
+    adcTop("ip") // warm
+    val (adcIpGot, adcIpSec) = adcTop("ip")
+    val adcIpRecall = recallOf(adcIpGot)
+
+    // --- IVF-PQ at a √n codebook --------------------------------------
+    val stride = math.max(1, n / kCells)
+    val init = emb.filter(col("vec_id") % stride === 0)
+      .orderBy("vec_id").limit(kCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val ivfCb = Similarity.kmeansIterate(
+      emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+      init, "cid", "cvec", maxIters = 8, tol = 1e-4)
+    ivfCb.write.mode("overwrite").parquet(s"$outDir/ivfcb")
+    val cbDf = spark.read.parquet(s"$outDir/ivfcb")
+    val nCells = cbDf.count().toInt
+    val t2 = System.nanoTime()
+    Pq.ivfPqIndexWrite(emb, "vec_id", "embedding", cbDf, "cid", "cvec",
+      cb, s"$outDir/ivfpq")
+    val indexSec = (System.nanoTime() - t2) / 1e9
+    val indexBytes = bytesOf(s"$outDir/ivfpq")
+    val index = spark.read.parquet(s"$outDir/ivfpq")
+
+    def probeTop(nProbe: Int, refined: Boolean, metric: String)
+    : (Map[Long, Set[Long]], Double) = {
+      val t = System.nanoTime()
+      val df =
+        if (refined)
+          Pq.ivfPqSearchRefined(queries, "vec_id", "embedding", index,
+            emb, "vec_id", "embedding", cbDf, "cid", "cvec", cb,
+            k = kTop, nProbe = nProbe, refineFactor = refineFactor,
+            metric = metric)
+        else
+          Pq.ivfPqSearchBatch(queries, "vec_id", "embedding", index,
+            "vec_id", cbDf, "cid", "cvec", cb, k = kTop, nProbe = nProbe,
+            metric = metric)
+      val rows = df.select(col("qid"), col("vec_id"))
+        .as[(Long, Long)].collect()
+      val sec = (System.nanoTime() - t) / 1e9
+      (rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap, sec)
+    }
+
+    // refined runs on l2 candidates — the measured-better ADC ranking;
+    // ip stays as the per-probe contrast column
+    val probeRows = Seq(1, 2, 4, 8).map { np =>
+      probeTop(np, refined = false, "l2") // warm
+      val (gotL2, sec) = probeTop(np, refined = false, "l2")
+      probeTop(np, refined = false, "ip") // warm
+      val (gotIp, _) = probeTop(np, refined = false, "ip")
+      probeTop(np, refined = true, "l2") // warm
+      val (gotR, secR) = probeTop(np, refined = true, "l2")
+      (np, recallOf(gotL2), recallOf(gotIp), sec, recallOf(gotR), secR)
+    }
+
+    val rowsJson = probeRows.map { case (np, rl2, rip, sec, rr, secR) =>
+      f"""{"nProbe":$np,"adc_l2_recall_at_10":$rl2%.4f,"adc_ip_recall_at_10":$rip%.4f,"batch_sec":$sec%.3f,"refined_recall_at_10":$rr%.4f,"refined_batch_sec":$secR%.3f}"""
+    }.mkString("[", ",", "]")
+    val json =
+      f"""{"n":$n,"dim":$dim,"m":$m,"k_sub":$kSub,"refine_factor":$refineFactor,"cells":$nCells,""" +
+        f""""queries":$nQueries,"k":$kTop,"train_sec":$trainSec%.1f,""" +
+        f""""encode_sec":$encodeSec%.1f,"ivfpq_build_sec":$indexSec%.1f,""" +
+        f""""corpus_bytes":$corpusBytes,"codes_bytes":$codesBytes,""" +
+        f""""ivfpq_bytes":$indexBytes,""" +
+        f""""exact_batch_sec":$exactSec%.3f,""" +
+        f""""brute_adc_sec":$adcSec%.3f,"brute_adc_l2_recall_at_10":$adcRecall%.4f,""" +
+        f""""brute_adc_ip_sec":$adcIpSec%.3f,"brute_adc_ip_recall_at_10":$adcIpRecall%.4f,""" +
+        f""""probes":$rowsJson}"""
+    println(json)
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/pq.json"), json + "\n"): Unit
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(
+          s"[graft] PqBench: failed to write $outDir/pq.json — " +
+            s"stdout line above is the only record ($e)")
+    }
+    spark.stop()
+  }
+}

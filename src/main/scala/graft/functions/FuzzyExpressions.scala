@@ -110,6 +110,8 @@ object GraftFunctions {
     column(PqEncode(vd(vec), vd(codebook), m, k))
   def pq_lut(vec: Column, codebook: Column, m: Int, k: Int): Column =
     column(PqLut(vd(vec), vd(codebook), m, k))
+  def pq_lut_ip(vec: Column, codebook: Column, m: Int, k: Int): Column =
+    column(PqLutIp(vd(vec), vd(codebook), m, k))
   def pq_adc(lut: Column, codes: Column): Column =
     column(PqAdc(vd(lut),
       expression(codes.cast("array<int>"))))
@@ -172,6 +174,15 @@ object GraftFunctions {
           s"pq_lut(vec, codebook, m, k): $name must be an integer literal")
       }
       PqLut(castD(es(0)), castD(es(1)),
+        intLit(es(2), "m"), intLit(es(3), "k"))
+    })),
+    ("pq_lut_ip", withArity("pq_lut_ip(vec, codebook, m, k)", 4)(es => {
+      def intLit(e: Expression, name: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case _ => throw new IllegalArgumentException(
+          s"pq_lut_ip(vec, codebook, m, k): $name must be an integer literal")
+      }
+      PqLutIp(castD(es(0)), castD(es(1)),
         intLit(es(2), "m"), intLit(es(3), "k"))
     })),
     ("pq_adc", withArity("pq_adc(lut, codes)", 2)(es =>

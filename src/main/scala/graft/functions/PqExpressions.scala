@@ -115,6 +115,49 @@ object PqKernels {
     new GenericArrayData(out)
   }
 
+  /** lut[j·k + c] = Σ_t vec[j·dsub+t] · codebook[(j·k+c)·dsub+t] — the
+    * INNER-PRODUCT ADC table, the MIPS form for corpora whose norms
+    * carry signal. For COSINE ranking over a unit-norm corpus the
+    * measured answer is the opposite of the naive expectation
+    * (PQ_*_r11.json: adc_l2 vs adc_ip rows): L2-ADC ranks by
+    * q·c(x) − ‖c(x)‖²/2, and under an MSE-trained (k-means) codebook
+    * that norm term is an implicit CORRECTION for the reconstruction
+    * bias (centroid condition ⇒ x·e ≈ ‖e‖², so the L2 rank tracks
+    * q·x better than raw q·c(x) does) — raw IP-ADC drops it and loses
+    * recall. Prefer "l2" for normalized-cosine search; use "ip" when
+    * the corpus is deliberately un-normalized (true MIPS).
+    */
+  def lutIp(vec: ArrayData, codebook: ArrayData, m: Int, k: Int)
+  : ArrayData = {
+    val cb = codebook.numElements()
+    require(cb % (m * k) == 0,
+      s"pq_lut_ip: codebook length $cb is not divisible by m*k=${m * k}")
+    val dsub = cb / (m * k)
+    val d = vec.numElements()
+    require(d == m * dsub,
+      s"pq_lut_ip: vector length $d != m*dsub=${m * dsub}")
+    if (anyNull(vec, d) || anyNull(codebook, cb)) return null
+    val out = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        var s = 0.0
+        val base = (j * k + c) * dsub
+        val vbase = j * dsub
+        var t = 0
+        while (t < dsub) {
+          s += vec.getDouble(vbase + t) * codebook.getDouble(base + t)
+          t += 1
+        }
+        out(j * k + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ADC distance: Σ_j lut[j·k + codes[j]], k inferred as lut.len/m. */
   def adc(lut: ArrayData, codes: ArrayData): java.lang.Double = {
     val m = codes.numElements()
@@ -182,6 +225,21 @@ case class PqLut(left: Expression, right: Expression, m: Int, k: Int)
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(left = l, right = r)
   override def prettyName: String = "pq_lut"
+}
+
+/** `pq_lut_ip(queryVec, codebook, m, k)` → array<double> of length
+  * m·k: dot products instead of squared distances — rank DESCENDING.
+  */
+case class PqLutIp(left: Expression, right: Expression, m: Int, k: Int)
+    extends PqArrayExpression {
+  require(m > 0 && k > 0, "m and k must be positive")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def kernel: String = "lutIp"
+  override protected def call(a: ArrayData, b: ArrayData): ArrayData =
+    PqKernels.lutIp(a, b, m, k)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "pq_lut_ip"
 }
 
 /** `pq_adc(lut, codes)` → double: the ADC approximate squared distance. */

@@ -136,6 +136,25 @@ object Pq {
 
   private def cbLit(cb: Codebook): Column = typedLit(cb.flat)
 
+  /** Per-metric pieces: LUT builder, output score column, rank order.
+    * "l2" ranks ascending squared distance (column `adc_dist`); "ip"
+    * ranks DESCENDING inner product (column `adc_ip`). MEASURED
+    * guidance (PQ_*_r11.json): for cosine over a unit-norm corpus,
+    * "l2" wins — its −‖c(x)‖²/2 term implicitly corrects the
+    * MSE-codebook reconstruction bias that raw IP-ADC keeps
+    * (see [[graft.functions.PqKernels.lutIp]]); "ip" is for true MIPS
+    * over deliberately un-normalized corpora.
+    */
+  private def metricPieces(metric: String, cb: Codebook,
+      vec: Column): (Column, String, Column => Column) = metric match {
+    case "l2" => (GraftFunctions.pq_lut(vec, cbLit(cb), cb.m, cb.k),
+      "adc_dist", c => c.asc)
+    case "ip" => (GraftFunctions.pq_lut_ip(vec, cbLit(cb), cb.m, cb.k),
+      "adc_ip", c => c.desc)
+    case other => throw new IllegalArgumentException(
+      s"""PQ metric must be "l2" or "ip" (got "$other")""")
+  }
+
   /** Append a `pq_code` column (array<int> of length m) — the encode
     * pass: one native-kernel scan, zero shuffle, the corpus-scale step
     * that replaces 512-byte vectors with m-byte codes.
@@ -162,20 +181,20 @@ object Pq {
     */
   def searchBatch(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, codes: DataFrame, idCol: String,
-      cb: Codebook, k: Int, excludeSelf: Boolean = true): DataFrame = {
+      cb: Codebook, k: Int, excludeSelf: Boolean = true,
+      metric: String = "l2"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(queryIdCol).as("qid"),
-      GraftFunctions.pq_lut(col(queryVecCol), cbLit(cb), cb.m, cb.k)
-        .as("_lut"))
+    val (lut, scoreCol, order) = metricPieces(metric, cb, col(queryVecCol))
+    val q = queries.select(col(queryIdCol).as("qid"), lut.as("_lut"))
     val cand = codes.crossJoin(broadcast(q))
     val scoped =
       if (excludeSelf) cand.filter(col(idCol) =!= col("qid")) else cand
     val wTop = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .orderBy(order(col(scoreCol)), col(idCol).asc)
     scoped
       .select(col("qid"), col(idCol),
         round(GraftFunctions.pq_adc(col("_lut"), col("pq_code")), 5)
-          .as("adc_dist"))
+          .as(scoreCol))
       .withColumn("_rn", row_number().over(wTop))
       .filter(col("_rn") <= k)
       .drop("_rn")
@@ -223,13 +242,16 @@ object Pq {
       queryVecCol: String, index: DataFrame, idCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, k: Int, nProbe: Int = 2,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, metric: String = "l2"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = Similarity.collectCodebook(centroids, centroidIdCol,
       centroidVecCol)
     val checked = Similarity.verifyStamp(index,
       combinedStamp(Similarity.codebookStamp(cents), cb),
       "ivfPqSearchBatch")
+    // cell selection stays L2 against the IVF centroids regardless of
+    // metric — cells ARE L2-nearest regions of that codebook
+    val (lut, scoreCol, order) = metricPieces(metric, cb, col("qvec"))
     val codebook = typedLit(cents)
     val q = queries.select(col(queryIdCol).as("qid"),
       col(queryVecCol).cast("array<double>").as("qvec"))
@@ -241,10 +263,7 @@ object Pq {
         GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d"))
       .withColumn("_rn", row_number().over(wProbe))
       .filter(col("_rn") <= nProbe)
-      .select(col("qid"),
-        GraftFunctions.pq_lut(col("qvec"), cbLit(cb), cb.m, cb.k)
-          .as("_lut"),
-        col("cell"))
+      .select(col("qid"), lut.as("_lut"), col("cell"))
       .localCheckpoint(true) // probe side computed once: collect + join
     val probedCells = qcells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
@@ -253,11 +272,11 @@ object Pq {
     val scoped =
       if (excludeSelf) cand.filter(col(idCol) =!= col("qid")) else cand
     val wTop = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .orderBy(order(col(scoreCol)), col(idCol).asc)
     scoped
       .select(col("qid"), col(idCol), col("cell"),
         round(GraftFunctions.pq_adc(col("_lut"), col("pq_code")), 5)
-          .as("adc_dist"))
+          .as(scoreCol))
       .withColumn("_rn", row_number().over(wTop))
       .filter(col("_rn") <= k)
       .drop("_rn")
@@ -280,12 +299,13 @@ object Pq {
       sourceIdCol: String, sourceVecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, k: Int, nProbe: Int = 2, refineFactor: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, metric: String = "l2"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(refineFactor >= 1, "refineFactor must be ≥ 1")
     val cand = ivfPqSearchBatch(queries, queryIdCol, queryVecCol, index,
       sourceIdCol, centroids, centroidIdCol, centroidVecCol, cb,
-      k = k * refineFactor, nProbe = nProbe, excludeSelf = excludeSelf)
+      k = k * refineFactor, nProbe = nProbe, excludeSelf = excludeSelf,
+      metric = metric)
       .select(col("qid"), col(sourceIdCol))
     val qv = queries.select(col(queryIdCol).as("qid"),
       col(queryVecCol).cast("array<double>").as("qvec"))

@@ -66,6 +66,40 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("pq_lut_ip + pq_adc equals the exact dot against RECONSTRUCTED " +
+    "codewords, and ip-ranked searchBatch matches a driver brute force") {
+    import spark.implicits._
+    val m = 4; val k = 8; val dim = 16
+    val vecs = randVecs(200, dim, 91)
+    val df = vecs.toDF("id", "vec")
+    val cb = Pq.train(df, "id", "vec", m, k, sampleN = 200)
+    val codeMap = vecs.map { case (i, v) =>
+      i -> refEncode(v, cb.flat, cb.m, cb.k)
+    }.toMap
+    def refIp(q: Seq[Double], code: Seq[Int]): Double = {
+      val dsub = cb.dsub
+      (0 until m).map { j =>
+        val c = code(j)
+        (0 until dsub).map(t =>
+          q(j * dsub + t) * cb.flat((j * k + c) * dsub + t)).sum
+      }.sum
+    }
+    val queries = vecs.take(2).toDF("id", "vec")
+    val codes = Pq.encode(df, "vec", cb).select(col("id"), col("pq_code"))
+    val got = Pq.searchBatch(queries, "id", "vec", codes, "id", cb,
+      k = 5, metric = "ip")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    vecs.take(2).foreach { case (qid, qv) =>
+      val want = vecs.filter(_._1 != qid).map { case (i, _) =>
+        (i, BigDecimal(refIp(qv, codeMap(i)))
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (i, s) => (-s, i) }.take(5)
+      assert(got(qid).sortBy { case (i, s) => (-s, i) } == want,
+        s"ip query $qid")
+    }
+  }
+
   test("null element nulls the result; bad lengths throw") {
     import spark.implicits._
     val cb = Pq.Codebook(IndexedSeq(0.0, 1.0, 2.0, 3.0), 2, 2) // dsub=1
