@@ -72,7 +72,9 @@ object Bench {
     "q119_curation_capstone", // dedup flags → budget mix → pack → shard
     "q108_winnow_fingerprints", // native rolling-hash winnow kernel
     "q109_winnow_neardup", // fp equi-join with stop-gram df cap
-    "q122_ivf_hier_cells") // two-level (coarse-quantizer) assignment
+    "q122_ivf_hier_cells", // two-level (coarse-quantizer) assignment
+    "q126_ivfpq_search", // IVF-PQ: pruned probe over the (id, code) index
+    "q127_ivfpq_refined") // IVF-PQ + candidate-sized exact re-rank
 
   def main(args: Array[String]): Unit = {
     // the f interpolator renders %f under the JVM default locale; a

@@ -73,6 +73,36 @@ object ShardWriter {
       .parquet(outDir)
   }
 
+  /** Derive PINNED boundaries from the data's own exact quantiles —
+    * the bridge between [[writeShards]] (balanced but run-dependent
+    * boundaries) and [[writeShardsPinned]] (byte-stable but caller-
+    * chosen boundaries): compute the key's k/numShards quantiles ONCE,
+    * persist them alongside the layout, and every later (re-)write
+    * against the same snapshot produces the identical balanced layout.
+    * Fixed hand-picked boundaries (the q95/q119 demo's Seq(40,80,160))
+    * stop balancing the moment the key range outgrows them — at 10×
+    * the corpus the last shard would swallow ~everything and its one
+    * writer task becomes the job (the same single-task class as the
+    * packing window this round fixed); quantile-derived boundaries
+    * track the distribution at any scale.
+    *
+    * Exact (sort-based) per-partition quantiles would be a full sort;
+    * this uses `approx_percentile` at `accuracy` (default 1/10000 —
+    * rank error ≤ n/10000, so shard sizes balance within ~0.03% at
+    * numShards ≤ 32). The approximation affects only WHERE the pinned
+    * cuts land, never determinism: the sketch is a deterministic
+    * function of the data, and once the boundaries are pinned,
+    * membership is a pure function of the key.
+    */
+  def boundariesFromQuantiles(df: DataFrame, keyCol: String,
+      numShards: Int, accuracy: Int = 10000): Seq[Long] = {
+    require(numShards > 1, "numShards must be > 1 to need boundaries")
+    val fracs = (1 until numShards).map(_.toDouble / numShards)
+    val row = df.select(percentile_approx(col(keyCol).cast("long"),
+      typedLit(fracs), lit(accuracy))).collect()(0)
+    row.getSeq[Long](0).distinct.sorted
+  }
+
   /** Shard inventory of a written directory: one row per data file with
     * its row count and key span — the manifest a training job consumes.
     * The scan is pruned to the key column only.

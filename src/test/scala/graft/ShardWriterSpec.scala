@@ -105,4 +105,38 @@ class ShardWriterSpec extends AnyFunSuite {
     assert(files >= 5, s"expected >=5 files from 1000 rows / 200-cap, got $files")
     assert(spark.read.parquet(out).count() == 1000)
   }
+
+  test("boundariesFromQuantiles: deterministic across repartitions, and " +
+    "the derived pinned layout stays balanced where fixed boundaries " +
+    "collapse at a grown key range") {
+    import spark.implicits._
+    // a key range far beyond the q95/q119 demo boundaries (40/80/160):
+    // skewed density so equal-width cuts would also mis-balance
+    val rnd = new scala.util.Random(5)
+    val keys = (0 until 4000).map(_ =>
+      math.abs(rnd.nextGaussian() * 2000).toLong + 1)
+    val df = keys.zipWithIndex.map { case (k, i) => (k * 7 + i % 7, s"d$i") }
+      .toDF("doc_id", "payload")
+    val b1 = ShardWriter.boundariesFromQuantiles(df, "doc_id", 4)
+    val b2 = ShardWriter.boundariesFromQuantiles(
+      df.repartition(13, col("payload")), "doc_id", 4)
+    assert(b1 == b2, "boundaries depend on partitioning")
+    assert(b1.size == 3 && b1 == b1.sorted)
+
+    def shardCounts(bounds: Seq[Long]): Seq[Long] = {
+      val out = TestDirs.tmp("quantile_shards").toFile.getAbsolutePath
+      ShardWriter.writeShardsPinned(df, out, "doc_id", bounds)
+      spark.read.parquet(out).groupBy("shard").count()
+        .collect().map(_.getLong(1)).toSeq
+    }
+    val derived = shardCounts(b1)
+    assert(derived.size == 4)
+    // rank error ≤ n/10000 ⇒ near-perfect balance at n=4000
+    assert(derived.max <= derived.min + derived.sum / 10,
+      s"derived boundaries unbalanced: $derived")
+    val fixed = shardCounts(Seq(40L, 80L, 160L))
+    // the demo boundaries on this range: the last shard swallows ~all
+    assert(fixed.max > fixed.sum * 8 / 10,
+      s"expected the fixed-boundary collapse, got $fixed")
+  }
 }
