@@ -230,6 +230,39 @@ object Pq {
     Similarity.writeStampSidecar(emb.sparkSession, indexDir, stamp)
   }
 
+  /** Incremental append to a persisted [[ivfPqIndexWrite]] layout —
+    * the micro-batch ingest path of the memory tier, mirroring
+    * [[Similarity.ivfIndexAppend]]: new vectors are assigned AND
+    * encoded under the layout's exact (stamped) codebooks, their
+    * (id, code, cell) rows appended to the matching cell directories;
+    * the existing index is never read beyond the O(1) stamp check and
+    * never rewritten. A mismatched IVF codebook OR PQ codebook refuses
+    * BEFORE any write (the combined stamp covers both). Fragmentation
+    * from an append loop is the same cell-directory problem as the
+    * plain IVF index, and [[Similarity.compactCells]] is
+    * layout-agnostic — it moves rows by cell directory regardless of
+    * which columns ride along — so the identical compaction pass
+    * applies (spec-proven on an IVF-PQ layout).
+    */
+  def ivfPqIndexAppend(newVectors: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, centroids: DataFrame,
+      centroidIdCol: String, centroidVecCol: String, cb: Codebook)
+  : Unit = {
+    require(newVectors.columns.contains(idCol) &&
+      newVectors.columns.contains(vecCol),
+      s"ivfPqIndexAppend: newVectors needs columns '$idCol' and " +
+        s"'$vecCol' (has ${newVectors.columns.mkString(", ")})")
+    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
+      centroidVecCol)
+    val stamp = combinedStamp(Similarity.codebookStamp(cents), cb)
+    val assigned = encode(
+      Similarity.ivfAssignLocal(newVectors, vecCol, cents), vecCol, cb)
+      .select(col(idCol), col("pq_code"), col("cell"))
+      .withColumn("_params", lit(stamp))
+    Similarity.appendToStampedLayout(assigned, indexDir, stamp,
+      "ivfPqIndexAppend")
+  }
+
   /** Batch ANN against a RELOADED IVF-PQ index: probe-cell selection
     * and static `cell IN (...)` partition pruning exactly as
     * [[Similarity.ivfSearchBatch]] (the plan shape with the proven

@@ -693,32 +693,42 @@ object Similarity {
       newVectors.columns.contains(vecCol),
       s"ivfIndexAppend: newVectors needs columns '$idCol' and '$vecCol'" +
         s" (has ${newVectors.columns.mkString(", ")})")
-    val spark = newVectors.sparkSession
     val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
     val stamp = codebookStamp(cents)
-    val assigned = ivfAssignLocal(newVectors, vecCol, cents)
-      .withColumn("_params", lit(stamp))
+    appendToStampedLayout(
+      ivfAssignLocal(newVectors, vecCol, cents)
+        .withColumn("_params", lit(stamp)),
+      indexDir, stamp, "ivfIndexAppend")
+  }
+
+  /** Shared append tail for cell-partitioned stamped layouts (the
+    * plain IVF index and the IVF-PQ index of [[Pq.ivfPqIndexAppend]]):
+    * verify the existing layout's stamp driver-side BEFORE any write
+    * (the checked frame is discarded — only agreement matters), refuse
+    * column-SET and column-TYPE divergence, append, and leave the O(1)
+    * sidecar stamp behind for bootstrap/legacy layouts.
+    *
+    * Why both schema checks: a column-set mismatch writes files a
+    * later read resolves from an arbitrary footer, and a TYPE mismatch
+    * under the same names (e.g. array<float> appended to an
+    * array<double> layout) does the same one level down — silent
+    * corruption the stamp can't catch. catalogString ignores
+    * nullability (presentation, not physical layout); `cell` is
+    * excluded because the existing side's type is re-inferred from
+    * partition DIRECTORY NAMES, not data.
+    */
+  private[ops] def appendToStampedLayout(assigned: DataFrame,
+      indexDir: String, stamp: String, caller: String): Unit = {
+    val spark = assigned.sparkSession
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path)) {
       val existing = spark.read.parquet(indexDir)
-      // same driver-side check as the probes — only the stamp
-      // agreement matters here, so the checked frame is discarded
-      verifyStamp(existing, stamp, "ivfIndexAppend"): Unit
-      // column-set mismatch writes files a later read resolves from an
-      // arbitrary footer — silent corruption the stamp can't catch
+      verifyStamp(existing, stamp, caller): Unit
       require(existing.columns.toSet == assigned.columns.toSet,
-        "ivfIndexAppend: appended schema would diverge from the " +
-          s"existing layout (existing: ${existing.columns.sorted
-            .mkString(", ")}; appending: ${assigned.columns.sorted
-            .mkString(", ")})")
-      // ...and so does a TYPE mismatch under the same names (e.g.
-      // array<float> appended to an array<double> layout): parquet
-      // would hold files with divergent physical schemas and a later
-      // read resolves from whichever footer it samples. catalogString
-      // ignores nullability (presentation, not physical layout); `cell`
-      // is excluded because the existing side's type is re-inferred
-      // from partition DIRECTORY NAMES, not data.
+        s"$caller: appended schema would diverge from the existing " +
+          s"layout (existing: ${existing.columns.sorted.mkString(", ")}; " +
+          s"appending: ${assigned.columns.sorted.mkString(", ")})")
       val typeOf = (df: DataFrame) => df.schema.fields
         .filter(_.name != "cell")
         .map(f => f.name -> f.dataType.catalogString).toMap
@@ -726,13 +736,11 @@ object Similarity {
       val mismatched = et.keySet.intersect(at.keySet)
         .filter(c => et(c) != at(c)).toSeq.sorted
       require(mismatched.isEmpty,
-        "ivfIndexAppend: appended column types would diverge from the " +
+        s"$caller: appended column types would diverge from the " +
           "existing layout: " + mismatched.map(c =>
             s"$c (existing ${et(c)}, appending ${at(c)})").mkString("; "))
     }
     assigned.write.partitionBy("cell").mode("append").parquet(indexDir)
-    // bootstrap case and legacy (pre-sidecar) layouts: leave the O(1)
-    // stamp behind so the next probe/append skips the column scan
     if (readStampSidecar(spark, indexDir).isEmpty)
       writeStampSidecar(spark, indexDir, stamp)
   }

@@ -200,6 +200,65 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("an append-built IVF-PQ layout answers identically to a " +
+    "single-shot build; compactCells applies unchanged") {
+    import spark.implicits._
+    val vecs = randVecs(300, 16, 101)
+    val df = vecs.toDF("id", "vec")
+    val cb = Pq.train(df, "id", "vec", m = 4, k = 8, sampleN = 300)
+    val cents = vecs.take(4).toDF("cid", "cvec")
+    val full = TestDirs.tmp("ivfpq_full").toFile.getAbsolutePath
+    val inc = TestDirs.tmp("ivfpq_inc").toFile.getAbsolutePath
+    Pq.ivfPqIndexWrite(df, "id", "vec", cents, "cid", "cvec", cb, full)
+    Pq.ivfPqIndexWrite(vecs.filter(_._1 % 5 != 0).toDF("id", "vec"),
+      "id", "vec", cents, "cid", "cvec", cb, inc)
+    for (b <- Seq(0L)) // the held-out 20% appended in one micro-batch
+      Pq.ivfPqIndexAppend(vecs.filter(_._1 % 5 == b).toDF("id", "vec"),
+        "id", "vec", inc, cents, "cid", "cvec", cb)
+    val queries = vecs.take(2).toDF("id", "vec")
+    def answers(dir: String): Seq[(Long, Long, Double)] =
+      Pq.ivfPqSearchBatch(queries, "id", "vec",
+        spark.read.parquet(dir), "id", cents, "cid", "cvec", cb,
+        k = 5, nProbe = 4)
+        .select(col("qid"), col("id"), col("adc_dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    assert(answers(inc) == answers(full))
+    // fragment with more micro-batches, compact, re-check + file gate
+    for (b <- 1L to 4L)
+      Pq.ivfPqIndexAppend(vecs.filter(_._1 % 5 == b).toDF("id", "vec")
+        .withColumn("id", col("id") + 1000L), // fresh ids, same vectors
+        "id", "vec", inc, cents, "cid", "cvec", cb)
+    val before = answers(inc)
+    val compacted = Similarity.compactCells(spark, inc, maxFilesPerCell = 1)
+    assert(compacted.nonEmpty, "append loop produced no fragmentation")
+    assert(answers(inc) == before, "compaction changed probe results")
+    val fileCounts = new java.io.File(inc).listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(fileCounts.forall(_ == 1), s"cells not compacted: ${fileCounts.toSeq}")
+  }
+
+  test("an append under a different PQ codebook is refused before " +
+    "any write") {
+    import spark.implicits._
+    val vecs = randVecs(80, 8, 113)
+    val df = vecs.toDF("id", "vec")
+    val cb = Pq.train(df, "id", "vec", m = 2, k = 4, sampleN = 80)
+    val cents = vecs.take(2).toDF("cid", "cvec")
+    val dir = TestDirs.tmp("ivfpq_app_stale").toFile.getAbsolutePath
+    Pq.ivfPqIndexWrite(df, "id", "vec", cents, "cid", "cvec", cb, dir)
+    val rowsBefore = spark.read.parquet(dir).count()
+    val other = Pq.Codebook(cb.flat.map(_ + 0.25), cb.m, cb.k)
+    val e = intercept[IllegalStateException] {
+      Pq.ivfPqIndexAppend(vecs.take(5).toDF("id", "vec"), "id", "vec",
+        dir, cents, "cid", "cvec", other)
+    }
+    assert(e.getMessage.contains("different codebook"))
+    assert(spark.read.parquet(dir).count() == rowsBefore,
+      "refused append still wrote rows")
+  }
+
   test("a probe under a different PQ codebook is refused") {
     import spark.implicits._
     val vecs = randVecs(60, 8, 77)
