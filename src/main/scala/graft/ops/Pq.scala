@@ -344,9 +344,14 @@ object Pq {
       col(queryVecCol).cast("array<double>").as("qvec"))
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col(sourceIdCol).asc)
-    cand
-      .join(source.select(col(sourceIdCol),
-        col(sourceVecCol).cast("array<double>").as("_sv")), Seq(sourceIdCol))
+    // the candidate side is k·refineFactor·|batch| rows by construction
+    // — broadcast it EXPLICITLY so the corpus-sized source is a pure
+    // probe-side scan (left relying on AQE stats, a missing estimate
+    // sort-merge-joins, i.e. shuffles the corpus on id — the exact
+    // cost this tier exists to avoid); plan-gated in PlanRegressionSpec
+    source.select(col(sourceIdCol),
+        col(sourceVecCol).cast("array<double>").as("_sv"))
+      .join(broadcast(cand), Seq(sourceIdCol))
       .join(broadcast(qv), Seq("qid"))
       .select(col("qid"), col(sourceIdCol),
         round(GraftFunctions.cosine_sim(col("_sv"), col("qvec")), 5)

@@ -712,4 +712,31 @@ class PlanRegressionSpec extends AnyFunSuite {
         s"index scan reads ${idxScan.schema.fieldNames.mkString(", ")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("ivfPqSearchRefined: the refine tail joins the corpus as a pure " +
+    "probe side — candidates broadcast, source never shuffled on id " +
+    "(the q127 shape)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = Tables.embeddings(spark, sf)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = graft.ops.Pq.train(emb, "vec_id", "embedding",
+        m = 2, k = 4, sampleN = 64)
+      val dir = TestDirs.tmp("ivfpq_ref_layout").toFile.getAbsolutePath
+      graft.ops.Pq.ivfPqIndexWrite(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", cb, dir)
+      val refined = graft.ops.Pq.ivfPqSearchRefined(
+        emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+        spark.read.parquet(dir), emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", cb, k = 3, nProbe = 2,
+        refineFactor = 4)
+      val plan = refined.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"refine tail shuffled a join side:\n${plan.take(1500)}")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"candidate/query sides lost their broadcast:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
