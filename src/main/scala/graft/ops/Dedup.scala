@@ -760,6 +760,88 @@ object Dedup {
   private def bandParams(numHashes: Int, bands: Int): String =
     s"mh$numHashes/b$bands"
 
+  /** Build AND persist the [[corpusIndexes]] triple under one root —
+    * `dir/fp` (fingerprints), `dir/band` (`partitionBy("band")` with
+    * the banding-params stamp + O(1) sidecar), `dir/tok` (token sets)
+    * — the text-dedup analog of [[Similarity.ivfIndexWrite]], so the
+    * index family gets the same managed lifecycle the ANN family has
+    * (write → append → compact) instead of leaving persistence
+    * conventions to each caller. One text pass: the shared profile is
+    * staged to `dir/_profile_tmp` and deleted after the three
+    * projections commit (the in-memory alternative caches corpus-scale
+    * text on executors).
+    */
+  def corpusIndexesWrite(corpus: DataFrame, textCol: String,
+      idCol: String, dir: String, numHashes: Int = 16, bands: Int = 4,
+      tokensOf: Column => Column = wordShingles(_, 3)): Unit = {
+    val spark = corpus.sparkSession
+    val profDir = s"$dir/_profile_tmp"
+    corpusProfile(corpus, textCol, idCol, tokensOf)
+      .write.mode("overwrite").parquet(profDir)
+    val (fpI, bandI, tokI) = corpusIndexesFromProfile(
+      spark.read.parquet(profDir), numHashes, bands)
+    fpI.write.mode("overwrite").parquet(s"$dir/fp")
+    bandI.write.partitionBy("band").mode("overwrite").parquet(s"$dir/band")
+    tokI.write.mode("overwrite").parquet(s"$dir/tok")
+    Similarity.writeStampSidecar(spark, s"$dir/band",
+      bandParams(numHashes, bands))
+    val (fs, p) = {
+      val pp = new org.apache.hadoop.fs.Path(profDir)
+      (pp.getFileSystem(spark.sessionState.newHadoopConf()), pp)
+    }
+    fs.delete(p, true): Unit
+  }
+
+  /** Reload a [[corpusIndexesWrite]] layout as the
+    * (fingerprints, bandIndex, tokenSets) triple
+    * [[crossDedupFlagsFromIndexes]] consumes.
+    */
+  def corpusIndexesRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String)
+  : (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/fp"),
+      spark.read.parquet(s"$dir/band"),
+      spark.read.parquet(s"$dir/tok"))
+
+  /** Incremental append to a persisted [[corpusIndexesWrite]] layout —
+    * the ingest path of the text-dedup index family, mirroring
+    * [[Similarity.ivfIndexAppend]]: the new docs' artifacts are derived
+    * in ONE batch-sized text pass and appended; the existing indexes
+    * are never read beyond the O(1) band-stamp check and never
+    * rewritten. A layout built under different banding params refuses
+    * BEFORE any write (mismatched banding silently matches nothing —
+    * the failure the stamp exists for).
+    *
+    * Failure atomicity: the stamp check precedes all writes, and the
+    * band tree is appended FIRST; a crash between appends leaves the
+    * batch partially visible, and every partial state only MISSES the
+    * new docs (an fp/tok row without band rows — or band rows whose
+    * token sets are absent — drops candidates, never fabricates
+    * matches), the same degraded-to-missing contract as any
+    * not-yet-ingested batch. Re-running the append repairs it
+    * (duplicate index rows change no flags: candidates are
+    * `.distinct()`-ed and the verify join is per-(bid, cid)).
+    *
+    * Band-tree fragmentation from a micro-batch loop is the same
+    * cell-directory problem as the IVF index;
+    * `Similarity.compactCells(spark, s"$dir/band", n, "band")` is the
+    * identical cure (layout-agnostic, spec-proven).
+    */
+  def corpusIndexesAppend(newDocs: DataFrame, textCol: String,
+      idCol: String, dir: String, numHashes: Int = 16, bands: Int = 4,
+      tokensOf: Column => Column = wordShingles(_, 3)): Unit = {
+    val prof = corpusProfile(newDocs, textCol, idCol, tokensOf)
+      .localCheckpoint(false) // batch-sized: one text pass feeds all three
+    val (fpI, bandI, tokI) = corpusIndexesFromProfile(prof,
+      numHashes, bands)
+    Similarity.appendToStampedLayout(bandI, s"$dir/band",
+      bandParams(numHashes, bands), "corpusIndexesAppend",
+      partitionCol = "band",
+      desc = "band index built under different banding params")
+    fpI.write.mode("append").parquet(s"$dir/fp")
+    tokI.write.mode("append").parquet(s"$dir/tok")
+  }
+
   /** The amortized ingest path — [[crossDedupFlags]] with the corpus
     * artifacts read from their persisted [[corpusIndexes]] instead of
     * re-derived per batch: ZERO passes over corpus text (the inline
@@ -782,12 +864,30 @@ object Dedup {
       .join(broadcast(bToks.select(col("id"), col("fp"))), Seq("fp"))
       .select(col("id")).distinct()
     // a lookup banded differently than the stored index silently finds
-    // nothing (band_sig strings never collide) — if the index carries
-    // its build stamp, force-verify it per row instead; a stampless
-    // index (hand-built or bandRowsOf-era) can't be verified, so flag
-    // it loudly rather than reintroducing the silent-empty failure mode
+    // nothing (band_sig strings never collide). Fast path: a
+    // corpusIndexesWrite layout carries an O(1) sidecar stamp — one
+    // driver-side read verifies the whole layout regardless of how
+    // many append batches it accumulated (mismatch throws BEFORE any
+    // plan is built). Otherwise, if the index carries its in-data
+    // build stamp, force-verify it per row; a stampless index
+    // (hand-built or bandRowsOf-era) can't be verified, so flag it
+    // loudly rather than reintroducing the silent-empty failure mode
+    val wantStamp = bandParams(numHashes, bands)
+    val sidecar = Similarity.singleRootOf(bandIdx)
+      .flatMap(root => Similarity.readStampSidecar(
+        bandIdx.sparkSession, root))
+    sidecar.foreach { s =>
+      if (s != wantStamp) throw new IllegalStateException(
+        "crossDedupFlagsFromIndexes: band index built under different " +
+          s"banding params than this lookup (expected $wantStamp, " +
+          s"sidecar has $s)")
+    }
     val checkedIdx =
-      if (!bandIdx.columns.contains("_params")) {
+      if (sidecar.isDefined) {
+        if (bandIdx.columns.contains("_params")) bandIdx.drop("_params")
+        else bandIdx
+      }
+      else if (!bandIdx.columns.contains("_params")) {
         System.err.println(
           "[graft] crossDedupFlagsFromIndexes: band index has no _params " +
             s"build stamp — cannot verify it was built with " +

@@ -394,7 +394,7 @@ object Similarity {
     * (unions, in-memory test frames) return None and fall back to the
     * data-column check.
     */
-  private def singleRootOf(index: DataFrame): Option[String] =
+  private[ops] def singleRootOf(index: DataFrame): Option[String] =
     scala.util.Try {
       val roots = index.queryExecution.analyzed.collect {
         case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -430,13 +430,15 @@ object Similarity {
     * trusted, preserving the hand-built escape hatch.
     */
   private[ops] def verifyStamp(index: DataFrame, stamp: String,
-      caller: String): DataFrame = {
+      caller: String,
+      desc: String = "IVF index assigned under a different codebook")
+  : DataFrame = {
     val sidecar = singleRootOf(index)
       .flatMap(root => readStampSidecar(index.sparkSession, root))
     sidecar.foreach { s =>
       if (s != stamp)
         throw new IllegalStateException(
-          s"$caller: IVF index assigned under a different codebook " +
+          s"$caller: $desc " +
             s"than this probe (expected $stamp, sidecar has $s)")
     }
     if (sidecar.isDefined) {
@@ -444,10 +446,9 @@ object Similarity {
       else index
     } else if (!index.columns.contains("_params")) {
       System.err.println(
-        s"[graft] $caller: index has no _params codebook stamp — " +
-          s"cannot verify it was assigned under this codebook ($stamp); " +
-          "a stale index silently mis-routes probes. Build indexes with " +
-          "ivfIndex to get the stamp.")
+        s"[graft] $caller: index has no _params stamp — " +
+          s"cannot verify it was built under this probe's params " +
+          s"($stamp); a stale index silently mis-routes lookups.")
       index
     } else {
       val stamps = index.select(col("_params")).distinct()
@@ -455,12 +456,12 @@ object Similarity {
         .toSeq.sorted
       if (stamps.isEmpty)
         throw new IllegalStateException(
-          s"$caller: IVF index has zero rows — nothing to verify the " +
-            s"codebook stamp against (expected $stamp). A truncated or " +
+          s"$caller: index has zero rows — nothing to verify the " +
+            s"stamp against (expected $stamp). A truncated or " +
             "never-built layout must fail the probe, not answer empty.")
       if (!stamps.forall(_ == stamp))
         throw new IllegalStateException(
-          s"$caller: IVF index assigned under a different codebook " +
+          s"$caller: $desc " +
             s"than this probe (expected $stamp, index has " +
             s"${stamps.mkString(", ")})")
       index.drop("_params")
@@ -527,35 +528,38 @@ object Similarity {
     * reassigns them.
     */
   def compactCells(spark: SparkSession, indexDir: String,
-      maxFilesPerCell: Int = 4): Seq[Long] = {
+      maxFilesPerCell: Int = 4, partitionCol: String = "cell")
+  : Seq[Long] = {
     require(maxFilesPerCell >= 1,
       s"maxFilesPerCell must be ≥1 (got $maxFilesPerCell)")
     val (fs, root) = fsOf(spark, indexDir)
+    val prefix = partitionCol + "="
     val cellDirs = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
     def parquetCount(d: org.apache.hadoop.fs.Path): Int =
       fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet"))
     val fragmented = cellDirs
       .filter(d => parquetCount(d.getPath) > maxFilesPerCell)
-      .map(_.getPath.getName.stripPrefix("cell=").toLong)
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
       .toSeq.sorted
     if (fragmented.nonEmpty) {
       val tmp = new org.apache.hadoop.fs.Path(
         root.getParent, root.getName + "_compact_tmp")
       // partition-pruned read of just the fragmented cells; repartition
-      // on cell puts each cell in one task ⇒ one file per cell dir
+      // on the partition column puts each in one task ⇒ one file per dir
       spark.read.parquet(indexDir)
-        .filter(col("cell").isin(fragmented: _*))
-        .repartition(fragmented.size, col("cell"))
-        .write.partitionBy("cell").mode("overwrite").parquet(tmp.toString)
+        .filter(col(partitionCol).isin(fragmented: _*))
+        .repartition(fragmented.size, col(partitionCol))
+        .write.partitionBy(partitionCol).mode("overwrite")
+        .parquet(tmp.toString)
       fragmented.foreach { cid =>
-        val oldDir = new org.apache.hadoop.fs.Path(root, s"cell=$cid")
-        val newDir = new org.apache.hadoop.fs.Path(tmp, s"cell=$cid")
+        val oldDir = new org.apache.hadoop.fs.Path(root, s"$prefix$cid")
+        val newDir = new org.apache.hadoop.fs.Path(tmp, s"$prefix$cid")
         fs.delete(oldDir, true)
         if (!fs.rename(newDir, oldDir))
           throw new java.io.IOException(
             s"compactCells: rename $newDir -> $oldDir failed — " +
-              s"cell $cid's rows are in the temp tree, not the index")
+              s"$partitionCol $cid's rows are in the temp tree, not the index")
       }
       fs.delete(tmp, true): Unit
     }
@@ -718,19 +722,22 @@ object Similarity {
     * partition DIRECTORY NAMES, not data.
     */
   private[ops] def appendToStampedLayout(assigned: DataFrame,
-      indexDir: String, stamp: String, caller: String): Unit = {
+      indexDir: String, stamp: String, caller: String,
+      partitionCol: String = "cell",
+      desc: String = "IVF index assigned under a different codebook")
+  : Unit = {
     val spark = assigned.sparkSession
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path)) {
       val existing = spark.read.parquet(indexDir)
-      verifyStamp(existing, stamp, caller): Unit
+      verifyStamp(existing, stamp, caller, desc): Unit
       require(existing.columns.toSet == assigned.columns.toSet,
         s"$caller: appended schema would diverge from the existing " +
           s"layout (existing: ${existing.columns.sorted.mkString(", ")}; " +
           s"appending: ${assigned.columns.sorted.mkString(", ")})")
       val typeOf = (df: DataFrame) => df.schema.fields
-        .filter(_.name != "cell")
+        .filter(_.name != partitionCol)
         .map(f => f.name -> f.dataType.catalogString).toMap
       val (et, at) = (typeOf(existing), typeOf(assigned))
       val mismatched = et.keySet.intersect(at.keySet)
@@ -740,7 +747,7 @@ object Similarity {
           "existing layout: " + mismatched.map(c =>
             s"$c (existing ${et(c)}, appending ${at(c)})").mkString("; "))
     }
-    assigned.write.partitionBy("cell").mode("append").parquet(indexDir)
+    assigned.write.partitionBy(partitionCol).mode("append").parquet(indexDir)
     if (readStampSidecar(spark, indexDir).isEmpty)
       writeStampSidecar(spark, indexDir, stamp)
   }

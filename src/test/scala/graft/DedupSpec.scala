@@ -739,6 +739,109 @@ class DedupSpec extends AnyFunSuite {
       m.contains("mh16/b4")), s"unexpected error: ${msgs(e)}")
   }
 
+  test("corpusIndexesWrite/Append: an append-built layout flags " +
+    "identically to a single-shot build; a mismatched-banding append " +
+    "is refused before any write; band-tree compaction applies") {
+    import spark.implicits._
+    val base = "one two three four five six seven eight nine ten"
+    val corpus = (0L until 30L).map {
+      case 0L => (0L, base)
+      case i => (i, s"corpus doc $i filler words alpha beta gamma d$i")
+    }.toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base),              // exact dup of 0
+      (101L, base + " eleven"),  // near dup of 0
+      (102L, "fresh novel text never seen before anywhere"))
+      .toDF("doc_id", "text")
+    val full = TestDirs.tmp("cidx_full").toFile.getAbsolutePath
+    val inc = TestDirs.tmp("cidx_inc").toFile.getAbsolutePath
+    graft.ops.Dedup.corpusIndexesWrite(corpus, "text", "doc_id", full)
+    // staging tree must not survive the build
+    assert(!new java.io.File(full, "_profile_tmp").exists())
+    graft.ops.Dedup.corpusIndexesWrite(
+      corpus.filter(col("doc_id") % 3 =!= 0), "text", "doc_id", inc)
+    graft.ops.Dedup.corpusIndexesAppend(
+      corpus.filter(col("doc_id") % 3 === 0), "text", "doc_id", inc)
+    def flags(dir: String): Seq[(Long, Boolean, Boolean)] = {
+      val (fpI, bandI, tokI) =
+        graft.ops.Dedup.corpusIndexesRead(spark, dir)
+      graft.ops.Dedup.crossDedupFlagsFromIndexes(batch, "text",
+        "doc_id", fpI, bandI, tokI)
+        .orderBy("doc_id").as[(Long, Boolean, Boolean)].collect().toSeq
+    }
+    val expect = flags(full)
+    assert(expect === Seq((100L, true, true), (101L, false, true),
+      (102L, false, false)))
+    assert(flags(inc) === expect)
+    // a mismatched-banding append refuses BEFORE any write
+    val rowsBefore = spark.read.parquet(s"$inc/band").count()
+    val e = intercept[IllegalStateException] {
+      graft.ops.Dedup.corpusIndexesAppend(batch, "text", "doc_id", inc,
+        numHashes = 16, bands = 2)
+    }
+    assert(e.getMessage.contains("different banding params"))
+    assert(spark.read.parquet(s"$inc/band").count() == rowsBefore,
+      "refused append still wrote band rows")
+    // fragment with more appends, compact the band tree generically
+    for (b <- 1L to 4L)
+      graft.ops.Dedup.corpusIndexesAppend(
+        corpus.filter(col("doc_id") % 5 === b)
+          .withColumn("doc_id", col("doc_id") + 1000L * b),
+        "text", "doc_id", inc)
+    val compacted = graft.ops.Similarity.compactCells(spark,
+      s"$inc/band", maxFilesPerCell = 1, partitionCol = "band")
+    assert(compacted.nonEmpty, "append loop produced no fragmentation")
+    assert(flags(inc) === expect, "compaction changed lookup flags")
+    val fileCounts = new java.io.File(s"$inc/band").listFiles()
+      .filter(_.getName.startsWith("band="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(fileCounts.forall(_ == 1),
+      s"band dirs not compacted: ${fileCounts.toSeq}")
+  }
+
+  test("corpusIndexesWrite leaves an O(1) sidecar stamp the lookup " +
+    "trusts over the data column") {
+    import spark.implicits._
+    val corpus = Seq((0L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val dir = TestDirs.tmp("cidx_sidecar").toFile.getAbsolutePath
+    graft.ops.Dedup.corpusIndexesWrite(corpus, "text", "doc_id", dir)
+    val sidecar = java.nio.file.Paths.get(s"$dir/band", "_graft_ivf_stamp")
+    assert(java.nio.file.Files.exists(sidecar),
+      "corpusIndexesWrite left no band-stamp sidecar")
+    assert(java.nio.file.Files.readString(sidecar).trim == "mh16/b4")
+    // bogus _params DATA column + correct sidecar ⇒ lookup works,
+    // which is only possible if the per-row column check never ran
+    val bogus = TestDirs.tmp("cidx_sidecar_bogus").toFile.getAbsolutePath
+    val (fpI, bandI, tokI) = graft.ops.Dedup.corpusIndexes(corpus,
+      "text", "doc_id")
+    fpI.write.mode("overwrite").parquet(s"$bogus/fp")
+    bandI.drop("_params").withColumn("_params", lit("mh99/b9"))
+      .write.partitionBy("band").mode("overwrite").parquet(s"$bogus/band")
+    tokI.write.mode("overwrite").parquet(s"$bogus/tok")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$bogus/band", "_graft_ivf_stamp"),
+      "mh16/b4\n"): Unit
+    val (f2, b2, t2) = graft.ops.Dedup.corpusIndexesRead(spark, bogus)
+    val got = graft.ops.Dedup.crossDedupFlagsFromIndexes(batch, "text",
+      "doc_id", f2, b2, t2)
+      .orderBy("doc_id").as[(Long, Boolean, Boolean)].collect().toSeq
+    assert(got === Seq((10L, true, true)))
+    // a mismatched sidecar fails loudly BEFORE any plan runs
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$bogus/band", "_graft_ivf_stamp"),
+      "mh8/b2\n"): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$bogus/band", "._graft_ivf_stamp.crc")): Unit
+    val e = intercept[IllegalStateException] {
+      graft.ops.Dedup.crossDedupFlagsFromIndexes(batch, "text",
+        "doc_id", f2, spark.read.parquet(s"$bogus/band"), t2)
+    }
+    assert(e.getMessage.contains("different banding params"))
+  }
+
   test("crossDedupFlags plan: the corpus side joins only as broadcast " +
     "probe (no corpus-keyed shuffle)") {
     import spark.implicits._
