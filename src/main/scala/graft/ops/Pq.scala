@@ -217,15 +217,30 @@ object Pq {
     * ([[ivfPqSearchRefined]]) — that join is k·|batch| rows, not the
     * corpus.
     */
-  def ivfPqIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
+  /** The stamped IVF-PQ index FRAME [[ivfPqIndexWrite]] persists —
+    * exposed so alternative writers (a streaming exactly-once build
+    * via [[graft.streaming.IdempotentSink.indexByBatch]], a job that
+    * embeds the write in a larger plan) produce the identical rows.
+    */
+  def ivfPqIndexFrame(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
-      cb: Codebook, indexDir: String): Unit = {
+      cb: Codebook): DataFrame = {
     val cents = Similarity.collectCodebook(centroids, centroidIdCol,
       centroidVecCol)
     val stamp = combinedStamp(Similarity.codebookStamp(cents), cb)
     encode(Similarity.ivfAssignLocal(emb, vecCol, cents), vecCol, cb)
       .select(col(idCol), col("pq_code"), col("cell"))
       .withColumn("_params", lit(stamp))
+  }
+
+  def ivfPqIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      cb: Codebook, indexDir: String): Unit = {
+    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
+      centroidVecCol)
+    val stamp = combinedStamp(Similarity.codebookStamp(cents), cb)
+    ivfPqIndexFrame(emb, idCol, vecCol, centroids, centroidIdCol,
+      centroidVecCol, cb)
       .write.partitionBy("cell").mode("overwrite").parquet(indexDir)
     Similarity.writeStampSidecar(emb.sparkSession, indexDir, stamp)
   }

@@ -38,4 +38,32 @@ object IdempotentSink {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_batch").parquet(out)
   }
+
+  /** [[parquetByBatch]] for cell-/band-partitioned INDEX layouts — the
+    * exactly-once STREAMING BUILD path for the persisted index
+    * families (IVF / IVF-PQ / band): a raw `mode("append")` ingest
+    * (the batch-side `ivfIndexAppend` etc.) is at-least-once under
+    * foreachBatch replay — a recovered micro-batch would append its
+    * rows AGAIN, and duplicated index rows occupy top-k ranks and
+    * corrupt probe results. Keying the tree as
+    * `_batch=<id>/<partitionCol>=<v>/` makes the replay overwrite only
+    * its own `_batch` subtree (dynamic partition overwrite — byte-
+    * identical no-op), while lookups keep their partition pruning on
+    * `partitionCol` unchanged: Spark applies partition filters at any
+    * level of the tree, so a probe reads matching cell/band dirs
+    * across every batch. Fragmentation grows one file set per
+    * micro-batch per touched cell — run [[graft.ops.Similarity
+    * .compactCells]] periodically from OUTSIDE the stream (after its
+    * checkpoint has committed past the compacted batches).
+    */
+  def indexByBatch(out: String, partitionCol: String)(
+      df: DataFrame, batchId: Long): Unit = {
+    require(!df.columns.contains("_batch"),
+      "the micro-batch already carries a _batch column; it would be " +
+        "silently replaced by the sink's batch id")
+    df.withColumn("_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch", partitionCol).parquet(out)
+  }
 }

@@ -555,6 +555,113 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF-PQ index BUILD is exactly-once: vectors ingested " +
+    "via indexByBatch across a kill/restart, probes equal the " +
+    "single-shot build, a replayed batch is a no-op, and cell pruning " +
+    "survives the _batch tree level") {
+    import spark.implicits._
+    import graft.ops.{Pq, Similarity}
+    val rnd = new scala.util.Random(67)
+    val vecs = (0L until 150L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian())))
+    val all = vecs.toDF("vec_id", "embedding")
+    // 8 cells so the 2 queries' nProbe=2 union stays a strict subset
+    // and the pruning assertion below is observable
+    val cents = vecs.take(8).toDF("cid", "cvec")
+    val cb = Pq.train(all, "vec_id", "embedding", m = 2, k = 4,
+      sampleN = 150)
+    // the reference answer: one single-shot build over everything
+    val oneShot = TestDirs.tmp("spq_oneshot").toFile.getAbsolutePath
+    Pq.ivfPqIndexWrite(all, "vec_id", "embedding", cents, "cid", "cvec",
+      cb, oneShot)
+    val queries = vecs.take(2).toDF("vec_id", "embedding")
+    def probe(dir: String): Set[(Long, Long, Double)] =
+      Pq.ivfPqSearchBatch(queries, "vec_id", "embedding",
+        spark.read.parquet(dir), "vec_id", cents, "cid", "cvec", cb,
+        k = 5, nProbe = 4)
+        .select(col("qid"), col("vec_id"), col("adc_dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val expected = probe(oneShot)
+    assert(expected.nonEmpty)
+
+    // streamed build: vectors arrive as json files; each micro-batch is
+    // assigned+encoded and lands under _batch=<id>/cell=<c>/
+    val srcDir = TestDirs.tmp("spq_src")
+    val ckpt = TestDirs.tmp("spq_ckpt").toString
+    val idxDir = TestDirs.tmp("spq_idx").toFile.getAbsolutePath
+    def writeVecs(rows: Seq[(Long, Seq[Double])], name: String): Unit =
+      Files.write(srcDir.resolve(name), rows.map { case (i, v) =>
+        s"""{"vec_id":$i,"embedding":[${v.mkString(",")}]}"""
+      }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", "long")
+      .add("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(srcDir.toString)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          graft.streaming.IdempotentSink.indexByBatch(idxDir, "cell")(
+            Pq.ivfPqIndexFrame(batch, "vec_id", "embedding",
+              cents, "cid", "cvec", cb), batchId)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "stream did not finish in 60 s")
+    }
+    val (h1, h2) = vecs.splitAt(70)
+    writeVecs(h1, "a.json")
+    runOnce() // ingests the first half, then stops ("crash")
+    writeVecs(h2, "b.json")
+    runOnce() // restart from the SAME checkpoint
+    val streamed = spark.read.parquet(idxDir)
+    assert(streamed.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0,
+      "restart duplicated index rows")
+    assert(streamed.count() == vecs.size)
+    assert(probe(idxDir) == expected,
+      "streamed build diverged from the single-shot index")
+    // foreachBatch's at-least-once recovery: replaying the last batch
+    // must be a byte-level no-op, not an append
+    val lastBatch = streamed
+      .select(max(col("_batch").cast("long"))).head().getLong(0)
+    graft.streaming.IdempotentSink.indexByBatch(idxDir, "cell")(
+      Pq.ivfPqIndexFrame(h2.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, "cid", "cvec", cb), lastBatch)
+    // the overwrite replaced part files under _batch=<last>; drop the
+    // session's cached listing before re-reading the tree
+    spark.catalog.refreshByPath(idxDir)
+    assert(spark.read.parquet(idxDir).count() == vecs.size,
+      "replayed batch appended duplicate index rows")
+    assert(probe(idxDir) == expected)
+    // the probe still prunes on cell THROUGH the _batch level
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probed = Pq.ivfPqSearchBatch(queries, "vec_id", "embedding",
+        spark.read.parquet(idxDir), "vec_id", cents, "cid", "cvec", cb,
+        k = 5, nProbe = 2)
+      probed.collect()
+      val scan = probed.queryExecution.executedPlan.collectLeaves()
+        .collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.schema.fieldNames.contains("pq_code") => s
+        }.headOption.getOrElse(fail("no index scan leaf"))
+      val planStr = scan.toString
+      assert(planStr.contains("PartitionFilters") &&
+        planStr.replaceAll("(?s).*PartitionFilters", "").contains("cell"),
+        planStr.take(1200))
+      // fresh read: `streamed` predates the replay's file rewrite
+      val allFiles = spark.read.parquet(idxDir)
+        .select(input_file_name()).distinct().count()
+      assert(scan.metrics("numFiles").value < allFiles,
+        s"probe read ${scan.metrics("numFiles").value} of $allFiles " +
+          "files — cell pruning lost under the _batch tree level")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("composed exactly-once ingest: band-index lookup stream through " +
     "IdempotentSink, killed between micro-batches with a replayed " +
     "batch — output tree identical to an uninterrupted run") {
