@@ -89,10 +89,17 @@ object ShardWriter {
     * Exact (sort-based) per-partition quantiles would be a full sort;
     * this uses `approx_percentile` at `accuracy` (default 1/10000 —
     * rank error ≤ n/10000, so shard sizes balance within ~0.03% at
-    * numShards ≤ 32). The approximation affects only WHERE the pinned
-    * cuts land, never determinism: the sketch is a deterministic
-    * function of the data, and once the boundaries are pinned,
-    * membership is a pure function of the key.
+    * numShards ≤ 32). Byte-stability comes from PINNING, not from the
+    * sketch: compute the boundaries ONCE per snapshot and persist them
+    * with the layout — beyond ~`accuracy` rows the Greenwald-Khanna
+    * summaries compress, and their final merge follows shuffle fetch
+    * order, so RE-deriving boundaries on the same data is not
+    * guaranteed to reproduce them cut-for-cut (membership from any
+    * one pinned boundary list is always a pure function of the key).
+    * Heavily duplicated keys can collapse adjacent cuts — the
+    * `.distinct` then yields fewer boundaries (and shards) than
+    * requested, the correct degeneration when the key has fewer
+    * distinct values than shards.
     */
   def boundariesFromQuantiles(df: DataFrame, keyCol: String,
       numShards: Int, accuracy: Int = 10000): Seq[Long] = {
@@ -100,6 +107,9 @@ object ShardWriter {
     val fracs = (1 until numShards).map(_.toDouble / numShards)
     val row = df.select(percentile_approx(col(keyCol).cast("long"),
       typedLit(fracs), lit(accuracy))).collect()(0)
+    require(!row.isNullAt(0),
+      s"boundariesFromQuantiles: no non-null '$keyCol' values to " +
+        "derive boundaries from (empty or all-null input)")
     row.getSeq[Long](0).distinct.sorted
   }
 

@@ -653,7 +653,8 @@ object Dedup {
   def crossDedupFlags(batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.3,
-      tokensOf: Column => Column = wordShingles(_, 3)): DataFrame = {
+      tokensOf: Column => Column = wordShingles(_, 3),
+      tokensTag: String = "ws3"): DataFrame = {
     require(numHashes > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must split evenly into $bands bands")
     val bToks = batch.select(col(idCol).as("id"),
@@ -730,35 +731,49 @@ object Dedup {
     * PlanRegressionSpec), and token sets `(id, toks)`. ONE canonical
     * derivation so [[crossDedupFlagsFromIndexes]] is flag-identical to
     * the inline path by construction. The band frame carries a constant
-    * `_params` column stamping (numHashes, bands): a lookup run with
-    * different banding than the index was built with would otherwise
-    * return silently-empty candidates — the stamp turns that into a
-    * loud runtime error.
+    * `_params` column stamping (numHashes, bands, tokenizer tag): a
+    * lookup run with different banding than the index was built with
+    * would otherwise return silently-empty candidates — the stamp
+    * turns that into a loud runtime error.
+    *
+    * `tokensTag` names the TOKENIZER in the stamp: band signatures
+    * from different token spaces never collide either, so an index
+    * built under one `tokensOf` and looked up (or appended to) under
+    * another is the same silent-empty failure — and a function can't
+    * be hashed, so the contract is label-based: pass a distinct tag
+    * whenever you pass a non-default `tokensOf`. The default tag
+    * names the default `wordShingles(_, 3)`.
     */
   def corpusIndexesFromProfile(profile: DataFrame, numHashes: Int = 16,
-      bands: Int = 4): (DataFrame, DataFrame, DataFrame) = {
+      bands: Int = 4, tokensTag: String = "ws3")
+  : (DataFrame, DataFrame, DataFrame) = {
     require(numHashes > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must split evenly into $bands bands")
     (profile.select(col("id"), col("fp")),
       bandRowsOf(profile, col("toks"), "id", numHashes, bands)
-        .withColumn("_params", lit(bandParams(numHashes, bands))),
+        .withColumn("_params",
+          lit(bandParams(numHashes, bands, tokensTag))),
       profile.select(col("id"), col("toks")))
   }
 
   /** [[corpusIndexesFromProfile]] over raw corpus text. Each returned
     * frame re-derives the profile when materialized (three text scans
     * at build time) — stage [[corpusProfile]] to storage first when
-    * build I/O matters.
+    * build I/O matters. `tokensTag` must change with `tokensOf`
+    * (label-based tokenizer identity — see
+    * [[corpusIndexesFromProfile]]).
     */
   def corpusIndexes(corpus: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4,
-      tokensOf: Column => Column = wordShingles(_, 3))
+      tokensOf: Column => Column = wordShingles(_, 3),
+      tokensTag: String = "ws3")
   : (DataFrame, DataFrame, DataFrame) =
     corpusIndexesFromProfile(corpusProfile(corpus, textCol, idCol,
-      tokensOf), numHashes, bands)
+      tokensOf), numHashes, bands, tokensTag)
 
-  private def bandParams(numHashes: Int, bands: Int): String =
-    s"mh$numHashes/b$bands"
+  private def bandParams(numHashes: Int, bands: Int,
+      tokensTag: String = "ws3"): String =
+    s"mh$numHashes/b$bands/$tokensTag"
 
   /** Build AND persist the [[corpusIndexes]] triple under one root —
     * `dir/fp` (fingerprints), `dir/band` (`partitionBy("band")` with
@@ -773,18 +788,19 @@ object Dedup {
     */
   def corpusIndexesWrite(corpus: DataFrame, textCol: String,
       idCol: String, dir: String, numHashes: Int = 16, bands: Int = 4,
-      tokensOf: Column => Column = wordShingles(_, 3)): Unit = {
+      tokensOf: Column => Column = wordShingles(_, 3),
+      tokensTag: String = "ws3"): Unit = {
     val spark = corpus.sparkSession
     val profDir = s"$dir/_profile_tmp"
     corpusProfile(corpus, textCol, idCol, tokensOf)
       .write.mode("overwrite").parquet(profDir)
     val (fpI, bandI, tokI) = corpusIndexesFromProfile(
-      spark.read.parquet(profDir), numHashes, bands)
+      spark.read.parquet(profDir), numHashes, bands, tokensTag)
     fpI.write.mode("overwrite").parquet(s"$dir/fp")
     bandI.write.partitionBy("band").mode("overwrite").parquet(s"$dir/band")
     tokI.write.mode("overwrite").parquet(s"$dir/tok")
     Similarity.writeStampSidecar(spark, s"$dir/band",
-      bandParams(numHashes, bands))
+      bandParams(numHashes, bands, tokensTag))
     val (fs, p) = {
       val pp = new org.apache.hadoop.fs.Path(profDir)
       (pp.getFileSystem(spark.sessionState.newHadoopConf()), pp)
@@ -829,13 +845,14 @@ object Dedup {
     */
   def corpusIndexesAppend(newDocs: DataFrame, textCol: String,
       idCol: String, dir: String, numHashes: Int = 16, bands: Int = 4,
-      tokensOf: Column => Column = wordShingles(_, 3)): Unit = {
+      tokensOf: Column => Column = wordShingles(_, 3),
+      tokensTag: String = "ws3"): Unit = {
     val prof = corpusProfile(newDocs, textCol, idCol, tokensOf)
       .localCheckpoint(false) // batch-sized: one text pass feeds all three
     val (fpI, bandI, tokI) = corpusIndexesFromProfile(prof,
-      numHashes, bands)
+      numHashes, bands, tokensTag)
     Similarity.appendToStampedLayout(bandI, s"$dir/band",
-      bandParams(numHashes, bands), "corpusIndexesAppend",
+      bandParams(numHashes, bands, tokensTag), "corpusIndexesAppend",
       partitionCol = "band",
       desc = "band index built under different banding params")
     fpI.write.mode("append").parquet(s"$dir/fp")
@@ -854,7 +871,8 @@ object Dedup {
       idCol: String, fpIndex: DataFrame, bandIdx: DataFrame,
       tokenIndex: DataFrame, numHashes: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.3,
-      tokensOf: Column => Column = wordShingles(_, 3)): DataFrame = {
+      tokensOf: Column => Column = wordShingles(_, 3),
+      tokensTag: String = "ws3"): DataFrame = {
     require(numHashes > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must split evenly into $bands bands")
     val bToks = batch.select(col(idCol).as("id"),
@@ -872,7 +890,7 @@ object Dedup {
     // build stamp, force-verify it per row; a stampless index
     // (hand-built or bandRowsOf-era) can't be verified, so flag it
     // loudly rather than reintroducing the silent-empty failure mode
-    val wantStamp = bandParams(numHashes, bands)
+    val wantStamp = bandParams(numHashes, bands, tokensTag)
     val sidecar = Similarity.singleRootOf(bandIdx)
       .flatMap(root => Similarity.readStampSidecar(
         bandIdx.sparkSession, root))
@@ -891,17 +909,18 @@ object Dedup {
         System.err.println(
           "[graft] crossDedupFlagsFromIndexes: band index has no _params " +
             s"build stamp — cannot verify it was built with " +
-            s"${bandParams(numHashes, bands)}; a mismatched banding " +
+            s"${bandParams(numHashes, bands, tokensTag)}; a mismatched " +
+            "banding/tokenizer " +
             "silently matches nothing. Build indexes with " +
             "buildDedupIndexes to get the stamp.")
         bandIdx
       }
       else bandIdx
         .filter(assert_true(
-          col("_params") === bandParams(numHashes, bands),
+          col("_params") === bandParams(numHashes, bands, tokensTag),
           concat(lit("band index built with different params than this " +
-            s"lookup (expected ${bandParams(numHashes, bands)}, index " +
-            "has "), col("_params"), lit(")"))).isNull)
+            s"lookup (expected ${bandParams(numHashes, bands, tokensTag)},"
+            + " index has "), col("_params"), lit(")"))).isNull)
         .drop("_params")
     val bBands = bandRowsOf(bToks, col("toks"), "id", numHashes, bands)
     val cands = checkedIdx

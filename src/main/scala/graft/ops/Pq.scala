@@ -147,10 +147,16 @@ object Pq {
     */
   private def metricPieces(metric: String, cb: Codebook,
       vec: Column): (Column, String, Column => Column) = metric match {
+    // nulls LAST under both orders: a corrupt embedding (null element ⇒
+    // null code ⇒ null ADC, the kernels' documented contract) must
+    // never occupy a top-k rank. Spark's bare .asc is NULLS FIRST —
+    // under it one corrupt corpus row would rank #1 in EVERY query's
+    // l2 top-k (ip's .desc is nulls-last by default; made explicit so
+    // the symmetry is visible).
     case "l2" => (GraftFunctions.pq_lut(vec, cbLit(cb), cb.m, cb.k),
-      "adc_dist", c => c.asc)
+      "adc_dist", c => c.asc_nulls_last)
     case "ip" => (GraftFunctions.pq_lut_ip(vec, cbLit(cb), cb.m, cb.k),
-      "adc_ip", c => c.desc)
+      "adc_ip", c => c.desc_nulls_last)
     case other => throw new IllegalArgumentException(
       s"""PQ metric must be "l2" or "ip" (got "$other")""")
   }
@@ -173,11 +179,13 @@ object Pq {
     * |batch|·|corpus| ADC lookups, which is the POINT of ADC — m table
     * reads per candidate instead of d multiplies.
     *
-    * Returns (qid, `idCol`, adc_dist) — top `k` per query, ranked on
-    * the ROUNDED ADC distance ascending with id tie-break (the
-    * determinism rule every ANN surface here shares). `queryIdCol`
-    * must be unique within `queries` (same window contract as
-    * [[Similarity.ivfSearchBatch]]).
+    * Returns (qid, `idCol`, score) — top `k` per query, ranked on the
+    * ROUNDED score with id tie-break (the determinism rule every ANN
+    * surface here shares). The score column is metric-dependent:
+    * `adc_dist` ascending under "l2", `adc_ip` descending under "ip".
+    * Null-scored rows (corrupt vectors, per the kernel null contract)
+    * are excluded, never ranked. `queryIdCol` must be unique within
+    * `queries` (same window contract as [[Similarity.ivfSearchBatch]]).
     */
   def searchBatch(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, codes: DataFrame, idCol: String,
@@ -195,6 +203,9 @@ object Pq {
       .select(col("qid"), col(idCol),
         round(GraftFunctions.pq_adc(col("_lut"), col("pq_code")), 5)
           .as(scoreCol))
+      // a null score (corrupt row or corrupt query, per the kernel
+      // null contract) is not a rankable result — excluded, not ranked
+      .filter(col(scoreCol).isNotNull)
       .withColumn("_rn", row_number().over(wTop))
       .filter(col("_rn") <= k)
       .drop("_rn")
@@ -217,6 +228,19 @@ object Pq {
     * ([[ivfPqSearchRefined]]) — that join is k·|batch| rows, not the
     * corpus.
     */
+  /** Assign + encode + stamp over a pre-collected codebook — the one
+    * canonical derivation every writer below shares (one centroid
+    * collect per build, not one per call layer).
+    */
+  private def frameFrom(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], cb: Codebook)
+  : (DataFrame, String) = {
+    val stamp = combinedStamp(Similarity.codebookStamp(cents), cb)
+    (encode(Similarity.ivfAssignLocal(emb, vecCol, cents), vecCol, cb)
+      .select(col(idCol), col("pq_code"), col("cell"))
+      .withColumn("_params", lit(stamp)), stamp)
+  }
+
   /** The stamped IVF-PQ index FRAME [[ivfPqIndexWrite]] persists —
     * exposed so alternative writers (a streaming exactly-once build
     * via [[graft.streaming.IdempotentSink.indexByBatch]], a job that
@@ -224,24 +248,17 @@ object Pq {
     */
   def ivfPqIndexFrame(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
-      cb: Codebook): DataFrame = {
-    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
-      centroidVecCol)
-    val stamp = combinedStamp(Similarity.codebookStamp(cents), cb)
-    encode(Similarity.ivfAssignLocal(emb, vecCol, cents), vecCol, cb)
-      .select(col(idCol), col("pq_code"), col("cell"))
-      .withColumn("_params", lit(stamp))
-  }
+      cb: Codebook): DataFrame =
+    frameFrom(emb, idCol, vecCol, Similarity.collectCodebook(centroids,
+      centroidIdCol, centroidVecCol), cb)._1
 
   def ivfPqIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, indexDir: String): Unit = {
     val cents = Similarity.collectCodebook(centroids, centroidIdCol,
       centroidVecCol)
-    val stamp = combinedStamp(Similarity.codebookStamp(cents), cb)
-    ivfPqIndexFrame(emb, idCol, vecCol, centroids, centroidIdCol,
-      centroidVecCol, cb)
-      .write.partitionBy("cell").mode("overwrite").parquet(indexDir)
+    val (frame, stamp) = frameFrom(emb, idCol, vecCol, cents, cb)
+    frame.write.partitionBy("cell").mode("overwrite").parquet(indexDir)
     Similarity.writeStampSidecar(emb.sparkSession, indexDir, stamp)
   }
 
@@ -267,13 +284,9 @@ object Pq {
       newVectors.columns.contains(vecCol),
       s"ivfPqIndexAppend: newVectors needs columns '$idCol' and " +
         s"'$vecCol' (has ${newVectors.columns.mkString(", ")})")
-    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
-      centroidVecCol)
-    val stamp = combinedStamp(Similarity.codebookStamp(cents), cb)
-    val assigned = encode(
-      Similarity.ivfAssignLocal(newVectors, vecCol, cents), vecCol, cb)
-      .select(col(idCol), col("pq_code"), col("cell"))
-      .withColumn("_params", lit(stamp))
+    val (assigned, stamp) = frameFrom(newVectors, idCol, vecCol,
+      Similarity.collectCodebook(centroids, centroidIdCol,
+        centroidVecCol), cb)
     Similarity.appendToStampedLayout(assigned, indexDir, stamp,
       "ivfPqIndexAppend")
   }
@@ -283,8 +296,10 @@ object Pq {
     * [[Similarity.ivfSearchBatch]] (the plan shape with the proven
     * numFiles gate), but candidates are scored by ADC — the probed
     * cells' scan reads (id, pq_code) only, never a vector column.
-    * Returns (qid, `idCol`, cell, adc_dist), top `k` per query by
-    * rounded ADC ascending, id tie-break.
+    * Returns (qid, `idCol`, cell, score), top `k` per query on the
+    * rounded score with id tie-break — the score column is
+    * metric-dependent (`adc_dist` asc under "l2", `adc_ip` desc under
+    * "ip"); null-scored rows are excluded, never ranked.
     */
   def ivfPqSearchBatch(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, index: DataFrame, idCol: String,
@@ -305,18 +320,24 @@ object Pq {
       col(queryVecCol).cast("array<double>").as("qvec"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("d").asc, col("cell").asc)
+    // (qid, cell) probe pairs and (qid, LUT) kept SEPARATE: computing
+    // the m·k-double LUT on the exploded probe rows would materialize
+    // (and broadcast) nProbe copies of every query's table — at m=8,
+    // k=256, nProbe=8 that is 8×16 KB per query instead of 16 KB
     val qcells = q
       .select(col("qid"), col("qvec"), explode(codebook).as("c"))
-      .select(col("qid"), col("qvec"), col("c._1").as("cell"),
+      .select(col("qid"), col("c._1").as("cell"),
         GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d"))
       .withColumn("_rn", row_number().over(wProbe))
       .filter(col("_rn") <= nProbe)
-      .select(col("qid"), lut.as("_lut"), col("cell"))
+      .select(col("qid"), col("cell"))
       .localCheckpoint(true) // probe side computed once: collect + join
+    val qluts = q.select(col("qid"), lut.as("_lut"))
     val probedCells = qcells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     val cand = checked.filter(col("cell").isin(probedCells: _*))
       .join(broadcast(qcells), Seq("cell"))
+      .join(broadcast(qluts), Seq("qid"))
     val scoped =
       if (excludeSelf) cand.filter(col(idCol) =!= col("qid")) else cand
     val wTop = Window.partitionBy(col("qid"))
@@ -325,6 +346,8 @@ object Pq {
       .select(col("qid"), col(idCol), col("cell"),
         round(GraftFunctions.pq_adc(col("_lut"), col("pq_code")), 5)
           .as(scoreCol))
+      // null score (corrupt row/query) = not a rankable result
+      .filter(col(scoreCol).isNotNull)
       .withColumn("_rn", row_number().over(wTop))
       .filter(col("_rn") <= k)
       .drop("_rn")

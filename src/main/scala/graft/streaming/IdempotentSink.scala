@@ -52,9 +52,11 @@ object IdempotentSink {
     * `partitionCol` unchanged: Spark applies partition filters at any
     * level of the tree, so a probe reads matching cell/band dirs
     * across every batch. Fragmentation grows one file set per
-    * micro-batch per touched cell — run [[graft.ops.Similarity
-    * .compactCells]] periodically from OUTSIDE the stream (after its
-    * checkpoint has committed past the compacted batches).
+    * micro-batch per touched cell — run [[compactBatches]] (NOT
+    * `Similarity.compactCells`, which lists `<partitionCol>=` dirs at
+    * the root and no-ops on this tree shape) periodically from
+    * OUTSIDE the stream, after the checkpoint has committed past the
+    * batches being folded.
     */
   def indexByBatch(out: String, partitionCol: String)(
       df: DataFrame, batchId: Long): Unit = {
@@ -65,5 +67,57 @@ object IdempotentSink {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_batch", partitionCol).parquet(out)
+  }
+
+  /** Compaction for an [[indexByBatch]] tree — `Similarity
+    * .compactCells` can NOT compact it (it lists `<partitionCol>=`
+    * dirs at the ROOT, finds only `_batch=` dirs, and returns empty —
+    * a silent no-op), and folding across `_batch` subtrees from inside
+    * the stream would break the replay-overwrite keying. This is the
+    * OUTSIDE-the-stream pass: every `_batch ≤ uptoBatch` subtree folds
+    * into ONE consolidated subtree (named `_batch=<smallest folded
+    * id>`, one file per `partitionCol` value), so probe-side file
+    * count stops growing with stream age. Returns the folded batch
+    * ids (empty when fewer than two qualify).
+    *
+    * REPLAY-SAFETY CONTRACT: only call with `uptoBatch` < the stream's
+    * latest committed batch id — foreachBatch replays exactly the last
+    * uncommitted batch, so folded batches can never be replayed; a
+    * replay of a folded id would resurrect its subtree alongside the
+    * consolidated rows (duplicates). Durability matches
+    * [[graft.ops.Similarity.compactCells]]: the consolidated subtree
+    * is fully written before any delete, but the delete+rename window
+    * is not atomic across subtrees — run from the ingest owner, and
+    * re-run on crash (the pass is idempotent).
+    */
+  def compactBatches(spark: org.apache.spark.sql.SparkSession,
+      out: String, partitionCol: String, uptoBatch: Long): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val batchIds = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_batch="))
+      .map(_.getPath.getName.stripPrefix("_batch=").toLong)
+      .filter(_ <= uptoBatch).toSeq.sorted
+    if (batchIds.size < 2) return Seq.empty
+    val target = batchIds.head
+    val tmp = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "_compact_tmp")
+    spark.read.parquet(out)
+      .filter(col("_batch").cast("long") <= uptoBatch)
+      .drop("_batch")
+      .repartition(col(partitionCol))
+      .write.partitionBy(partitionCol).mode("overwrite")
+      .parquet(tmp.toString)
+    batchIds.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_batch=$b"), true)
+    }
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(root,
+        s"_batch=$target")))
+      throw new java.io.IOException(
+        s"compactBatches: rename $tmp -> ${root}/_batch=$target failed " +
+          "— the folded rows are in the temp tree, not the index")
+    // the overwrite replaced listed files; invalidate cached listings
+    spark.catalog.refreshByPath(out)
+    batchIds
   }
 }

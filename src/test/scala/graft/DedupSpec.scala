@@ -811,7 +811,7 @@ class DedupSpec extends AnyFunSuite {
     val sidecar = java.nio.file.Paths.get(s"$dir/band", "_graft_ivf_stamp")
     assert(java.nio.file.Files.exists(sidecar),
       "corpusIndexesWrite left no band-stamp sidecar")
-    assert(java.nio.file.Files.readString(sidecar).trim == "mh16/b4")
+    assert(java.nio.file.Files.readString(sidecar).trim == "mh16/b4/ws3")
     // bogus _params DATA column + correct sidecar ⇒ lookup works,
     // which is only possible if the per-row column check never ran
     val bogus = TestDirs.tmp("cidx_sidecar_bogus").toFile.getAbsolutePath
@@ -823,7 +823,7 @@ class DedupSpec extends AnyFunSuite {
     tokI.write.mode("overwrite").parquet(s"$bogus/tok")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$bogus/band", "_graft_ivf_stamp"),
-      "mh16/b4\n"): Unit
+      "mh16/b4/ws3\n"): Unit
     val (f2, b2, t2) = graft.ops.Dedup.corpusIndexesRead(spark, bogus)
     val got = graft.ops.Dedup.crossDedupFlagsFromIndexes(batch, "text",
       "doc_id", f2, b2, t2)

@@ -660,6 +660,25 @@ class StreamingSpec extends AnyFunSuite {
         s"probe read ${scan.metrics("numFiles").value} of $allFiles " +
           "files — cell pruning lost under the _batch tree level")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // compactBatches (the working maintenance pass for this tree —
+    // compactCells no-ops on it by shape): both batch subtrees fold
+    // into one, probes unchanged, second call is a no-op
+    assert(graft.ops.Similarity.compactCells(spark, idxDir,
+      maxFilesPerCell = 1).isEmpty,
+      "compactCells unexpectedly matched a _batch tree")
+    val folded = graft.streaming.IdempotentSink.compactBatches(
+      spark, idxDir, "cell", uptoBatch = lastBatch)
+    assert(folded.size == 2, s"expected 2 folded batches, got $folded")
+    val dirs = new java.io.File(idxDir).listFiles()
+      .filter(_.getName.startsWith("_batch=")).map(_.getName).toSeq
+    assert(dirs == Seq(s"_batch=${folded.head}"),
+      s"unexpected batch dirs after compaction: $dirs")
+    assert(spark.read.parquet(idxDir).count() == vecs.size)
+    assert(probe(idxDir) == expected,
+      "batch compaction changed probe results")
+    assert(graft.streaming.IdempotentSink.compactBatches(
+      spark, idxDir, "cell", uptoBatch = lastBatch).isEmpty,
+      "compactBatches is not idempotent")
   }
 
   test("composed exactly-once ingest: band-index lookup stream through " +
