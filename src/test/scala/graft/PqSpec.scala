@@ -100,6 +100,24 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("the PQ kernels run inside whole-stage codegen (no fallback)") {
+    // spark.range keeps the plan non-local so codegen actually runs;
+    // encode → lut → adc chained in one projection
+    val flat = typedLit((0 until 8).map(_.toDouble)) // m=2, k=2, dsub=2
+    val df = spark.range(10)
+      .select(array(col("id").cast("double"), lit(1.0),
+        col("id").cast("double") * 2, lit(3.0)).as("v"))
+      .select(GraftFunctions.pq_adc(
+        GraftFunctions.pq_lut(col("v"), flat, 2, 2),
+        GraftFunctions.pq_encode(col("v"), flat, 2, 2)).as("d"),
+        GraftFunctions.pq_lut_ip(col("v"), flat, 2, 2).as("l"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes a WholeStageCodegen stage; a fallback Project
+    // would print without the star
+    assert(plan.linesIterator.next().trim.startsWith("*("), plan)
+    assert(df.collect().forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
   test("null element nulls the result; bad lengths throw") {
     import spark.implicits._
     val cb = Pq.Codebook(IndexedSeq(0.0, 1.0, 2.0, 3.0), 2, 2) // dsub=1
