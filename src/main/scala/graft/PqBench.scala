@@ -152,11 +152,12 @@ object PqBench {
     val cbDf = spark.read.parquet(s"$outDir/ivfcb")
     val nCells = cbDf.count().toInt
     val t2 = System.nanoTime()
-    Pq.ivfPqIndexWrite(emb, "vec_id", "embedding", cbDf, "cid", "cvec",
-      cb, s"$outDir/ivfpq")
+    Pq.ivfPqIndexWritePair(emb, "vec_id", "embedding", cbDf, "cid",
+      "cvec", cb, s"$outDir/ivfpq", s"$outDir/ivfvecs")
     val indexSec = (System.nanoTime() - t2) / 1e9
     val indexBytes = bytesOf(s"$outDir/ivfpq")
     val index = spark.read.parquet(s"$outDir/ivfpq")
+    val vecTree = spark.read.parquet(s"$outDir/ivfvecs")
 
     def probeTop(nProbe: Int, refined: Boolean, metric: String)
     : (Map[Long, Set[Long]], Double) = {
@@ -164,7 +165,7 @@ object PqBench {
       val df =
         if (refined)
           Pq.ivfPqSearchRefined(queries, "vec_id", "embedding", index,
-            emb, "vec_id", "embedding", cbDf, "cid", "cvec", cb,
+            vecTree, "vec_id", "embedding", cbDf, "cid", "cvec", cb,
             k = kTop, nProbe = nProbe, refineFactor = refineFactor,
             metric = metric)
         else
@@ -189,6 +190,55 @@ object PqBench {
       (np, recallOf(gotL2), recallOf(gotIp), sec, recallOf(gotR), secR)
     }
 
+    // --- refine-FETCH A/B: cell-pruned tree fetch vs the unpruned
+    // whole-corpus id join (the pre-r12 shape, reconstructed here as
+    // the measured contrast). A small query batch isolates the fetch:
+    // the pruned scan reads ≤ |batch|·nProbe cells' files (~batch·n/√n
+    // rows), the unpruned join reads ALL n rows' vector payload — so
+    // pruned fetch wall should grow ~√n across bench sizes while the
+    // unpruned contrast tracks n.
+    val fetchQueries = emb.filter(col("vec_id") < 10)
+    def refinedPruned(): (Map[Long, Set[Long]], Double) = {
+      val t = System.nanoTime()
+      val rows = Pq.ivfPqSearchRefined(fetchQueries, "vec_id",
+        "embedding", index, vecTree, "vec_id", "embedding",
+        cbDf, "cid", "cvec", cb, k = kTop, nProbe = 2,
+        refineFactor = refineFactor)
+        .select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+      (rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap,
+        (System.nanoTime() - t) / 1e9)
+    }
+    def refinedUnpruned(): (Map[Long, Set[Long]], Double) = {
+      val t = System.nanoTime()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      val cand = Pq.ivfPqSearchBatch(fetchQueries, "vec_id", "embedding",
+        index, "vec_id", cbDf, "cid", "cvec", cb,
+        k = kTop * refineFactor, nProbe = 2)
+        .select(col("qid"), col("vec_id"))
+      val qv = fetchQueries.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qvec"))
+      val rows = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("_sv"))
+        .join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(qv), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(graft.functions.GraftFunctions.cosine_sim(
+            col("_sv"), col("qvec")), 5).as("cos_sim"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= kTop)
+        .select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+      (rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap,
+        (System.nanoTime() - t) / 1e9)
+    }
+    refinedPruned(); refinedUnpruned() // warm
+    val (prunedGot, prunedSec) = refinedPruned()
+    val (unprunedGot, unprunedSec) = refinedUnpruned()
+    require(prunedGot == unprunedGot,
+      "pruned and unpruned refine fetch disagree — the cell-pruned " +
+        "fetch must be a pure I/O optimization")
+
     val rowsJson = probeRows.map { case (np, rl2, rip, sec, rr, secR) =>
       f"""{"nProbe":$np,"adc_l2_recall_at_10":$rl2%.4f,"adc_ip_recall_at_10":$rip%.4f,"batch_sec":$sec%.3f,"refined_recall_at_10":$rr%.4f,"refined_batch_sec":$secR%.3f}"""
     }.mkString("[", ",", "]")
@@ -201,6 +251,7 @@ object PqBench {
         f""""exact_batch_sec":$exactSec%.3f,""" +
         f""""brute_adc_sec":$adcSec%.3f,"brute_adc_l2_recall_at_10":$adcRecall%.4f,""" +
         f""""brute_adc_ip_sec":$adcIpSec%.3f,"brute_adc_ip_recall_at_10":$adcIpRecall%.4f,""" +
+        f""""refine_fetch":{"queries":10,"n_probe":2,"pruned_sec":$prunedSec%.3f,"unpruned_scan_sec":$unprunedSec%.3f},""" +
         f""""probes":$rowsJson}"""
     println(json)
     try {

@@ -262,6 +262,37 @@ object Pq {
     Similarity.writeStampSidecar(emb.sparkSession, indexDir, stamp)
   }
 
+  /** Build the IVF-PQ code tree AND its refine companion — the
+    * cell-partitioned FULL-VECTOR layout ([[Similarity.ivfIndexWrite]]'s
+    * tree) — in one pass over the corpus: the vector tree is written
+    * first (the only `emb` scan — one assignment fold), and the code
+    * tree derives from the PERSISTED vectors, whose `cell` is already
+    * assigned, so encoding is a pure kernel scan of the vector tree
+    * with zero re-assignment work. The two trees agree row-for-row by
+    * construction (same assignment, same commit), and each carries its
+    * own sidecar stamp so [[ivfPqSearchRefined]] can verify BOTH before
+    * probing.
+    *
+    * This is the storage contract of the memory tier spelled out: the
+    * small hot code tree serves every probe; the big cold vector tree
+    * is touched only by the refine tail's cell-pruned fetch.
+    */
+  def ivfPqIndexWritePair(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      cb: Codebook, indexDir: String, vectorsDir: String): Unit = {
+    val spark = emb.sparkSession
+    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
+      centroidVecCol)
+    Similarity.ivfIndexWrite(emb, idCol, vecCol,
+      centroids, centroidIdCol, centroidVecCol, vectorsDir)
+    val stamp = combinedStamp(Similarity.codebookStamp(cents), cb)
+    encode(spark.read.parquet(vectorsDir), vecCol, cb)
+      .select(col(idCol), col("pq_code"), col("cell"))
+      .withColumn("_params", lit(stamp))
+      .write.partitionBy("cell").mode("overwrite").parquet(indexDir)
+    Similarity.writeStampSidecar(spark, indexDir, stamp)
+  }
+
   /** Incremental append to a persisted [[ivfPqIndexWrite]] layout —
     * the micro-batch ingest path of the memory tier, mirroring
     * [[Similarity.ivfIndexAppend]]: new vectors are assigned AND
@@ -300,6 +331,17 @@ object Pq {
     * rounded score with id tie-break — the score column is
     * metric-dependent (`adc_dist` asc under "l2", `adc_ip` desc under
     * "ip"); null-scored rows are excluded, never ranked.
+    *
+    * BATCH-SIZE CONTRACT: besides `queryIdCol` uniqueness (same window
+    * contract as [[Similarity.ivfSearchBatch]]), the query batch must
+    * be broadcast-sized — the probe ships every query's m·k-double LUT
+    * to the executors (m=16, k=256 ⇒ 32 KB/query; 10⁴ queries ⇒
+    * ~320 MB, about the practical broadcast ceiling; 10⁵ ⇒ ~3 GB,
+    * past it). The plan already avoids the nProbe× LUT blowup by
+    * keeping probe pairs and LUTs separate (below); for batches past
+    * ~10⁴ queries use [[ivfPqSearchBatchChunked]], which splits the
+    * batch driver-side and unions per-chunk results — result-identical
+    * (each query's top-k depends on no other query; spec'd in PqSpec).
     */
   def ivfPqSearchBatch(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, index: DataFrame, idCol: String,
@@ -353,43 +395,106 @@ object Pq {
       .drop("_rn")
   }
 
+  /** [[ivfPqSearchBatch]] for query batches past its broadcast-size
+    * contract (~10⁴ queries at m=16/k=256): the batch splits into
+    * `maxLutBatch`-query chunks driver-side (one bounded qid collect —
+    * batch-sized, the same class as the probe-cell collect) and each
+    * chunk runs the ordinary probe; results union. Per-query top-k is
+    * independent of every other query, so the union is result-
+    * identical to the single-shot probe (PqSpec asserts equality at
+    * maxLutBatch=1); the cost is one stamp check + probe-cell
+    * selection per chunk — O(|batch|/maxLutBatch) tiny driver jobs,
+    * each chunk's LUT broadcast bounded at maxLutBatch·m·k doubles.
+    */
+  def ivfPqSearchBatchChunked(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, index: DataFrame, idCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      cb: Codebook, k: Int, nProbe: Int = 2,
+      excludeSelf: Boolean = true, metric: String = "l2",
+      maxLutBatch: Int = 8192): DataFrame = {
+    require(maxLutBatch >= 1, "maxLutBatch must be ≥ 1")
+    val qids = queries.select(col(queryIdCol)).distinct()
+      .collect().map(_.get(0)).sortBy(_.toString)
+    val chunks = qids.grouped(maxLutBatch).toSeq
+    if (chunks.size <= 1)
+      ivfPqSearchBatch(queries, queryIdCol, queryVecCol, index, idCol,
+        centroids, centroidIdCol, centroidVecCol, cb, k, nProbe,
+        excludeSelf, metric)
+    else chunks.map { ids =>
+      ivfPqSearchBatch(queries.filter(col(queryIdCol).isin(ids: _*)),
+        queryIdCol, queryVecCol, index, idCol,
+        centroids, centroidIdCol, centroidVecCol, cb, k, nProbe,
+        excludeSelf, metric)
+    }.reduce(_ union _)
+  }
+
   /** IVF-PQ search with an exact re-rank tail: take the top
     * `k·refineFactor` ADC candidates per query, fetch ONLY those rows'
-    * full vectors from the source table (an id equi-join over
-    * k·refineFactor·|batch| rows — candidate-sized, never
-    * corpus-sized; Spark broadcasts the candidate side under AQE), and
-    * re-rank by exact cosine. The standard IVFADC+refine shape: ADC
-    * error only matters when it reorders across the refine boundary,
-    * measured in PQ_*_r11.json.
+    * full vectors from `vectors` — a cell-partitioned full-vector
+    * layout of the SAME corpus (a reloaded
+    * [[Similarity.ivfIndexWrite]] tree; [[ivfPqIndexWritePair]] emits
+    * both trees from one corpus pass) — and re-rank by exact cosine.
+    * The standard IVFADC+refine shape: ADC error only matters when it
+    * reorders across the refine boundary, measured in PQ_*_r11.json.
+    *
+    * The fetch is CELL-PRUNED, not an id join against the raw corpus:
+    * candidates keep the `cell` the probe found them in, and since the
+    * vector layout is assigned under the same (stamp-verified) IVF
+    * codebook, each candidate's vector lives in exactly that cell's
+    * directory — so a static `cell IN (candidate cells)` filter prunes
+    * the fetch scan to ≤ nProbe·|batch| cells' files (numFiles-gated
+    * in PlanRegressionSpec). Without this, the fetch would broadcast-
+    * join without shuffling but still READ every corpus row's vector
+    * payload — at 10⁹ vectors the ~0.5 TB scan per refine batch this
+    * tier exists to avoid. Both sidecar stamps are verified before any
+    * plan is built: a vector tree assigned under a different codebook
+    * would place candidates in other cells and silently drop them.
     *
     * Returns (qid, `idCol`, cos_sim) — top `k` per query by rounded
     * cosine descending, id tie-break.
     */
   def ivfPqSearchRefined(queries: DataFrame, queryIdCol: String,
-      queryVecCol: String, index: DataFrame, source: DataFrame,
+      queryVecCol: String, index: DataFrame, vectors: DataFrame,
       sourceIdCol: String, sourceVecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, k: Int, nProbe: Int = 2, refineFactor: Int = 4,
       excludeSelf: Boolean = true, metric: String = "l2"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(refineFactor >= 1, "refineFactor must be ≥ 1")
+    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
+      centroidVecCol)
+    val checkedVecs = Similarity.verifyStamp(vectors,
+      Similarity.codebookStamp(cents), "ivfPqSearchRefined",
+      desc = "refine vector layout assigned under a different codebook")
+    // candidate-sized by construction (k·refineFactor·|batch| rows);
+    // checkpointed because it feeds TWO consumers — the cell collect
+    // and the fetch join — and re-running the ADC probe per consumer
+    // would double the probe cost
     val cand = ivfPqSearchBatch(queries, queryIdCol, queryVecCol, index,
       sourceIdCol, centroids, centroidIdCol, centroidVecCol, cb,
       k = k * refineFactor, nProbe = nProbe, excludeSelf = excludeSelf,
       metric = metric)
-      .select(col("qid"), col(sourceIdCol))
+      .select(col("qid"), col(sourceIdCol), col("cell"))
+      .localCheckpoint(true)
+    // the reloaded layout's partition column may infer as int — cast
+    // before collecting so the IN-list is type-stable
+    val candCells = cand.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
     val qv = queries.select(col(queryIdCol).as("qid"),
       col(queryVecCol).cast("array<double>").as("qvec"))
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col(sourceIdCol).asc)
-    // the candidate side is k·refineFactor·|batch| rows by construction
-    // — broadcast it EXPLICITLY so the corpus-sized source is a pure
-    // probe-side scan (left relying on AQE stats, a missing estimate
-    // sort-merge-joins, i.e. shuffles the corpus on id — the exact
-    // cost this tier exists to avoid); plan-gated in PlanRegressionSpec
-    source.select(col(sourceIdCol),
+    // static cell pruning on the fetch scan + an EXPLICIT candidate
+    // broadcast: the pruned vector read is still the big side (a cell
+    // holds corpus/|codebook| rows), and relying on AQE stats for the
+    // join side risks a sort-merge plan that shuffles it on id —
+    // plan-gated (join strategy AND numFiles) in PlanRegressionSpec
+    checkedVecs
+      .filter(col("cell").isin(candCells: _*))
+      .select(col(sourceIdCol),
         col(sourceVecCol).cast("array<double>").as("_sv"))
-      .join(broadcast(cand), Seq(sourceIdCol))
+      .join(broadcast(cand.select(col("qid"), col(sourceIdCol))),
+        Seq(sourceIdCol))
       .join(broadcast(qv), Seq("qid"))
       .select(col("qid"), col(sourceIdCol),
         round(GraftFunctions.cosine_sim(col("_sv"), col("qvec")), 5)

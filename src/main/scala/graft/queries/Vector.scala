@@ -228,21 +228,24 @@ object Vector {
     }),
 
     // IVF-PQ with the exact re-rank tail (the production search shape):
-    // top-20 ADC candidates per query, ONLY those rows' full vectors
-    // fetched back from the source by id (candidate-sized join), exact
-    // cosine top-5. ADC error only matters when it reorders across the
-    // refine boundary.
+    // top-20 ADC candidates per query, then ONLY those rows' full
+    // vectors fetched from the cell-partitioned refine companion the
+    // pair build emits — the fetch scan prunes to the candidates'
+    // cells' directories (numFiles-gated), never reading the rest of
+    // the corpus's vector payload — exact cosine top-5. ADC error only
+    // matters when it reorders across the refine boundary.
     "q127_ivfpq_refined" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cb = fixturePqCodebook(emb)
       val centroids = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val out = QueryTmp.dir("q127", s, d)
-      graft.ops.Pq.ivfPqIndexWrite(emb, "vec_id", "embedding",
-        centroids, "cid", "cvec", cb, s"$out/ivfpq")
+      graft.ops.Pq.ivfPqIndexWritePair(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", cb, s"$out/ivfpq", s"$out/vecs")
       graft.ops.Pq.ivfPqSearchRefined(
         emb.filter(col("vec_id") < 2), "vec_id", "embedding",
-        s.read.parquet(s"$out/ivfpq"), emb, "vec_id", "embedding",
+        s.read.parquet(s"$out/ivfpq"), s.read.parquet(s"$out/vecs"),
+        "vec_id", "embedding",
         centroids, "cid", "cvec", cb, k = 5, nProbe = 2,
         refineFactor = 4)
         .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))

@@ -713,9 +713,10 @@ class PlanRegressionSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("ivfPqSearchRefined: the refine tail joins the corpus as a pure " +
-    "probe side — candidates broadcast, source never shuffled on id " +
-    "(the q127 shape)") {
+  test("ivfPqSearchRefined: the refine fetch prunes the vector tree " +
+    "to the candidates' cells' files — it never scans the corpus's " +
+    "vector payload — and joins candidates as a broadcast, never " +
+    "shuffling the fetch side on id (the q127 shape)") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -725,18 +726,49 @@ class PlanRegressionSpec extends AnyFunSuite {
       val cb = graft.ops.Pq.train(emb, "vec_id", "embedding",
         m = 2, k = 4, sampleN = 64)
       val dir = TestDirs.tmp("ivfpq_ref_layout").toFile.getAbsolutePath
-      graft.ops.Pq.ivfPqIndexWrite(emb, "vec_id", "embedding",
-        centroids, "cid", "cvec", cb, dir)
+      val vecDir = TestDirs.tmp("ivfpq_ref_vecs").toFile.getAbsolutePath
+      graft.ops.Pq.ivfPqIndexWritePair(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", cb, dir, vecDir)
       val refined = graft.ops.Pq.ivfPqSearchRefined(
         emb.filter(col("vec_id") < 2), "vec_id", "embedding",
-        spark.read.parquet(dir), emb, "vec_id", "embedding",
+        spark.read.parquet(dir), spark.read.parquet(vecDir),
+        "vec_id", "embedding",
         centroids, "cid", "cvec", cb, k = 3, nProbe = 2,
         refineFactor = 4)
+      refined.collect() // populate scan metrics
       val plan = refined.queryExecution.executedPlan.toString
       assert(!plan.contains("SortMergeJoin"),
         s"refine tail shuffled a join side:\n${plan.take(1500)}")
       assert(plan.contains("BroadcastHashJoin"),
         s"candidate/query sides lost their broadcast:\n${plan.take(1500)}")
+      // the memory-tier I/O claim, counted from disk: the fetch scan's
+      // numFiles equals the files under exactly the candidate cells'
+      // directories of the VECTOR tree — a whole-corpus id join would
+      // read every cell's files
+      val scans = refined.queryExecution.executedPlan.collectLeaves()
+        .collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+      val fetchScan = scans.find(s =>
+        s.schema.fieldNames.contains("embedding") &&
+          s.toString.contains(vecDir)).getOrElse(
+        fail("no vector-tree FileSourceScanExec leaf"))
+      val planStr = fetchScan.toString
+      val candCells = "cell#\\d+L? IN \\(([^)]*)\\)".r
+        .findFirstMatchIn(planStr)
+        .map(_.group(1).split(",").map(_.trim.toLong).toSet)
+        .getOrElse(fail(s"no cell IN-list in:\n${planStr.take(1200)}"))
+      val cellFiles = new java.io.File(vecDir).listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName.stripPrefix("cell=").toLong ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      assert(candCells.size < cellFiles.size,
+        s"fetch did not prune: ${candCells.size} of ${cellFiles.size} cells")
+      val wantFiles = cellFiles.filter(kv => candCells(kv._1)).values.sum
+      assert(fetchScan.metrics("numFiles").value == wantFiles,
+        s"fetch read ${fetchScan.metrics("numFiles").value} files, " +
+          s"expected the $wantFiles under cells $candCells " +
+          s"(corpus total ${cellFiles.values.sum})")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }

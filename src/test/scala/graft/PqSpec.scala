@@ -185,7 +185,9 @@ class PqSpec extends AnyFunSuite {
     val cents = vecs.take(6).map { case (i, v) => (i, v) }
       .toDF("cid", "cvec")
     val dir = TestDirs.tmp("ivfpq").toFile.getAbsolutePath
-    Pq.ivfPqIndexWrite(df, "id", "vec", cents, "cid", "cvec", cb, dir)
+    val vecDir = TestDirs.tmp("ivfpq_vecs").toFile.getAbsolutePath
+    Pq.ivfPqIndexWritePair(df, "id", "vec", cents, "cid", "cvec", cb,
+      dir, vecDir)
     val index = spark.read.parquet(dir)
     assert(index.columns.toSet == Set("id", "pq_code", "cell", "_params"))
     val queries = vecs.take(2).toDF("id", "vec")
@@ -198,10 +200,11 @@ class PqSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sorted.toSeq
     assert(got == want) // every cell probed ⇒ identical to brute ADC
-    // refine over the whole candidate set ⇒ exact cosine knn
+    // refine over the whole candidate set ⇒ exact cosine knn (the
+    // fetch runs against the pair build's cell-partitioned vector tree)
     val refined = Pq.ivfPqSearchRefined(queries, "id", "vec", index,
-      df, "id", "vec", cents, "cid", "cvec", cb, k = 3, nProbe = 6,
-      refineFactor = 200)
+      spark.read.parquet(vecDir), "id", "vec", cents, "cid", "cvec",
+      cb, k = 3, nProbe = 6, refineFactor = 200)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
@@ -292,5 +295,53 @@ class PqSpec extends AnyFunSuite {
         k = 3, nProbe = 2).collect()
     }
     assert(e.getMessage.contains("different codebook"))
+  }
+
+  test("ivfPqSearchBatchChunked == single-shot probe at any chunking " +
+    "(the documented batch-size-bound escape)") {
+    import spark.implicits._
+    val vecs = randVecs(200, 16, 131)
+    val df = vecs.toDF("id", "vec")
+    val cb = Pq.train(df, "id", "vec", m = 4, k = 8, sampleN = 200)
+    val cents = vecs.take(5).toDF("cid", "cvec")
+    val dir = TestDirs.tmp("ivfpq_chunk").toFile.getAbsolutePath
+    Pq.ivfPqIndexWrite(df, "id", "vec", cents, "cid", "cvec", cb, dir)
+    val index = spark.read.parquet(dir)
+    val queries = vecs.take(5).toDF("id", "vec")
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("qid"), col("id"), col("adc_dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val single = rowsOf(Pq.ivfPqSearchBatch(queries, "id", "vec",
+      index, "id", cents, "cid", "cvec", cb, k = 4, nProbe = 3))
+    // maxLutBatch=1 is the extreme split: every query its own probe job
+    for (chunk <- Seq(1, 2, 100))
+      assert(rowsOf(Pq.ivfPqSearchBatchChunked(queries, "id", "vec",
+        index, "id", cents, "cid", "cvec", cb, k = 4, nProbe = 3,
+        maxLutBatch = chunk)) == single, s"maxLutBatch=$chunk diverged")
+  }
+
+  test("a refine fetch against a vector tree assigned under a " +
+    "different IVF codebook is refused — mis-celled vectors would " +
+    "silently drop candidates") {
+    import spark.implicits._
+    val vecs = randVecs(100, 8, 171)
+    val df = vecs.toDF("id", "vec")
+    val cb = Pq.train(df, "id", "vec", m = 2, k = 4, sampleN = 100)
+    val cents = vecs.take(3).toDF("cid", "cvec")
+    val otherCents = vecs.slice(3, 6).toDF("cid", "cvec")
+    val dir = TestDirs.tmp("ivfpq_refstale").toFile.getAbsolutePath
+    val vecDir = TestDirs.tmp("ivfpq_refstale_v").toFile.getAbsolutePath
+    Pq.ivfPqIndexWrite(df, "id", "vec", cents, "cid", "cvec", cb, dir)
+    // vector tree deliberately built under a DIFFERENT codebook
+    Similarity.ivfIndexWrite(df, "id", "vec", otherCents, "cid", "cvec",
+      vecDir)
+    val e = intercept[IllegalStateException] {
+      Pq.ivfPqSearchRefined(vecs.take(1).toDF("id", "vec"), "id", "vec",
+        spark.read.parquet(dir), spark.read.parquet(vecDir),
+        "id", "vec", cents, "cid", "cvec", cb, k = 3, nProbe = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("refine vector layout"))
   }
 }
