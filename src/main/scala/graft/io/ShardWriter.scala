@@ -113,6 +113,116 @@ object ShardWriter {
     row.getSeq[Long](0).distinct.sorted
   }
 
+  /** Exact rank-derived pinned boundaries: boundary i (1 ≤ i <
+    * numShards) is the key at 1-indexed rank ⌊i·n/numShards⌋ of the
+    * key multiset — so with [[writeShardsPinned]]'s strict `key >
+    * boundary` membership, shard i holds the keys between consecutive
+    * rank cuts, balanced to within the key's duplicate structure at
+    * ANY scale and distribution. Unlike [[boundariesFromQuantiles]]
+    * (a Greenwald-Khanna sketch whose exact cuts depend on merge
+    * order), this derivation is a PURE function of the key multiset:
+    * re-deriving on the same snapshot reproduces it cut-for-cut, and
+    * an external system (the DuckDB oracles mirror exactly this
+    * formula) can recompute it independently.
+    *
+    * Cost: a distributed sort of the KEY COLUMN ONLY (8 bytes/row —
+    * ~8 GB shuffle per 10⁹ rows) plus rank selection; the key
+    * projection is checkpointed so the upstream plan evaluates once.
+    * Run it once per corpus snapshot at onboarding and persist the
+    * result beside the layout ([[writeShardsDerived]] does both);
+    * at scales where even the key sort is too much and cut-exactness
+    * isn't needed, [[boundariesFromQuantiles]] is the sketch-based
+    * alternative.
+    *
+    * Ranks that fall below 1 (n < numShards) are dropped and
+    * duplicate-key cuts collapse via `.distinct` — the same correct
+    * degeneration as [[boundariesFromQuantiles]]: fewer shards than
+    * requested when the data can't fill them.
+    */
+  def boundariesFromRanks(df: DataFrame, keyCol: String,
+      numShards: Int): Seq[Long] = {
+    require(numShards > 1, "numShards must be > 1 to need boundaries")
+    val keys = df.select(col(keyCol).cast("long").as("k")).na.drop()
+      .localCheckpoint(false)
+    val n = keys.count()
+    require(n > 0,
+      s"boundariesFromRanks: no non-null '$keyCol' values to derive " +
+        "boundaries from (empty or all-null input)")
+    val ranks = (1 until numShards).map(i => i * n / numShards)
+      .filter(_ >= 1).distinct
+    val rankSet = ranks.map(_ - 1).toSet // 0-indexed positions
+    keys.rdd.map(_.getLong(0)).sortBy(identity)
+      .zipWithIndex()
+      .collect { case (k, idx) if rankSet.contains(idx) => k }
+      .collect().toSeq.distinct.sorted
+  }
+
+  /** Sidecar file pinning a layout's derived boundaries — the shard
+    * analog of the index families' stamp sidecars: derived ONCE per
+    * corpus snapshot, persisted beside the layout, consumed by every
+    * later (re-)write so membership stays byte-stable. Underscore-
+    * prefixed so parquet readers treat it as hidden metadata.
+    */
+  private val BoundsSidecar = "_graft_shard_bounds"
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  def writeBoundsSidecar(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, boundaries: Seq[Long]): Unit = {
+    val (fs, p) = fsOf(spark, outDir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(p, BoundsSidecar), true)
+    try out.write((boundaries.mkString(",") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readBoundsSidecar(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): Option[Seq[Long]] = {
+    val (fs, p) = fsOf(spark, outDir)
+    val f = new org.apache.hadoop.fs.Path(p, BoundsSidecar)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var nRead = in.read(buf)
+        while (nRead > 0) { bytes.write(buf, 0, nRead); nRead = in.read(buf) }
+        Some(bytes.toString("UTF-8").trim.split(",").map(_.toLong).toSeq)
+      } finally in.close()
+    }
+  }
+
+  /** The derive-once-persist-then-pin workflow as ONE call: reuse the
+    * layout's [[BoundsSidecar]] boundaries when present (a re-write of
+    * the same snapshot — byte-stable by pinning), otherwise derive
+    * them from the data's exact ranks ([[boundariesFromRanks]]); write
+    * the pinned layout; persist the sidecar AFTER the write commits
+    * (the overwrite clears the directory). Returns the boundaries in
+    * effect. Delete the sidecar to re-derive for a new corpus
+    * snapshot; a sidecar derived for a different `numShards` wins over
+    * the argument by design (the sidecar IS the snapshot's pin).
+    *
+    * This replaces hand-pinned demo boundaries in the registered
+    * queries: a fixed list stops balancing the moment the key range
+    * outgrows it (the last shard swallows everything and its one
+    * writer task becomes the job — ShardWriterSpec reproduces the
+    * collapse AND the derived boundaries' green half at the same 10×
+    * point).
+    */
+  def writeShardsDerived(df: DataFrame, outDir: String, keyCol: String,
+      numShards: Int): Seq[Long] = {
+    val spark = df.sparkSession
+    val bounds = readBoundsSidecar(spark, outDir)
+      .getOrElse(boundariesFromRanks(df, keyCol, numShards))
+    writeShardsPinned(df, outDir, keyCol, bounds)
+    writeBoundsSidecar(spark, outDir, bounds)
+    bounds
+  }
+
   /** Shard inventory of a written directory: one row per data file with
     * its row count and key span — the manifest a training job consumes.
     * The scan is pruned to the key column only.

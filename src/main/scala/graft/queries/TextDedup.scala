@@ -283,8 +283,13 @@ object TextDedup {
         .select(col("doc_id"), col("lang"), col("n_tok"))
       val binned = tokenBins(sampled)
       val out = queryTmpDir("q119", s, d)
-      graft.io.ShardWriter.writeShardsPinned(binned, out, "doc_id",
-        Seq(40L, 80L, 160L))
+      // boundaries derived ONCE from the sampled snapshot's exact key
+      // ranks, persisted beside the layout, pinned on re-writes — the
+      // oracle recomputes the identical rank cuts, so membership is
+      // verified as a pure function of the data at any SF (hand-pinned
+      // demo boundaries stop balancing when the key range outgrows them)
+      graft.io.ShardWriter.writeShardsDerived(binned, out, "doc_id",
+        numShards = 4): Unit
       s.read.parquet(out)
         .groupBy(col("shard").cast("int").as("shard"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
@@ -293,17 +298,19 @@ object TextDedup {
         .orderBy("shard", "lang")
     }),
 
-    // Pinned-boundary training shards, verified END TO END: write the
-    // sharded parquet tree, read it back, and report the layout — the
-    // oracle recomputes shard membership as the pure key function, so a
-    // drifting writer (wrong boundaries, lost/duplicated rows) fails
-    // the gate. Layout mechanics (one file per shard, in-file sort) are
-    // ShardWriterSpec's job.
+    // Derived-then-pinned training shards, verified END TO END: derive
+    // exact rank boundaries from the corpus snapshot, persist them as
+    // the layout's sidecar, write the pinned tree, read it back, and
+    // report the layout — the oracle recomputes the SAME rank cuts and
+    // shard membership as pure functions of the data, so a drifting
+    // writer (wrong boundaries, lost/duplicated rows) fails the gate
+    // at any SF. Layout mechanics (one file per shard, in-file sort)
+    // are ShardWriterSpec's job.
     "q95_shard_layout" -> ((s, d) => {
       val out = queryTmpDir("q95", s, d)
-      graft.io.ShardWriter.writeShardsPinned(
+      graft.io.ShardWriter.writeShardsDerived(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
-        out, "doc_id", Seq(40L, 80L, 160L))
+        out, "doc_id", numShards = 4): Unit
       s.read.parquet(out)
         .groupBy(col("shard").cast("int").as("shard"))
         .agg(count(lit(1)).as("n_rows"),
@@ -925,21 +932,36 @@ object TextDedup {
            |    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang
            |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
            |      / 2000.0) AS BIGINT) AS bin
-           |  FROM sampled)
-           |SELECT ((doc_id > 40)::INT + (doc_id > 80)::INT +
-           |    (doc_id > 160)::INT) AS shard,
-           |  lang, count(*) AS n_docs,
+           |  FROM sampled),
+           |nb AS (SELECT count(*) AS c FROM binned),
+           |rankedb AS (SELECT doc_id,
+           |  row_number() OVER (ORDER BY doc_id) AS r FROM binned),
+           |boundsb AS (SELECT DISTINCT doc_id AS b FROM rankedb, nb
+           |  WHERE r IN ((1 * nb.c) // 4, (2 * nb.c) // 4,
+           |              (3 * nb.c) // 4)),
+           |shb AS (SELECT binned.*,
+           |  (SELECT count(*) FROM boundsb WHERE b < binned.doc_id)
+           |    AS shard
+           |  FROM binned)
+           |SELECT shard, lang, count(*) AS n_docs,
            |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
            |  MAX(bin) AS max_bin, MIN(doc_id) AS id_min,
            |  MAX(doc_id) AS id_max
-           |FROM binned GROUP BY 1, 2 ORDER BY shard, lang""".stripMargin,
+           |FROM shb GROUP BY 1, 2 ORDER BY shard, lang""".stripMargin,
 
       "q95_shard_layout" ->
-        """SELECT ((doc_id > 40)::INT + (doc_id > 80)::INT +
-          |    (doc_id > 160)::INT) AS shard,
-          |  count(*) AS n_rows, min(doc_id) AS id_min,
+        """WITH nn AS (SELECT count(*) AS c FROM documents),
+          |ranked AS (SELECT doc_id,
+          |  row_number() OVER (ORDER BY doc_id) AS r FROM documents),
+          |bounds AS (SELECT DISTINCT doc_id AS b FROM ranked, nn
+          |  WHERE r IN ((1 * nn.c) // 4, (2 * nn.c) // 4,
+          |              (3 * nn.c) // 4)),
+          |shards AS (SELECT d.doc_id,
+          |  (SELECT count(*) FROM bounds WHERE b < d.doc_id) AS shard
+          |  FROM documents d)
+          |SELECT shard, count(*) AS n_rows, min(doc_id) AS id_min,
           |  max(doc_id) AS id_max
-          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+          |FROM shards GROUP BY 1 ORDER BY shard""".stripMargin,
 
       "q96_hash_split" ->
         """SELECT CASE WHEN

@@ -139,4 +139,48 @@ class ShardWriterSpec extends AnyFunSuite {
     assert(fixed.max > fixed.sum * 8 / 10,
       s"expected the fixed-boundary collapse, got $fixed")
   }
+
+  test("boundariesFromRanks + writeShardsDerived: exact rank cuts are " +
+    "a pure function of the key multiset, the layout balances at the " +
+    "collapse test's grown key range, and the sidecar pins re-writes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // same grown/skewed range as the collapse test above
+    val keys = (0 until 4001).map(i =>
+      math.abs(rnd.nextGaussian() * 2000).toLong * 7 + i % 5)
+    val df = keys.zipWithIndex.map { case (k, i) => (k, s"d$i") }
+      .toDF("doc_id", "payload")
+    val b1 = ShardWriter.boundariesFromRanks(df, "doc_id", 4)
+    val b2 = ShardWriter.boundariesFromRanks(
+      df.repartition(13, col("payload")), "doc_id", 4)
+    assert(b1 == b2, "rank boundaries depend on partitioning")
+    // the oracle formula, recomputed driver-side: key at 1-indexed
+    // rank i*n/4 of the sorted multiset
+    val sorted = keys.sorted
+    val n = sorted.length.toLong
+    val want = (1 until 4).map(i => sorted((i * n / 4).toInt - 1))
+      .distinct.sorted
+    assert(b1 == want, s"rank cuts diverge: $b1 vs $want")
+
+    val out = TestDirs.tmp("derived_shards").toFile.getAbsolutePath
+    val bW = ShardWriter.writeShardsDerived(df, out, "doc_id", 4)
+    assert(bW == b1)
+    assert(ShardWriter.readBoundsSidecar(spark, out).contains(b1),
+      "sidecar not persisted beside the layout")
+    val counts = spark.read.parquet(out).groupBy("shard").count()
+      .collect().map(_.getLong(1)).toSeq
+    assert(counts.size == 4)
+    // exact cuts: balanced up to the key's duplicate structure — far
+    // from the fixed-boundary collapse the sibling test reproduces
+    assert(counts.max <= counts.sum / 4 + counts.sum / 10,
+      s"derived boundaries unbalanced: $counts")
+
+    // the PIN: a later write against a grown snapshot reuses the
+    // persisted boundaries — membership stays byte-stable until the
+    // sidecar is deliberately dropped for a new snapshot derivation
+    val grown = df.union(Seq((keys.max * 2, "dx"), (keys.max * 3, "dy"))
+      .toDF("doc_id", "payload"))
+    val bW2 = ShardWriter.writeShardsDerived(grown, out, "doc_id", 4)
+    assert(bW2 == b1, "sidecar boundaries were not reused on re-write")
+  }
 }
