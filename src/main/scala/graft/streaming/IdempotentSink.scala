@@ -84,40 +84,89 @@ object IdempotentSink {
     * latest committed batch id — foreachBatch replays exactly the last
     * uncommitted batch, so folded batches can never be replayed; a
     * replay of a folded id would resurrect its subtree alongside the
-    * consolidated rows (duplicates). Durability matches
-    * [[graft.ops.Similarity.compactCells]]: the consolidated subtree
-    * is fully written before any delete, but the delete+rename window
-    * is not atomic across subtrees — run from the ingest owner, and
-    * re-run on crash (the pass is idempotent).
+    * consolidated rows (duplicates).
+    *
+    * CRASH RECOVERY: the swap is RESUMABLE, making the re-run-on-crash
+    * contract real. The consolidated subtree is fully written to a
+    * temp tree, then a `_graft_fold` manifest (target id + folded ids)
+    * commits INSIDE it — only after that do the source `_batch=`
+    * subtrees delete and the temp tree rename in. A re-run that finds
+    * the manifest finishes the pending swap (delete survivors, rename)
+    * instead of rewriting the temp tree — rewriting would destroy the
+    * only copy of rows whose sources were already deleted. A temp tree
+    * WITHOUT a manifest is an incomplete write (no source was deleted
+    * yet) and is safely rewritten; `uptoBatch` is ignored while a
+    * pending swap exists (the manifest pins that fold).
     */
   def compactBatches(spark: org.apache.spark.sql.SparkSession,
       out: String, partitionCol: String, uptoBatch: Long): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(out)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "_compact_tmp")
+    val manifest = new org.apache.hadoop.fs.Path(tmp, FoldManifest)
+    def finishSwap(target: Long, folded: Seq[Long]): Seq[Long] = {
+      folded.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"_batch=$b"), true)
+      }
+      val dest = new org.apache.hadoop.fs.Path(root, s"_batch=$target")
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(
+          s"compactBatches: rename $tmp -> $dest failed — the folded " +
+            "rows are in the temp tree, not the index; re-run to resume")
+      // the manifest rode the rename into the batch dir (underscore-
+      // hidden from readers); drop it now that the swap is durable
+      fs.delete(new org.apache.hadoop.fs.Path(dest, FoldManifest), false)
+      // the overwrite replaced listed files; invalidate cached listings
+      spark.catalog.refreshByPath(out)
+      folded
+    }
+    if (fs.exists(manifest)) {
+      val (target, folded) = readFoldManifest(fs, manifest)
+      return finishSwap(target, folded)
+    }
     val batchIds = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_batch="))
       .map(_.getPath.getName.stripPrefix("_batch=").toLong)
       .filter(_ <= uptoBatch).toSeq.sorted
     if (batchIds.size < 2) return Seq.empty
     val target = batchIds.head
-    val tmp = new org.apache.hadoop.fs.Path(
-      root.getParent, root.getName + "_compact_tmp")
     spark.read.parquet(out)
       .filter(col("_batch").cast("long") <= uptoBatch)
       .drop("_batch")
       .repartition(col(partitionCol))
       .write.partitionBy(partitionCol).mode("overwrite")
       .parquet(tmp.toString)
-    batchIds.foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"_batch=$b"), true)
-    }
-    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(root,
-        s"_batch=$target")))
-      throw new java.io.IOException(
-        s"compactBatches: rename $tmp -> ${root}/_batch=$target failed " +
-          "— the folded rows are in the temp tree, not the index")
-    // the overwrite replaced listed files; invalidate cached listings
-    spark.catalog.refreshByPath(out)
-    batchIds
+    writeFoldManifest(fs, manifest, target, batchIds)
+    finishSwap(target, batchIds)
+  }
+
+  /** The resumable-swap commit record: its presence inside a temp tree
+    * means the consolidated rows are COMPLETE and the source-dir
+    * deletes may have begun — a re-run must finish the swap, never
+    * rewrite the tree. Shared by [[compactBatches]] and
+    * [[graft.ops.Similarity.compactCells]].
+    */
+  private[graft] val FoldManifest = "_graft_fold"
+
+  private[graft] def writeFoldManifest(fs: org.apache.hadoop.fs.FileSystem,
+      manifest: org.apache.hadoop.fs.Path, target: Long,
+      folded: Seq[Long]): Unit = {
+    val outS = fs.create(manifest, true)
+    try outS.write(s"$target\n${folded.mkString(",")}\n".getBytes("UTF-8"))
+    finally outS.close()
+  }
+
+  private[graft] def readFoldManifest(fs: org.apache.hadoop.fs.FileSystem,
+      manifest: org.apache.hadoop.fs.Path): (Long, Seq[Long]) = {
+    val in = fs.open(manifest)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      val lines = bytes.toString("UTF-8").trim.split("\n")
+      (lines(0).toLong, lines(1).split(",").map(_.toLong).toSeq)
+    } finally in.close()
   }
 }
