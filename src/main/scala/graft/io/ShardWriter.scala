@@ -160,8 +160,24 @@ object ShardWriter {
   /** Sidecar file pinning a layout's derived boundaries — the shard
     * analog of the index families' stamp sidecars: derived ONCE per
     * corpus snapshot, persisted beside the layout, consumed by every
-    * later (re-)write so membership stays byte-stable. Underscore-
-    * prefixed so parquet readers treat it as hidden metadata.
+    * later (re-)write so membership stays byte-stable.
+    *
+    * The sidecar lives at a SIBLING path (`<outDir>._graft_shard_bounds`),
+    * NOT inside the layout directory: [[writeShardsPinned]]'s overwrite
+    * clears the directory, and an in-dir sidecar opens a crash window —
+    * data committed, old sidecar already deleted, new one not yet
+    * written — after which a re-write over a GROWN snapshot would
+    * silently re-derive different boundaries and break the byte-stable
+    * membership contract. A sibling sidecar is never touched by the
+    * data overwrite, so the pin survives any crash during a re-write.
+    * Writes are create-temp-then-rename, so a reader never sees a
+    * truncated pin. RECOVERY RULE: the only state a crash can leave is
+    * "layout without sidecar" on the FIRST derive — and re-running the
+    * derive reproduces the identical boundaries because
+    * [[boundariesFromRanks]] is a pure function of the snapshot's key
+    * multiset. Layouts written by older builds (in-dir sidecar) are
+    * still readable: [[readBoundsSidecar]] falls back to the legacy
+    * in-dir location.
     */
   private val BoundsSidecar = "_graft_shard_bounds"
 
@@ -170,19 +186,30 @@ object ShardWriter {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
+  private def sidecarPath(p: org.apache.hadoop.fs.Path) =
+    p.suffix("." + BoundsSidecar)
+
   def writeBoundsSidecar(spark: org.apache.spark.sql.SparkSession,
       outDir: String, boundaries: Seq[Long]): Unit = {
     val (fs, p) = fsOf(spark, outDir)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(p, BoundsSidecar), true)
-    try out.write((boundaries.mkString(",") + "\n").getBytes("UTF-8"))
+    val dest = sidecarPath(p)
+    val payload = boundaries.mkString(",") + "\n"
+    // idempotent re-pin of the same snapshot: nothing to do, and
+    // skipping keeps the delete+rename below off the common path
+    if (readBoundsSidecar(spark, outDir).contains(boundaries)) return
+    val tmp = dest.suffix(".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(payload.getBytes("UTF-8"))
     finally out.close()
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(
+        s"writeBoundsSidecar: rename $tmp -> $dest failed — the layout " +
+          "has no pin; re-run the write (re-derivation is deterministic)")
   }
 
-  def readBoundsSidecar(spark: org.apache.spark.sql.SparkSession,
-      outDir: String): Option[Seq[Long]] = {
-    val (fs, p) = fsOf(spark, outDir)
-    val f = new org.apache.hadoop.fs.Path(p, BoundsSidecar)
+  private def readSidecarFile(fs: org.apache.hadoop.fs.FileSystem,
+      f: org.apache.hadoop.fs.Path): Option[Seq[Long]] =
     if (!fs.exists(f)) None
     else {
       val in = fs.open(f)
@@ -191,20 +218,44 @@ object ShardWriter {
         val buf = new Array[Byte](4096)
         var nRead = in.read(buf)
         while (nRead > 0) { bytes.write(buf, 0, nRead); nRead = in.read(buf) }
-        Some(bytes.toString("UTF-8").trim.split(",").map(_.toLong).toSeq)
+        // a degenerate corpus (n < 2 distinct keys) pins ZERO boundaries
+        // — a blank payload round-trips to Seq.empty, not a parse error
+        Some(bytes.toString("UTF-8").trim.split(",")
+          .filter(_.nonEmpty).map(_.toLong).toSeq)
       } finally in.close()
     }
+
+  def readBoundsSidecar(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): Option[Seq[Long]] = {
+    val (fs, p) = fsOf(spark, outDir)
+    readSidecarFile(fs, sidecarPath(p)).orElse(
+      // legacy in-dir location (pre-sibling builds)
+      readSidecarFile(fs, new org.apache.hadoop.fs.Path(p, BoundsSidecar)))
   }
 
   /** The derive-once-persist-then-pin workflow as ONE call: reuse the
     * layout's [[BoundsSidecar]] boundaries when present (a re-write of
     * the same snapshot — byte-stable by pinning), otherwise derive
-    * them from the data's exact ranks ([[boundariesFromRanks]]); write
-    * the pinned layout; persist the sidecar AFTER the write commits
-    * (the overwrite clears the directory). Returns the boundaries in
+    * them from the data's exact ranks ([[boundariesFromRanks]]) and
+    * write the pinned layout + sidecar. Returns the boundaries in
     * effect. Delete the sidecar to re-derive for a new corpus
     * snapshot; a sidecar derived for a different `numShards` wins over
     * the argument by design (the sidecar IS the snapshot's pin).
+    *
+    * The DERIVE path has two consumers of `df` — the rank sort and the
+    * pinned write — and Spark reuses exchanges, not arbitrary subplans,
+    * so feeding both from the raw frame evaluates the entire upstream
+    * chain twice (measured: the q119 curation capstone paid 1.67× wall
+    * for exactly this). With `snapshotOnDerive` (the default) the
+    * input is eagerly `localCheckpoint`ed ONCE and both consumers read
+    * the snapshot — the upstream chain runs a single time, the same
+    * rationale as the fused dedup chain's internal checkpoint
+    * ([[graft.ops.Dedup]]). Pass `snapshotOnDerive = false` when `df`
+    * is a WIDE frame straight off storage (e.g. a plain parquet read
+    * carrying the text payload): re-scanning a table for the
+    * column-pruned key projection is cheaper than materializing the
+    * payload to executor-local disk. The PINNED path (sidecar present)
+    * has one consumer and never snapshots.
     *
     * This replaces hand-pinned demo boundaries in the registered
     * queries: a fixed list stops balancing the moment the key range
@@ -214,13 +265,20 @@ object ShardWriter {
     * point).
     */
   def writeShardsDerived(df: DataFrame, outDir: String, keyCol: String,
-      numShards: Int): Seq[Long] = {
+      numShards: Int, snapshotOnDerive: Boolean = true): Seq[Long] = {
     val spark = df.sparkSession
-    val bounds = readBoundsSidecar(spark, outDir)
-      .getOrElse(boundariesFromRanks(df, keyCol, numShards))
-    writeShardsPinned(df, outDir, keyCol, bounds)
-    writeBoundsSidecar(spark, outDir, bounds)
-    bounds
+    readBoundsSidecar(spark, outDir) match {
+      case Some(bounds) =>
+        writeShardsPinned(df, outDir, keyCol, bounds)
+        writeBoundsSidecar(spark, outDir, bounds) // no-op when unchanged
+        bounds
+      case None =>
+        val snap = if (snapshotOnDerive) df.localCheckpoint(true) else df
+        val bounds = boundariesFromRanks(snap, keyCol, numShards)
+        writeShardsPinned(snap, outDir, keyCol, bounds)
+        writeBoundsSidecar(spark, outDir, bounds)
+        bounds
+    }
   }
 
   /** Shard inventory of a written directory: one row per data file with

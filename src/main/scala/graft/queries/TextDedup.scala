@@ -308,9 +308,13 @@ object TextDedup {
     // are ShardWriterSpec's job.
     "q95_shard_layout" -> ((s, d) => {
       val out = queryTmpDir("q95", s, d)
+      // snapshotOnDerive=false: the input is a WIDE frame straight off
+      // a parquet read (doc_id + text payload) — the derive's second
+      // pass is a column-pruned key re-scan of the table, cheaper than
+      // materializing the text payload to executor-local disk
       graft.io.ShardWriter.writeShardsDerived(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
-        out, "doc_id", numShards = 4): Unit
+        out, "doc_id", numShards = 4, snapshotOnDerive = false): Unit
       s.read.parquet(out)
         .groupBy(col("shard").cast("int").as("shard"))
         .agg(count(lit(1)).as("n_rows"),

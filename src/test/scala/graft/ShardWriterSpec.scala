@@ -183,4 +183,61 @@ class ShardWriterSpec extends AnyFunSuite {
     val bW2 = ShardWriter.writeShardsDerived(grown, out, "doc_id", 4)
     assert(bW2 == b1, "sidecar boundaries were not reused on re-write")
   }
+
+  test("writeShardsDerived evaluates the upstream chain ONCE on the " +
+    "derive path: the snapshot feeds both the rank sort and the " +
+    "pinned write (the q119 derive-cost contract)") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("upstream_evals")
+    val counted = (1L to 1000L).map(i => (i, s"d$i"))
+      .toDF("doc_id", "payload")
+      .as[(Long, String)]
+      .map { r => acc.add(1); r }
+      .toDF("doc_id", "payload")
+    val out = TestDirs.tmp("derive_once").toFile.getAbsolutePath
+    val bounds = ShardWriter.writeShardsDerived(counted, out, "doc_id", 4)
+    assert(bounds.size == 3)
+    assert(spark.read.parquet(out).count() == 1000)
+    assert(acc.value == 1000,
+      s"upstream chain evaluated ${acc.value / 1000.0}× on the derive " +
+        "path — the snapshot is not feeding both consumers")
+  }
+
+  test("sidecar is crash-safe: it lives OUTSIDE the overwritten layout " +
+    "directory (survives a re-write that dies before re-pinning), a " +
+    "degenerate zero-boundary pin round-trips, and the legacy in-dir " +
+    "location is still read") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    val out = TestDirs.tmp("sidecar_safe").toFile.getAbsolutePath
+    val bounds = ShardWriter.writeShardsDerived(df, out, "doc_id", 4)
+    // simulate the crash window: a later re-write commits its data
+    // overwrite and dies before touching the sidecar — the pin must
+    // already have survived the overwrite (sibling path, never cleared)
+    ShardWriter.writeShardsPinned(df, out, "doc_id", bounds)
+    assert(ShardWriter.readBoundsSidecar(spark, out).contains(bounds),
+      "the data overwrite destroyed the boundary pin")
+
+    // degenerate corpus: one distinct key ⇒ zero boundaries; the blank
+    // sidecar payload must round-trip to Seq.empty, not a parse error
+    val one = Seq((7L, "only")).toDF("doc_id", "payload")
+    val outOne = TestDirs.tmp("sidecar_empty").toFile.getAbsolutePath
+    assert(ShardWriter.writeShardsDerived(one, outOne, "doc_id", 4).isEmpty)
+    assert(ShardWriter.readBoundsSidecar(spark, outOne)
+      .contains(Seq.empty[Long]), "blank pin did not round-trip")
+    // and the re-write consumes the empty pin without crashing
+    assert(ShardWriter.writeShardsDerived(one, outOne, "doc_id", 4).isEmpty)
+
+    // legacy layouts (pre-sibling builds) carry the pin INSIDE the dir
+    val outLegacy = TestDirs.tmp("sidecar_legacy").toFile.getAbsolutePath
+    val legacy = Seq(40L, 80L)
+    ShardWriter.writeShardsPinned(df, outLegacy, "doc_id", legacy)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outLegacy, "_graft_shard_bounds"),
+      (legacy.mkString(",") + "\n").getBytes("UTF-8"))
+    assert(ShardWriter.readBoundsSidecar(spark, outLegacy).contains(legacy),
+      "legacy in-dir sidecar not read")
+    assert(ShardWriter.writeShardsDerived(df, outLegacy, "doc_id", 4)
+      == legacy, "legacy pin not reused by a derived re-write")
+  }
 }
