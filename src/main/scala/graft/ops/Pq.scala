@@ -306,6 +306,13 @@ object Pq {
     * layout-agnostic — it moves rows by cell directory regardless of
     * which columns ride along — so the identical compaction pass
     * applies (spec-proven on an IVF-PQ layout).
+    *
+    * For a layout with a refine companion ([[ivfPqIndexWritePair]]),
+    * use [[ivfPqIndexAppendPair]] instead: appending the code tree
+    * alone desyncs the pair — the stamps stay valid, the appended ids
+    * become candidates, and the refine fetch drops them silently
+    * (caught loudly by [[ivfPqSearchRefined]]'s pair-sync guard, but
+    * the repair is the paired append).
     */
   def ivfPqIndexAppend(newVectors: DataFrame, idCol: String,
       vecCol: String, indexDir: String, centroids: DataFrame,
@@ -320,6 +327,66 @@ object Pq {
         centroidVecCol), cb)
     Similarity.appendToStampedLayout(assigned, indexDir, stamp,
       "ivfPqIndexAppend")
+  }
+
+  /** Append to BOTH trees of an [[ivfPqIndexWritePair]] layout in one
+    * call — the ingest path that keeps the refine pair in sync.
+    * Appending to the code tree alone ([[ivfPqIndexAppend]]) leaves the
+    * vector tree without the new rows: both stamps still verify (the
+    * codebooks are unchanged), the probe surfaces the appended ids as
+    * candidates, and the refine fetch silently drops them — recall
+    * degrades with no error. This call assigns the batch ONCE
+    * (batch-sized checkpoint) and appends the full vectors and the PQ
+    * codes from the same assignment, so the trees keep agreeing
+    * row-for-row.
+    *
+    * Crash contract: the VECTOR tree appends first. A crash between the
+    * two appends leaves vectors-ahead — the appended rows are simply
+    * not yet probe-visible (the same state as a not-yet-ingested
+    * batch), never the silent-drop state; [[ivfPqSearchRefined]]'s
+    * pair-sync guard additionally refuses any probe whose candidate
+    * cells disagree between the trees, so the half-appended state is
+    * repaired (re-run the pair append after restoring agreement — e.g.
+    * re-write the pair), not silently served. Both trees' stamps are
+    * verified BEFORE either write.
+    */
+  def ivfPqIndexAppendPair(newVectors: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, vectorsDir: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      cb: Codebook): Unit = {
+    require(newVectors.columns.contains(idCol) &&
+      newVectors.columns.contains(vecCol),
+      s"ivfPqIndexAppendPair: newVectors needs columns '$idCol' and " +
+        s"'$vecCol' (has ${newVectors.columns.mkString(", ")})")
+    val spark = newVectors.sparkSession
+    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
+      centroidVecCol)
+    val ivfStamp = Similarity.codebookStamp(cents)
+    val pairStamp = combinedStamp(ivfStamp, cb)
+    // verify BOTH trees before either write: failing the second append
+    // after the first committed would manufacture the very desync this
+    // call exists to prevent
+    Similarity.verifyStamp(spark.read.parquet(vectorsDir), ivfStamp,
+      "ivfPqIndexAppendPair",
+      desc = "vector tree assigned under a different codebook"): Unit
+    Similarity.verifyStamp(spark.read.parquet(indexDir), pairStamp,
+      "ivfPqIndexAppendPair",
+      desc = "code tree built under different codebooks"): Unit
+    // one assignment for both trees — batch-sized, checkpointed so the
+    // two appends don't re-run the distance fold
+    val assigned = Similarity.ivfAssignLocal(
+      newVectors.select(col(idCol), col(vecCol)), vecCol, cents)
+      .localCheckpoint(false)
+    Similarity.appendToStampedLayout(
+      assigned.withColumn("_params", lit(ivfStamp)),
+      vectorsDir, ivfStamp, "ivfPqIndexAppendPair",
+      desc = "vector tree assigned under a different codebook")
+    Similarity.appendToStampedLayout(
+      encode(assigned, vecCol, cb)
+        .select(col(idCol), col("pq_code"), col("cell"))
+        .withColumn("_params", lit(pairStamp)),
+      indexDir, pairStamp, "ivfPqIndexAppendPair",
+      desc = "code tree built under different codebooks")
   }
 
   /** Batch ANN against a RELOADED IVF-PQ index: probe-cell selection
@@ -480,6 +547,31 @@ object Pq {
     // before collecting so the IN-list is type-stable
     val candCells = cand.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
+    // PAIR-SYNC GUARD: the code tree and the vector tree agree
+    // row-for-row when built/appended as a pair ([[ivfPqIndexWritePair]]
+    // / [[ivfPqIndexAppendPair]]); an append to ONE tree keeps both
+    // stamps valid (the codebooks are unchanged) but desyncs the rows,
+    // and the fetch's inner join would then silently drop appended
+    // candidates from the refine results. Count the candidate cells on
+    // both sides — partition-pruned, column-pruned scans (row counts
+    // come from footer metadata; no code or vector payload is read) —
+    // and refuse a desynced pair loudly.
+    val codeRows = index
+      .filter(col("cell").cast("long").isin(candCells: _*)).count()
+    val vecRows = checkedVecs
+      .filter(col("cell").cast("long").isin(candCells: _*)).count()
+    if (codeRows != vecRows) throw new IllegalStateException(
+      "ivfPqSearchRefined: code tree and vector tree disagree in the " +
+        s"candidate cells (${candCells.mkString(",")}): $codeRows code " +
+        s"rows vs $vecRows vector rows. " +
+        (if (codeRows > vecRows)
+          "The code tree is ahead — refining would silently drop the " +
+            "extra rows' candidates. "
+        else
+          "The vector tree is ahead — the code tree is stale and the " +
+            "probe is blind to the extra rows. ") +
+        "Append with ivfPqIndexAppendPair (or rebuild with " +
+        "ivfPqIndexWritePair) so both trees ingest together.")
     val qv = queries.select(col(queryIdCol).as("qid"),
       col(queryVecCol).cast("array<double>").as("qvec"))
     val wTop = Window.partitionBy(col("qid"))

@@ -344,4 +344,71 @@ class PqSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("refine vector layout"))
   }
+
+  test("a refine pair desynced by a code-tree-only append is refused " +
+    "loudly (both stamps still verify); ivfPqIndexAppendPair ingests " +
+    "both trees together and matches a single-shot pair build") {
+    import spark.implicits._
+    val vecs = randVecs(200, 8, 191)
+    val df = vecs.toDF("id", "vec")
+    val cb = Pq.train(df, "id", "vec", m = 2, k = 4, sampleN = 200)
+    val cents = vecs.take(4).toDF("cid", "cvec")
+    val (base, extra) = vecs.partition(_._1 < 150)
+    val queries = vecs.take(2).toDF("id", "vec")
+    def refine(dir: String, vecDir: String): Seq[(Long, Long, Double)] =
+      Pq.ivfPqSearchRefined(queries, "id", "vec",
+        spark.read.parquet(dir), spark.read.parquet(vecDir), "id", "vec",
+        cents, "cid", "cvec", cb, k = 3, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+
+    val dir = TestDirs.tmp("ivfpq_pair").toFile.getAbsolutePath
+    val vecDir = TestDirs.tmp("ivfpq_pair_v").toFile.getAbsolutePath
+    Pq.ivfPqIndexWritePair(base.toDF("id", "vec"), "id", "vec", cents,
+      "cid", "cvec", cb, dir, vecDir)
+    assert(refine(dir, vecDir).nonEmpty) // the synced pair probes green
+    // DESYNC: append the code tree ALONE — the codebooks are unchanged
+    // so both sidecar stamps still verify, but the appended rows have
+    // no vectors to refine against; the pair-sync guard must refuse
+    Pq.ivfPqIndexAppend(extra.toDF("id", "vec"), "id", "vec", dir,
+      cents, "cid", "cvec", cb)
+    val e = intercept[IllegalStateException] { refine(dir, vecDir) }
+    assert(e.getMessage.contains("disagree") &&
+      e.getMessage.contains("code tree is ahead"), e.getMessage)
+    // repair: bring the vector tree level — the pair probes green again
+    Similarity.ivfIndexAppend(extra.toDF("id", "vec"), "id", "vec",
+      vecDir, cents, "cid", "cvec")
+    val repaired = refine(dir, vecDir)
+
+    // the paired append is the ingest path: one call, both trees, and
+    // the result equals BOTH the repaired pair above and a single-shot
+    // pair build over the union
+    val dir2 = TestDirs.tmp("ivfpq_pair2").toFile.getAbsolutePath
+    val vecDir2 = TestDirs.tmp("ivfpq_pair2_v").toFile.getAbsolutePath
+    Pq.ivfPqIndexWritePair(base.toDF("id", "vec"), "id", "vec", cents,
+      "cid", "cvec", cb, dir2, vecDir2)
+    Pq.ivfPqIndexAppendPair(extra.toDF("id", "vec"), "id", "vec",
+      dir2, vecDir2, cents, "cid", "cvec", cb)
+    assert(refine(dir2, vecDir2) == repaired)
+    val oneDir = TestDirs.tmp("ivfpq_pair_one").toFile.getAbsolutePath
+    val oneVec = TestDirs.tmp("ivfpq_pair_one_v").toFile.getAbsolutePath
+    Pq.ivfPqIndexWritePair(df, "id", "vec", cents, "cid", "cvec", cb,
+      oneDir, oneVec)
+    assert(refine(oneDir, oneVec) == repaired,
+      "append-built pair diverged from the single-shot pair build")
+
+    // a paired append under a foreign PQ codebook refuses BEFORE
+    // either tree is touched (no half-appended pair)
+    val rowsCode = spark.read.parquet(dir2).count()
+    val rowsVec = spark.read.parquet(vecDir2).count()
+    val other = Pq.Codebook(cb.flat.map(_ + 0.25), cb.m, cb.k)
+    val e2 = intercept[IllegalStateException] {
+      Pq.ivfPqIndexAppendPair(extra.take(3).toDF("id", "vec"), "id",
+        "vec", dir2, vecDir2, cents, "cid", "cvec", other)
+    }
+    assert(e2.getMessage.contains("different codebook"))
+    assert(spark.read.parquet(dir2).count() == rowsCode &&
+      spark.read.parquet(vecDir2).count() == rowsVec,
+      "refused pair append still wrote rows")
+  }
 }
