@@ -519,21 +519,65 @@ object Similarity {
     * listing (metadata-only); their rows are read with the same
     * `cell IN (...)` partition pruning the probes use, shuffled so
     * each cell lands in one task, and written to a temp subtree; each
-    * cell directory is then swapped in via delete + rename. The swap
-    * is atomic PER CELL (one rename), not across cells — run
+    * cell directory is then swapped in via delete + rename. Run
     * compaction from the ingest owner, not concurrently with itself;
     * a reader racing a swap can transiently miss one cell's rows, the
     * same contract as any non-transactional parquet rewrite. The
     * sidecar stamp is untouched: compaction moves rows, never
     * reassigns them.
+    *
+    * CRASH RECOVERY: the swap is RESUMABLE via the same
+    * [[graft.streaming.IdempotentSink.FoldManifest]] protocol as
+    * `compactBatches`. The temp tree is fully written, then the
+    * manifest (the compacted cell ids) commits INSIDE it — only after
+    * that does any cell directory delete. A re-run that finds the
+    * manifest FINISHES the pending per-cell swaps (a cell present in
+    * the temp tree is renamed in — including one whose source dir a
+    * crash already deleted; a cell absent from the temp tree was
+    * already swapped) instead of rewriting the temp tree, which would
+    * destroy the only copy of a deleted cell's rows. A temp tree
+    * WITHOUT a manifest is an incomplete write (no source was touched
+    * yet) and is safely rewritten; `maxFilesPerCell` is ignored while
+    * a pending swap exists (the manifest pins that compaction).
     */
   def compactCells(spark: SparkSession, indexDir: String,
       maxFilesPerCell: Int = 4, partitionCol: String = "cell")
   : Seq[Long] = {
     require(maxFilesPerCell >= 1,
       s"maxFilesPerCell must be ≥1 (got $maxFilesPerCell)")
+    import graft.streaming.IdempotentSink
     val (fs, root) = fsOf(spark, indexDir)
     val prefix = partitionCol + "="
+    val tmp = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "_compact_tmp")
+    val manifest = new org.apache.hadoop.fs.Path(
+      tmp, IdempotentSink.FoldManifest)
+    def finishSwap(cells: Seq[Long]): Seq[Long] = {
+      cells.foreach { cid =>
+        val oldDir = new org.apache.hadoop.fs.Path(root, s"$prefix$cid")
+        val newDir = new org.apache.hadoop.fs.Path(tmp, s"$prefix$cid")
+        if (fs.exists(newDir)) {
+          fs.delete(oldDir, true)
+          if (!fs.rename(newDir, oldDir))
+            throw new java.io.IOException(
+              s"compactCells: rename $newDir -> $oldDir failed — " +
+                s"$partitionCol $cid's rows are in the temp tree, not " +
+                "the index; re-run to resume")
+        } else require(fs.exists(oldDir),
+          s"compactCells: $prefix$cid is in the pending-swap manifest " +
+            "but present in neither tree — the layout needs manual repair")
+        // newDir absent + oldDir present ⇒ this cell's swap already
+        // finished before the crash; nothing to do
+      }
+      // every cell dir has been renamed out; what remains of the temp
+      // tree is the manifest + writer metadata — dropping it retires
+      // the pending swap
+      fs.delete(tmp, true): Unit
+      spark.catalog.refreshByPath(indexDir)
+      cells
+    }
+    if (fs.exists(manifest))
+      return finishSwap(IdempotentSink.readFoldManifest(fs, manifest)._2)
     val cellDirs = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
     def parquetCount(d: org.apache.hadoop.fs.Path): Int =
@@ -542,28 +586,17 @@ object Similarity {
       .filter(d => parquetCount(d.getPath) > maxFilesPerCell)
       .map(_.getPath.getName.stripPrefix(prefix).toLong)
       .toSeq.sorted
-    if (fragmented.nonEmpty) {
-      val tmp = new org.apache.hadoop.fs.Path(
-        root.getParent, root.getName + "_compact_tmp")
-      // partition-pruned read of just the fragmented cells; repartition
-      // on the partition column puts each in one task ⇒ one file per dir
-      spark.read.parquet(indexDir)
-        .filter(col(partitionCol).isin(fragmented: _*))
-        .repartition(fragmented.size, col(partitionCol))
-        .write.partitionBy(partitionCol).mode("overwrite")
-        .parquet(tmp.toString)
-      fragmented.foreach { cid =>
-        val oldDir = new org.apache.hadoop.fs.Path(root, s"$prefix$cid")
-        val newDir = new org.apache.hadoop.fs.Path(tmp, s"$prefix$cid")
-        fs.delete(oldDir, true)
-        if (!fs.rename(newDir, oldDir))
-          throw new java.io.IOException(
-            s"compactCells: rename $newDir -> $oldDir failed — " +
-              s"$partitionCol $cid's rows are in the temp tree, not the index")
-      }
-      fs.delete(tmp, true): Unit
-    }
-    fragmented
+    if (fragmented.isEmpty) return fragmented
+    // partition-pruned read of just the fragmented cells; repartition
+    // on the partition column puts each in one task ⇒ one file per dir
+    spark.read.parquet(indexDir)
+      .filter(col(partitionCol).isin(fragmented: _*))
+      .repartition(fragmented.size, col(partitionCol))
+      .write.partitionBy(partitionCol).mode("overwrite")
+      .parquet(tmp.toString)
+    IdempotentSink.writeFoldManifest(fs, manifest, fragmented.head,
+      fragmented)
+    finishSwap(fragmented)
   }
 
   /** IVF probe against a RELOADED [[ivfIndex]]: pick the query vector's

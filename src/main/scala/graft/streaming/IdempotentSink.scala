@@ -144,8 +144,10 @@ object IdempotentSink {
   /** The resumable-swap commit record: its presence inside a temp tree
     * means the consolidated rows are COMPLETE and the source-dir
     * deletes may have begun — a re-run must finish the swap, never
-    * rewrite the tree. Shared by [[compactBatches]] and
-    * [[graft.ops.Similarity.compactCells]].
+    * rewrite the tree. Shared by [[compactBatches]] (payload: target
+    * batch id + folded batch ids) and
+    * [[graft.ops.Similarity.compactCells]] (payload: the compacted
+    * cell ids), each crash-injection-spec'd in StreamingSpec.
     */
   private[graft] val FoldManifest = "_graft_fold"
 

@@ -676,6 +676,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(idxDir).count() == vecs.size)
     assert(probe(idxDir) == expected,
       "batch compaction changed probe results")
+    // the post-compaction pruning claim, COUNTED from disk (the
+    // "probe-side file count stops growing with stream age" contract):
+    // the probe scan's numFiles equals exactly the probed cells' file
+    // count under the consolidated _batch subtree
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probed2 = Pq.ivfPqSearchBatch(queries, "vec_id", "embedding",
+        spark.read.parquet(idxDir), "vec_id", cents, "cid", "cvec", cb,
+        k = 5, nProbe = 2)
+      probed2.collect()
+      val scan2 = probed2.queryExecution.executedPlan.collectLeaves()
+        .collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.schema.fieldNames.contains("pq_code") => s
+        }.headOption.getOrElse(fail("no post-compaction index scan leaf"))
+      val cellsProbed = "cell#\\d+L? IN \\(([^)]*)\\)".r
+        .findFirstMatchIn(scan2.toString)
+        .map(_.group(1).split(",").map(_.trim.toLong).toSet)
+        .getOrElse(fail(s"no cell IN-list in:\n${scan2.toString.take(1200)}"))
+      val consolidated = new java.io.File(idxDir, s"_batch=${folded.head}")
+      val wantFiles = consolidated.listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .filter(d => cellsProbed(d.getName.stripPrefix("cell=").toLong))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+      assert(wantFiles > 0, "probed cells have no files to count")
+      assert(scan2.metrics("numFiles").value == wantFiles,
+        s"post-compaction probe read ${scan2.metrics("numFiles").value} " +
+          s"files, expected the $wantFiles under cells $cellsProbed of " +
+          s"the consolidated ${consolidated.getName} subtree")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     assert(graft.streaming.IdempotentSink.compactBatches(
       spark, idxDir, "cell", uptoBatch = lastBatch).isEmpty,
       "compactBatches is not idempotent")
@@ -757,6 +787,127 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.values.flatten.map(r => (r._1, r._2)).toSet ===
       Set((9L, 0L), (11L, 0L)),
       "expected exactly the two planted near-dups flagged")
+  }
+
+  test("compactCells crash recovery: a temp tree with a committed " +
+    "manifest RESUMES the per-cell swaps (including a cell whose " +
+    "source dir the crash already deleted); a temp tree without a " +
+    "manifest is rewritten, never trusted") {
+    import spark.implicits._
+    import graft.streaming.IdempotentSink
+    def freshFragmented(tag: String): String = {
+      val dir = TestDirs.tmp(tag).toFile.getAbsolutePath
+      val df = (0L until 30L).map(i => (i, i % 2)).toDF("id", "cell")
+      for (_ <- 1 to 3) // 3 appends ⇒ 3 files per cell directory
+        df.repartition(2, col("cell")).write.partitionBy("cell")
+          .mode("append").parquet(dir)
+      dir
+    }
+    def rowsOf(dir: String): Set[(Long, Long)] =
+      spark.read.parquet(dir)
+        .select(col("id"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def fileCounts(dir: String): Map[String, Int] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+
+    // ---- crash AFTER the manifest committed, mid-swap: cell=0's
+    // source dir is already deleted (its only copy is the temp tree)
+    val dirA = freshFragmented("ccells_resume")
+    val expected = rowsOf(dirA)
+    val fs = new org.apache.hadoop.fs.Path(dirA)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmpA = new org.apache.hadoop.fs.Path(dirA + "_compact_tmp")
+    spark.read.parquet(dirA).repartition(2, col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(tmpA.toString)
+    IdempotentSink.writeFoldManifest(fs,
+      new org.apache.hadoop.fs.Path(tmpA, IdempotentSink.FoldManifest),
+      0L, Seq(0L, 1L))
+    fs.delete(new org.apache.hadoop.fs.Path(dirA, "cell=0"), true)
+    // maxFilesPerCell is deliberately vacuous: the pending manifest —
+    // not a fresh fragmentation scan — must drive the resume
+    val resumed = graft.ops.Similarity.compactCells(spark, dirA,
+      maxFilesPerCell = 999)
+    assert(resumed == Seq(0L, 1L), s"resume compacted $resumed")
+    assert(rowsOf(dirA) == expected,
+      "resumed swap lost or duplicated rows")
+    assert(fileCounts(dirA).values.forall(_ == 1),
+      s"cells not consolidated: ${fileCounts(dirA)}")
+    assert(!fs.exists(tmpA), "pending temp tree not retired")
+    assert(graft.ops.Similarity.compactCells(spark, dirA,
+      maxFilesPerCell = 1).isEmpty, "compaction is not idempotent")
+
+    // ---- crash BEFORE the manifest: a partial temp tree (here: one
+    // cell, truncated rows) must be rewritten — no source was deleted
+    val dirB = freshFragmented("ccells_rewrite")
+    val expectedB = rowsOf(dirB)
+    val tmpB = dirB + "_compact_tmp"
+    spark.read.parquet(dirB).filter(col("cell") === 1 && col("id") < 5)
+      .write.partitionBy("cell").mode("overwrite").parquet(tmpB)
+    val compacted = graft.ops.Similarity.compactCells(spark, dirB,
+      maxFilesPerCell = 1)
+    assert(compacted == Seq(0L, 1L))
+    assert(rowsOf(dirB) == expectedB,
+      "a manifest-less temp tree leaked into the layout")
+    assert(fileCounts(dirB).values.forall(_ == 1))
+  }
+
+  test("compactBatches crash recovery: a committed manifest finishes " +
+    "the fold (surviving source subtrees deleted, temp tree renamed " +
+    "in) even when a source _batch dir is already gone; a manifest-" +
+    "less temp tree is rewritten from the sources") {
+    import spark.implicits._
+    import graft.streaming.IdempotentSink
+    def freshTree(tag: String): String = {
+      val out = TestDirs.tmp(tag).toFile.getAbsolutePath
+      for (b <- 0L to 2L)
+        IdempotentSink.indexByBatch(out, "cell")(
+          (0L until 10L).map(i => (b * 100 + i, i % 2))
+            .toDF("id", "cell"), b)
+      out
+    }
+    def rowsOf(dir: String): Set[Long] =
+      spark.read.parquet(dir).select(col("id"))
+        .collect().map(_.getLong(0)).toSet
+    def batchDirs(dir: String): Seq[String] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("_batch=")).map(_.getName).toSeq.sorted
+
+    // ---- crash mid-fold, after the manifest: _batch=0 already deleted
+    val outA = freshTree("cbatch_resume")
+    val expected = rowsOf(outA)
+    val fs = new org.apache.hadoop.fs.Path(outA)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmpA = new org.apache.hadoop.fs.Path(outA + "_compact_tmp")
+    spark.read.parquet(outA).drop("_batch").repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(tmpA.toString)
+    IdempotentSink.writeFoldManifest(fs,
+      new org.apache.hadoop.fs.Path(tmpA, IdempotentSink.FoldManifest),
+      0L, Seq(0L, 1L, 2L))
+    fs.delete(new org.apache.hadoop.fs.Path(outA, "_batch=0"), true)
+    // uptoBatch is deliberately vacuous: the manifest pins the fold
+    val folded = IdempotentSink.compactBatches(spark, outA, "cell",
+      uptoBatch = -999L)
+    assert(folded == Seq(0L, 1L, 2L), s"resume folded $folded")
+    assert(batchDirs(outA) == Seq("_batch=0"),
+      s"unexpected batch dirs: ${batchDirs(outA)}")
+    assert(rowsOf(outA) == expected, "resumed fold lost or duplicated rows")
+    assert(!fs.exists(tmpA), "pending temp tree not retired")
+
+    // ---- crash before the manifest: partial temp tree, sources intact
+    val outB = freshTree("cbatch_rewrite")
+    val expectedB = rowsOf(outB)
+    spark.read.parquet(outB).drop("_batch").filter(col("id") < 3)
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(outB + "_compact_tmp")
+    val foldedB = IdempotentSink.compactBatches(spark, outB, "cell",
+      uptoBatch = 2L)
+    assert(foldedB == Seq(0L, 1L, 2L))
+    assert(batchDirs(outB) == Seq("_batch=0"))
+    assert(rowsOf(outB) == expectedB,
+      "a manifest-less temp tree leaked into the fold")
   }
 
   test("watermarked tumbling-window aggregation (streaming)") {
