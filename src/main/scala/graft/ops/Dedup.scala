@@ -634,7 +634,10 @@ object Dedup {
     * token-set Jaccard saturates on template corpora (shared vocabulary
     * ⇒ candidates approach batch×corpus — measured 10× slower on the
     * synthetic corpus), while shingles only collide on preserved local
-    * word order. Pass `tokensOf` to override.
+    * word order. Pass `tokensOf` to override — unlike the index-backed
+    * variants there is no `tokensTag` here: the inline path derives
+    * every artifact from `tokensOf` within one call and persists
+    * nothing, so there is no stored stamp for a tag to name.
     *
     * The narrow batch frame (id, fingerprint, token set) materializes
     * ONCE via a (lazy) local checkpoint: it feeds three broadcasts
@@ -653,8 +656,7 @@ object Dedup {
   def crossDedupFlags(batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.3,
-      tokensOf: Column => Column = wordShingles(_, 3),
-      tokensTag: String = "ws3"): DataFrame = {
+      tokensOf: Column => Column = wordShingles(_, 3)): DataFrame = {
     require(numHashes > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must split evenly into $bands bands")
     val bToks = batch.select(col(idCol).as("id"),
@@ -775,6 +777,23 @@ object Dedup {
       tokensTag: String = "ws3"): String =
     s"mh$numHashes/b$bands/$tokensTag"
 
+  /** Stamps a lookup/append under (numHashes, bands, tokensTag)
+    * ACCEPTS: the current three-field format, plus — when `tokensTag`
+    * is the default "ws3" — the two-field `mh<n>/b<b>` format written
+    * before the stamp named its tokenizer. Every pre-tag layout was
+    * necessarily built with the default `wordShingles(_, 3)` (the tag
+    * was introduced WITH the first non-default tokenizer support), so
+    * the two-field stamp identifies the same banding family and
+    * refusing it would orphan existing layouts for no safety gain; a
+    * NON-default tag never matches a legacy stamp — the legacy layout
+    * cannot prove its tokenizer, which is exactly the mismatch the
+    * stamp exists to catch.
+    */
+  private def acceptedBandParams(numHashes: Int, bands: Int,
+      tokensTag: String): Seq[String] =
+    Seq(bandParams(numHashes, bands, tokensTag)) ++
+      (if (tokensTag == "ws3") Seq(s"mh$numHashes/b$bands") else Nil)
+
   /** Build AND persist the [[corpusIndexes]] triple under one root —
     * `dir/fp` (fingerprints), `dir/band` (`partitionBy("band")` with
     * the banding-params stamp + O(1) sidecar), `dir/tok` (token sets)
@@ -851,8 +870,17 @@ object Dedup {
       .localCheckpoint(false) // batch-sized: one text pass feeds all three
     val (fpI, bandI, tokI) = corpusIndexesFromProfile(prof,
       numHashes, bands, tokensTag)
-    Similarity.appendToStampedLayout(bandI, s"$dir/band",
-      bandParams(numHashes, bands, tokensTag), "corpusIndexesAppend",
+    // appending to a LEGACY layout (two-field pre-tokenizer-tag stamp,
+    // accepted under the default tag — [[acceptedBandParams]]): verify
+    // against and stamp the new rows with the layout's OWN stamp, so
+    // the tree stays stamp-homogeneous instead of mixing formats
+    val layoutStamp = Similarity.readStampSidecar(
+      newDocs.sparkSession, s"$dir/band")
+      .filter(acceptedBandParams(numHashes, bands, tokensTag).contains)
+      .getOrElse(bandParams(numHashes, bands, tokensTag))
+    Similarity.appendToStampedLayout(
+      bandI.withColumn("_params", lit(layoutStamp)), s"$dir/band",
+      layoutStamp, "corpusIndexesAppend",
       partitionCol = "band",
       desc = "band index built under different banding params")
     fpI.write.mode("append").parquet(s"$dir/fp")
@@ -890,15 +918,15 @@ object Dedup {
     // build stamp, force-verify it per row; a stampless index
     // (hand-built or bandRowsOf-era) can't be verified, so flag it
     // loudly rather than reintroducing the silent-empty failure mode
-    val wantStamp = bandParams(numHashes, bands, tokensTag)
+    val accepted = acceptedBandParams(numHashes, bands, tokensTag)
     val sidecar = Similarity.singleRootOf(bandIdx)
       .flatMap(root => Similarity.readStampSidecar(
         bandIdx.sparkSession, root))
     sidecar.foreach { s =>
-      if (s != wantStamp) throw new IllegalStateException(
+      if (!accepted.contains(s)) throw new IllegalStateException(
         "crossDedupFlagsFromIndexes: band index built under different " +
-          s"banding params than this lookup (expected $wantStamp, " +
-          s"sidecar has $s)")
+          s"banding params than this lookup (expected one of " +
+          s"${accepted.mkString(" | ")}, sidecar has $s)")
     }
     val checkedIdx =
       if (sidecar.isDefined) {
@@ -917,9 +945,9 @@ object Dedup {
       }
       else bandIdx
         .filter(assert_true(
-          col("_params") === bandParams(numHashes, bands, tokensTag),
+          col("_params").isin(accepted: _*),
           concat(lit("band index built with different params than this " +
-            s"lookup (expected ${bandParams(numHashes, bands, tokensTag)},"
+            s"lookup (expected one of ${accepted.mkString(" | ")},"
             + " index has "), col("_params"), lit(")"))).isNull)
         .drop("_params")
     val bBands = bandRowsOf(bToks, col("toks"), "id", numHashes, bands)

@@ -879,4 +879,57 @@ class DedupSpec extends AnyFunSuite {
           "more than once")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("a legacy two-field band stamp (pre-tokenizer-tag layout) is " +
+    "accepted under the default tokenizer, refused under any other " +
+    "tag, and appends keep the legacy layout stamp-homogeneous") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((0L, base),
+      (1L, "other words that are entirely unrelated over here"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, base),
+      (11L, "fresh novel text never seen before anywhere at all"))
+      .toDF("doc_id", "text")
+    // build a PRE-TAG layout: two-field in-data stamps + two-field
+    // sidecar (what corpusIndexesWrite produced before the stamp named
+    // its tokenizer)
+    val legacy = "mh16/b4"
+    val dir = TestDirs.tmp("legacy_band").toFile.getAbsolutePath
+    val (fpI, bandI, tokI) = graft.ops.Dedup.corpusIndexesFromProfile(
+      graft.ops.Dedup.corpusProfile(corpus, "text", "doc_id"))
+    fpI.write.mode("overwrite").parquet(s"$dir/fp")
+    bandI.withColumn("_params", lit(legacy))
+      .write.partitionBy("band").mode("overwrite").parquet(s"$dir/band")
+    tokI.write.mode("overwrite").parquet(s"$dir/tok")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "band", "_graft_ivf_stamp"),
+      legacy.getBytes("UTF-8"))
+
+    def lookup(tag: String) =
+      graft.ops.Dedup.crossDedupFlagsFromIndexes(batch, "text", "doc_id",
+        spark.read.parquet(s"$dir/fp"), spark.read.parquet(s"$dir/band"),
+        spark.read.parquet(s"$dir/tok"), tokensTag = tag)
+    val inline = graft.ops.Dedup.crossDedupFlags(batch, corpus,
+      "text", "doc_id").orderBy("doc_id").collect().toSeq
+    assert(lookup("ws3").orderBy("doc_id").collect().toSeq == inline,
+      "legacy-stamped layout diverged from the inline flags")
+    // a NON-default tag must still refuse: the legacy stamp cannot
+    // prove which tokenizer built it
+    val e = intercept[IllegalStateException] { lookup("ws5") }
+    assert(e.getMessage.contains("banding params"), e.getMessage)
+
+    // append: verified against and stamped with the layout's OWN
+    // legacy stamp — one stamp format per tree, never a mixture
+    graft.ops.Dedup.corpusIndexesAppend(
+      Seq((20L, "an appended document with its own words then"))
+        .toDF("doc_id", "text"), "text", "doc_id", dir)
+    val stamps = spark.read.parquet(s"$dir/band")
+      .select(col("_params")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(stamps == Set(legacy),
+      s"append mixed stamp formats into the legacy layout: $stamps")
+    assert(lookup("ws3").count() == batch.count(),
+      "lookup against the appended legacy layout failed")
+  }
 }
