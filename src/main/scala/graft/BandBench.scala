@@ -116,6 +116,49 @@ object BandBench {
       .groupBy(identity).view.mapValues(_.size).toMap
     val histJson = missHist.toSeq.sorted
       .map { case (h, c) => s""""$h":$c""" }.mkString("{", ",", "}")
+    // --- band-bucket occupancy: the pre-verify candidate-pair count
+    // Σ_{band,bits} C(bucket,2), computed analytically from the codes
+    // (one scan + one small shuffle per layout) — this is the work the
+    // Hamming verify must absorb, and the quantity whose n²/2^bandBits
+    // growth the 128/32 layout exists to kill. Band extraction mirrors
+    // Dedup's MSB-first shift+mask layout exactly.
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val codes64 = docs.select(
+      column(graft.functions.Simhash64Code(
+        expression(wordShingles(col("text"), 3)))).as("code"))
+    val codes128 = docs.select(
+      column(graft.functions.Simhash64Code(
+        expression(wordShingles(col("text"), 3)))).as("hi"),
+      column(graft.functions.Simhash64CodeSalted(
+        expression(wordShingles(col("text"), 3)), "#2")).as("lo"))
+    def candCount(bandCols: Seq[org.apache.spark.sql.Column],
+        src: org.apache.spark.sql.DataFrame): Long =
+      src.select(explode(array(bandCols: _*)).as("bb"))
+        .groupBy(col("bb.band"), col("bb.bits")).count()
+        .agg(sum(expr("count * (count - 1) DIV 2")).as("c"))
+        .collect()(0).getLong(0)
+    def bands64(bandBits: Int) = {
+      val mask = (1L << bandBits) - 1
+      (0 until 64 / bandBits).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("code"), 64 - bandBits * (b + 1))
+            .bitwiseAND(lit(mask)).as("bits")))
+    }
+    val bands128 = {
+      val mask = (1L << 32) - 1
+      (0 until 4).map { b =>
+        val src = if (b < 2) col("hi") else col("lo")
+        val off = if (b < 2) b else b - 2
+        struct(lit(b).as("band"),
+          shiftrightunsigned(src, 64 - 32 * (off + 1))
+            .bitwiseAND(lit(mask)).as("bits"))
+      }
+    }
+    val cands16 = candCount(bands64(16), codes64)
+    val cands32 = candCount(bands64(32), codes64)
+    val cands128 = candCount(bands128, codes128)
+    println(s"candidates: 64/16=$cands16 64/32=$cands32 128/32=$cands128")
+
     // the 128-bit code is a DIFFERENT code space (its own H ≤ 3
     // semantic) — report set overlap vs the 64/16 truth, not "recall"
     val json =
@@ -126,7 +169,9 @@ object BandBench {
         f""""pairs_128_h4":${p128.size},"sec_128_h4":$sec128%.1f,""" +
         f""""overlap_h4_and_16":${(p128 & p16).size},""" +
         f""""only_128_h4":${(p128 -- p16).size},""" +
-        f""""only_16":${(p16 -- p128).size}}"""
+        f""""only_16":${(p16 -- p128).size},""" +
+        f""""cands_16":$cands16,"cands_32":$cands32,""" +
+        f""""cands_128_32":$cands128}"""
     println(json)
     try {
       java.nio.file.Files.writeString(

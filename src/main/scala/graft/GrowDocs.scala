@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Grows a template-heavy near-dup corpus from the sf documents table
+  * — the fixture SCALE_r11 §2 conceded BandBench lacked: its
+  * c-prefixed replication left every copy's simhash far from its
+  * source, so copies never shared a band bucket and the n²/2^bandBits
+  * occupancy term was never exercised against a colliding population.
+  *
+  * Here copies COLLIDE by construction:
+  *  - each family f draws a word pool from three source docs, shuffles
+  *    it with a family-seeded RNG (3-word shingles are order-sensitive,
+  *    so the shuffle makes family codes pairwise independent ACROSS
+  *    families even when they share a source doc), and cycles it to
+  *    `docWords` words;
+  *  - member 0 is the template verbatim; member m > 0 replaces exactly
+  *    ONE word with a doc-unique token, so ~3 of ~`docWords` shingles
+  *    change and the member's 64-bit simhash stays within a few bits
+  *    of the template's — the members share band buckets, which is the
+  *    "colliding corpus" property.
+  *
+  * Deterministic: doc id fully seeds every choice, so re-running at
+  * the same (n, familySize, docWords) reproduces the corpus bit-for-bit
+  * and BandBench runs are comparable across sessions.
+  *
+  * Usage: GrowDocs <sfDir> <outPath> <nDocs> [familySize=4] [docWords=120]
+  */
+object GrowDocs {
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outPath = args(1)
+    val n = args(2).toLong
+    val familySize = args.lift(3).map(_.toInt).getOrElse(4)
+    val docWords = args.lift(4).map(_.toInt).getOrElse(120)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-grow-docs")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // sf0.1 documents = 5000 rows / ~2.4 MB of text — a broadcast of
+    // the word arrays is trivially driver-safe at any target n
+    val src: Array[Array[String]] = Tables.documents(spark, srcDir)
+      .selectExpr("text").collect()
+      .map(_.getString(0).split("\\s+").filter(_.nonEmpty))
+    val bc = spark.sparkContext.broadcast(src)
+
+    spark.range(n).repartition(cpus.toInt).as[Long].mapPartitions { it =>
+      val pool = bc.value
+      it.map { id =>
+        val f = id / familySize
+        val m = (id % familySize).toInt
+        val rnd = new scala.util.Random(f * 1000003L + 29L)
+        val words0 = Array(
+          pool(((f * 3) % pool.length).toInt),
+          pool(((f * 3 + 1) % pool.length).toInt),
+          pool(((f * 3 + 2) % pool.length).toInt)).flatten.toSeq
+        val shuffled = rnd.shuffle(words0)
+        val words = Array.tabulate(docWords)(i => shuffled(i % shuffled.size))
+        if (m > 0) words((m * 31) % docWords) = s"u${id}x"
+        val text = words.mkString(" ")
+        (id, text, "en", "grown", text.length.toLong)
+      }
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$outPath/documents.parquet")
+
+    val nOut = spark.read.parquet(s"$outPath/documents.parquet").count()
+    println(s"wrote $nOut docs (familySize=$familySize, " +
+      s"docWords=$docWords) to $outPath/documents.parquet")
+    spark.stop()
+  }
+}
