@@ -195,8 +195,12 @@ object ShardWriter {
     val dest = sidecarPath(p)
     val payload = boundaries.mkString(",") + "\n"
     // idempotent re-pin of the same snapshot: nothing to do, and
-    // skipping keeps the delete+rename below off the common path
-    if (readBoundsSidecar(spark, outDir).contains(boundaries)) return
+    // skipping keeps the delete+rename below off the common path.
+    // Checks the SIBLING file only — NOT readBoundsSidecar, whose
+    // legacy in-dir fallback would satisfy this check and skip the
+    // write, leaving the pin in a location the next data overwrite
+    // deletes (a migration must always materialize the sibling)
+    if (readSidecarFile(fs, dest).contains(boundaries)) return
     val tmp = dest.suffix(".tmp")
     val out = fs.create(tmp, true)
     try out.write(payload.getBytes("UTF-8"))
@@ -269,14 +273,23 @@ object ShardWriter {
     val spark = df.sparkSession
     readBoundsSidecar(spark, outDir) match {
       case Some(bounds) =>
+        // re-pin BEFORE the data write: a no-op when the sibling sidecar
+        // already holds these bounds (the common case), but when the pin
+        // was read from the LEGACY in-dir location the overwrite below
+        // deletes it — writing the sibling first means no crash point in
+        // the migration can lose the pin
+        writeBoundsSidecar(spark, outDir, bounds)
         writeShardsPinned(df, outDir, keyCol, bounds)
-        writeBoundsSidecar(spark, outDir, bounds) // no-op when unchanged
         bounds
       case None =>
         val snap = if (snapshotOnDerive) df.localCheckpoint(true) else df
         val bounds = boundariesFromRanks(snap, keyCol, numShards)
         writeShardsPinned(snap, outDir, keyCol, bounds)
         writeBoundsSidecar(spark, outDir, bounds)
+        // the snapshot has served both consumers; release its blocks so
+        // repeated derive-writes in one session don't accumulate
+        // executor-local storage (each snapshot is a full copy of df)
+        if (snapshotOnDerive) snap.unpersist()
         bounds
     }
   }

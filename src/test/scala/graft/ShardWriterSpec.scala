@@ -239,5 +239,21 @@ class ShardWriterSpec extends AnyFunSuite {
       "legacy in-dir sidecar not read")
     assert(ShardWriter.writeShardsDerived(df, outLegacy, "doc_id", 4)
       == legacy, "legacy pin not reused by a derived re-write")
+    // the migration is crash-safe: the derived re-write materialized
+    // the SIBLING pin (writeBoundsSidecar runs BEFORE the data
+    // overwrite on the pinned path, and its idempotence check must
+    // consult the sibling only — a legacy-fallback match would skip
+    // the write and the overwrite would then delete the only pin).
+    // The in-dir copy is gone with the overwrite; the sibling carries
+    // the pin from here on.
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      outLegacy + "._graft_shard_bounds")),
+      "derived re-write over a legacy layout did not materialize the " +
+        "sibling pin — a crash mid-overwrite would have lost it")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      outLegacy, "_graft_shard_bounds")),
+      "data overwrite should have cleared the legacy in-dir pin")
+    assert(ShardWriter.readBoundsSidecar(spark, outLegacy).contains(legacy),
+      "sibling pin does not carry the legacy boundaries")
   }
 }
