@@ -71,6 +71,68 @@ object CurationOps {
       .withColumn("contaminated", col("n_shared") >= flagAt)
   }
 
+  /** [[decontaminate]] for a benchmark suite too big to broadcast as an
+    * exact set: a Bloom PREFILTER + exact-verify join, result-identical
+    * by construction (the verify kills the false positives), shipping
+    * ~1.44·log₂(1/fpp) BITS per bench gram instead of the gram strings.
+    *
+    * Why the broadcast variant stops scaling: the exact distinct bench
+    * shingle set must fit in the driver AND every executor — a 10⁸-gram
+    * suite at ~25 B/gram is multi-GB before join-hash overhead. The
+    * bloom at 3% fpp is 7.3 bits/item (~90 MB for 10⁸ grams), built in
+    * ONE distributed pass (native `BloomFilterAggregate` over
+    * `xxhash64(gram)`, the same machinery Spark's runtime row-level
+    * filtering injects) and applied as a codegen'd scan predicate
+    * (`BloomFilterMightContain` on a binary literal) — the corpus side's
+    * exploded grams (the trillions-of-rows side at 100 TB) drop to
+    * |true matches| + fpp·|corpus grams| BEFORE any shuffle. The
+    * exact-verify tail then joins only the SURVIVORS against the bench
+    * set — a shuffle join whose corpus side the bloom already cut ~1/fpp
+    * and whose bench side never materializes on the driver.
+    *
+    * `expectedBenchGrams` sizes the sketch; overshooting wastes bits,
+    * undershooting raises the realized fpp (never correctness — the
+    * verify is exact at any fpp, a degraded sketch only prefilters
+    * less). An EMPTY benchmark side yields the empty result directly
+    * (the aggregate has no rows to sketch).
+    */
+  def decontaminateBloom(docs: DataFrame, textCol: String, idCol: String,
+      benchPred: Column, minShared: Int = 3, flagAt: Int = 8,
+      expectedBenchGrams: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1) (got $fpp)")
+    def shinglesOf(df: DataFrame) = df.select(col(idCol),
+      TextFunctions.wordShingles(col(textCol), 3).as("shingles"))
+    val bench = shinglesOf(docs.filter(benchPred))
+      .select(explode(col("shingles")).as("gram")).distinct()
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedBenchGrams, fpp)
+    val bloom = bench.select(column(
+      new BloomFilterAggregate(expression(xxhash64(col("gram"))),
+        Literal(expectedBenchGrams), Literal(numBits))
+        .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val corpus = shinglesOf(docs.filter(!benchPred))
+      .select(col(idCol), explode(col("shingles")).as("gram"))
+    val verified =
+      if (bloom == null) corpus.join(bench, "gram") // empty bench ⇒ empty
+      else corpus
+        .filter(column(BloomFilterMightContain(
+          Literal(bloom, BinaryType), expression(xxhash64(col("gram"))))))
+        // exact-verify join: both sides are now survivor-sized; NOT
+        // broadcast by us — the point is the bench set never has to fit
+        // anywhere whole (AQE may still pick broadcast when it does fit)
+        .join(bench, "gram")
+    verified
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("contaminated", col("n_shared") >= flagAt)
+  }
+
   /** Gopher-style repetition quality rules: duplicate-token fraction
     * (1 - |set|/|bag|) and top-bigram fraction (max bigram multiplicity
     * over total bigrams), both rounded to 4. The three counts come from

@@ -171,6 +171,18 @@ object Curation {
           round(percentile(col("n"), lit(0.99)), 4).as("p99"),
           count(lit(1)).as("n_docs"))
         .orderBy("lang")
+    }),
+
+    // q98's semantics through the bloom-prefilter path — result-identical
+    // by construction (exact-verify tail), so it shares q98's oracle.
+    // The variant for a benchmark suite too big to broadcast exactly:
+    // ~7.3 bits/gram sketch + codegen'd scan predicate instead of an
+    // exact broadcast set.
+    "q128_decontaminate_bloom" -> ((s, d) => {
+      CurationOps.decontaminateBloom(Tables.documents(s, d), "text",
+        "doc_id", benchmarkPred, minShared = 3, flagAt = 8,
+        expectedBenchGrams = 1L << 16)
+        .orderBy("doc_id")
     })
   )
 
@@ -216,6 +228,24 @@ object Curation {
   def oracle: Map[String, String] = Map(
 
     "q98_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 19 = 0),
+        |corpus AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 19 <> 0)
+        |SELECT doc_id, count(*) AS n_shared, count(*) >= 8 AS contaminated
+        |FROM corpus JOIN bench USING (gram)
+        |GROUP BY doc_id HAVING count(*) >= 3
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical SQL to q98 on purpose: the bloom path is a pure
+    // prefilter (exact-verify tail) — the oracle asserts the bloom
+    // variant computes EXACTLY the broadcast variant's answer
+    "q128_decontaminate_bloom" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents),

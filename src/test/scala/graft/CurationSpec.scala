@@ -47,6 +47,41 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Seq((1L, 4L, true)))
   }
 
+  test("decontaminateBloom matches the exact broadcast variant (the " +
+    "bloom is a pure prefilter), plans the might_contain predicate, and " +
+    "handles an empty benchmark side") {
+    // wider corpus so the bloom prefilter has real negatives to drop:
+    // docs 0,10 are the benchmark; 1 copies a span from each; the rest
+    // share nothing
+    val docs = ((0L to 20L).map { i =>
+      if (i == 0L) (i, "one two three four five six seven eight")
+      else if (i == 10L) (i, "alpha beta gamma delta epsilon zeta")
+      else if (i == 1L) (i, "zz one two three four alpha beta gamma delta yy")
+      else (i, s"filler${i}a filler${i}b filler${i}c filler${i}d filler${i}e")
+    }).toDF("doc_id", "text")
+    val pred = col("doc_id") % 10 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    val exact = rows(CurationOps.decontaminate(
+      docs, "text", "doc_id", pred, minShared = 2, flagAt = 4))
+    val bloom = CurationOps.decontaminateBloom(
+      docs, "text", "doc_id", pred, minShared = 2, flagAt = 4,
+      expectedBenchGrams = 64)
+    assert(rows(bloom) === exact,
+      "bloom-prefiltered result diverged from the exact broadcast variant")
+    assert(exact.nonEmpty, "fixture lost its planted overlap")
+    // the prefilter is IN the plan (a codegen'd scan predicate), not an
+    // implementation hope
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no bloom predicate in the executed plan:\n$plan")
+    // an empty benchmark side must yield the empty result, not an NPE
+    // from a null sketch
+    val none = CurationOps.decontaminateBloom(
+      docs, "text", "doc_id", col("doc_id") < 0, minShared = 1)
+    assert(none.count() == 0, "empty bench side should flag nothing")
+  }
+
   test("redact masks digit runs and counts them") {
     val df = Seq((1L, """{"k": 42, "u": 1234}"""), (2L, "none")).toDF("id", "p")
     val got = CurationOps.redact(df, "p")
