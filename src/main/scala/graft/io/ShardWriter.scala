@@ -294,6 +294,43 @@ object ShardWriter {
     }
   }
 
+  /** Key-range read over a pinned shard layout — the boundary pin makes
+    * the layout an INDEX: `shardOf` is monotone in the key, so the keys
+    * in `[lo, hi]` live in exactly the shard ids
+    * `[shardOf(lo), shardOf(hi)]`, and a static `shard BETWEEN` predicate
+    * prunes every other shard DIRECTORY out of the scan at plan time
+    * (PartitionFilters, no file of a non-covering shard is listed or
+    * read — numFiles-gated in ShardWriterSpec). At 100 TB a layout of
+    * 10⁴ shards serves a point-ish range from one or two directories
+    * instead of a corpus scan; the residual `keyCol BETWEEN` pushes down
+    * to the parquet row groups of the covering shards, which are sorted
+    * by key, so min/max stats prune within the shard too.
+    *
+    * Refuses a layout without a boundary pin rather than degrading
+    * silently: without the sidecar, shard membership is unknowable and
+    * the "range read" would be a full scan wearing an index's name —
+    * read with `spark.read.parquet(...).filter(...)` explicitly if that
+    * is what you want.
+    */
+  def readKeyRange(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, keyCol: String, lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"empty key range [$lo, $hi]")
+    val bounds = readBoundsSidecar(spark, outDir).getOrElse(
+      throw new IllegalStateException(
+        s"readKeyRange: $outDir has no boundary pin ($BoundsSidecar " +
+          "sidecar) — shard membership is unknowable, so a pruned range " +
+          "read is impossible; write the layout via writeShardsDerived/" +
+          "writeBoundsSidecar, or full-scan with spark.read.parquet + " +
+          "filter if an unpruned read is intended"))
+    // shard id = count of boundaries strictly below the key (the
+    // writeShardsPinned membership rule); monotone ⇒ a contiguous range
+    def shardOf(k: Long): Int = bounds.count(_ < k)
+    spark.read.parquet(outDir)
+      .filter(col("shard").cast("int")
+        .between(shardOf(lo), shardOf(hi))) // static partition prune
+      .filter(col(keyCol).between(lo, hi))  // row-group stats prune
+  }
+
   /** Shard inventory of a written directory: one row per data file with
     * its row count and key span — the manifest a training job consumes.
     * The scan is pruned to the key column only.

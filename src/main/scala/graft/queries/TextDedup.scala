@@ -322,6 +322,25 @@ object TextDedup {
         .orderBy("shard")
     }),
 
+    // The pinned shard layout SERVING a key-range read: the boundary
+    // sidecar maps [lo, hi] to its covering shard ids, so the scan
+    // statically prunes every other shard directory (numFiles-gated in
+    // ShardWriterSpec — here the oracle checks the RESULT: exactly the
+    // range's rows come back, no matter which shards the derive chose).
+    // lo/hi derive from the data (quartile points of the id range) so
+    // the query exercises a mid-layout range at any SF.
+    "q129_shard_range_read" -> ((s, d) => {
+      val out = queryTmpDir("q129", s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.io.ShardWriter.writeShardsDerived(
+        docs, out, "doc_id", numShards = 4, snapshotOnDerive = false): Unit
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      graft.io.ShardWriter
+        .readKeyRange(s, out, "doc_id", maxId / 4, maxId / 2)
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic 90/10 train-val split: membership is a pure
     // function of doc_id (stable across partitionings, re-runs, and
     // incremental ingests — df.sample can promise none of those), and
@@ -966,6 +985,17 @@ object TextDedup {
           |SELECT shard, count(*) AS n_rows, min(doc_id) AS id_min,
           |  max(doc_id) AS id_max
           |FROM shards GROUP BY 1 ORDER BY shard""".stripMargin,
+
+      // the range read must return exactly the range's rows regardless
+      // of which shards the derive chose — the oracle is the plain
+      // range select over the source table (pruning is ShardWriterSpec's
+      // numFiles gate; membership correctness is q95's rank-cut mirror)
+      "q129_shard_range_read" ->
+        """WITH m AS (SELECT max(doc_id) AS mx FROM documents)
+          |SELECT doc_id, length(text) AS text_len
+          |FROM documents, m
+          |WHERE doc_id BETWEEN mx // 4 AND mx // 2
+          |ORDER BY doc_id""".stripMargin,
 
       "q96_hash_split" ->
         """SELECT CASE WHEN

@@ -203,6 +203,43 @@ class ShardWriterSpec extends AnyFunSuite {
         "path — the snapshot is not feeding both consumers")
   }
 
+  test("readKeyRange prunes to exactly the covering shard directories " +
+    "(numFiles-gated), returns exactly the range's rows, and refuses " +
+    "an unpinned layout") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    val out = TestDirs.tmp("range_read").toFile.getAbsolutePath
+    val bounds = ShardWriter.writeShardsDerived(df, out, "doc_id", 8)
+    assert(bounds.size == 7)
+    // a range inside shards 2..3 (bounds are exact rank cuts of 1..1000,
+    // so shardOf(300)=2, shardOf(480)=3 for 8 equal shards of 125)
+    val got = ShardWriter.readKeyRange(spark, out, "doc_id", 300L, 480L)
+    val expect = (300L to 480L).toSet
+    assert(got.select("doc_id").as[Long].collect().toSet === expect,
+      "range read lost or invented rows")
+    // the scan lists/reads ONLY the covering shards' files (one file per
+    // shard dir by construction): a plan property, not luck
+    val coveringShards = Set(bounds.count(_ < 300L), bounds.count(_ < 480L))
+    val coveringFiles = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory &&
+        coveringShards.map(s => s"shard=$s").contains(f.getName))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    got.collect() // materialize so scan metrics populate
+    val scan = got.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec leaf"))
+    assert(scan.metrics("numFiles").value == coveringFiles,
+      s"scan read ${scan.metrics("numFiles").value} files; the covering " +
+        s"shards $coveringShards hold $coveringFiles — pruning failed")
+    // a layout without a boundary pin is refused, not silently full-scanned
+    val outRaw = TestDirs.tmp("range_read_unpinned").toFile.getAbsolutePath
+    ShardWriter.writeShards(df, outRaw, 4, "doc_id")
+    val ex = intercept[IllegalStateException] {
+      ShardWriter.readKeyRange(spark, outRaw, "doc_id", 1L, 10L)
+    }
+    assert(ex.getMessage.contains("no boundary pin"))
+  }
+
   test("sidecar is crash-safe: it lives OUTSIDE the overwritten layout " +
     "directory (survives a re-write that dies before re-pinning), a " +
     "degenerate zero-boundary pin round-trips, and the legacy in-dir " +
