@@ -99,30 +99,18 @@ object CurationOps {
   def decontaminateBloom(docs: DataFrame, textCol: String, idCol: String,
       benchPred: Column, minShared: Int = 3, flagAt: Int = 8,
       expectedBenchGrams: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {
-    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-    import org.apache.spark.sql.catalyst.expressions.{
-      BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.types.BinaryType
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1) (got $fpp)")
     def shinglesOf(df: DataFrame) = df.select(col(idCol),
       TextFunctions.wordShingles(col(textCol), 3).as("shingles"))
     val bench = shinglesOf(docs.filter(benchPred))
       .select(explode(col("shingles")).as("gram")).distinct()
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedBenchGrams, fpp)
-    val bloom = bench.select(column(
-      new BloomFilterAggregate(expression(xxhash64(col("gram"))),
-        Literal(expectedBenchGrams), Literal(numBits))
-        .toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
+    val bloom = gramBloom(bench, "gram", expectedBenchGrams, fpp)
     val corpus = shinglesOf(docs.filter(!benchPred))
       .select(col(idCol), explode(col("shingles")).as("gram"))
     val verified =
       if (bloom == null) corpus.join(bench, "gram") // empty bench ⇒ empty
       else corpus
-        .filter(column(BloomFilterMightContain(
-          Literal(bloom, BinaryType), expression(xxhash64(col("gram"))))))
+        .filter(mightContain(bloom, col("gram")))
         // exact-verify join: both sides are now survivor-sized; NOT
         // broadcast by us — the point is the bench set never has to fit
         // anywhere whole (AQE may still pick broadcast when it does fit)
@@ -131,6 +119,38 @@ object CurationOps {
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .withColumn("contaminated", col("n_shared") >= flagAt)
+  }
+
+  /** One distributed pass building the serialized bloom sketch over
+    * `df(gramCol)` (hashed with xxhash64, the convention Spark's own
+    * injected runtime filters use). Returns null for an EMPTY input —
+    * callers must branch, there is nothing to prefilter with.
+    */
+  private[graft] def gramBloom(df: DataFrame, gramCol: String,
+      expectedItems: Long, fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    df.select(column(
+      new BloomFilterAggregate(expression(xxhash64(col(gramCol))),
+        Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** The codegen'd scan predicate testing membership of `gramCol` in a
+    * [[gramBloom]] sketch.
+    */
+  private[graft] def mightContain(bloom: Array[Byte],
+      gramCol: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), expression(xxhash64(gramCol))))
   }
 
   /** Gopher-style repetition quality rules: duplicate-token fraction

@@ -141,6 +141,89 @@ object IdempotentSink {
     finishSwap(target, batchIds)
   }
 
+  /** Self-growing EXACTLY-ONCE streaming dedup ingest — the text-dedup
+    * analog of [[indexByBatch]]'s ANN build, closing the loop the
+    * batch-side `corpusIndexesAppend` leaves open in a stream (a raw
+    * append is at-least-once; a replayed batch would append its index
+    * rows AGAIN and later lookups would double-count them). Each
+    * micro-batch:
+    *
+    *  1. is flagged against the index rows of every EARLIER batch
+    *     ([[graft.ops.Dedup.crossDedupFlagsFromIndexes]] over the
+    *     accumulated batch-keyed (fp, band, tok) trees under
+    *     `indexRoot`) — zero passes over earlier batches' text;
+    *  2. writes its flags `(id, exact_dup, near_dup)` batch-keyed to
+    *     `flagsOut` (the stream's product);
+    *  3. appends the index rows of its KEPT (non-dup) docs under
+    *     `_batch=<id>` in all three trees — so later batches dedup
+    *     against everything kept so far and the corpus stays deduped
+    *     as it grows.
+    *
+    * EXACTLY-ONCE under foreachBatch's at-least-once replay: a
+    * replayed batch can find its OWN rows already in the trees, and
+    * flagging a doc against itself would flip its flags (kept →
+    * self-dup), rewrite a different subtree than the first run, and
+    * poison every later batch. The lookup therefore reads
+    * `_batch < batchId` — a PARTITION-pruned time-travel filter — so a
+    * replay sees exactly the index state the first run saw, recomputes
+    * byte-identical flags, and each dynamic-partition overwrite of
+    * `_batch=<id>` is a no-op rewrite. The four writes are not atomic
+    * as a group, but any partial state a crash leaves is healed by the
+    * same property: the replay overwrites each `_batch=<id>` partition
+    * from flags that depend only on `_batch < id` state
+    * (crash+replay ≡ uninterrupted, spec'd in StreamingSpec).
+    * Downstream consumers of `flagsOut` get the flag-sink contract of
+    * every foreachBatch side output: a batch's subtree can exist
+    * before its checkpoint commits (and before its index rows land) —
+    * gate consumption on the stream's committed offsets, or tolerate
+    * the last batch being rewritten in place.
+    *
+    * WITHIN-batch dups are out of contract (the corpus-lookup shape
+    * flags batch vs corpus): a micro-batch carrying internal copies
+    * keeps them all this round and dedups against them from the next
+    * batch on; pre-collapse the batch (`exactDedupFlags` /
+    * `componentDedupFlags`) when that matters.
+    *
+    * Compaction: the band tree is [[compactBatches]]-shaped
+    * (partitionCol "band", from OUTSIDE the stream, after the
+    * checkpoint commits past the folded ids). The fp/tok trees carry
+    * one narrow row per kept doc; fold them with a plain
+    * read→rewrite when file counts matter.
+    */
+  def dedupIngestByBatch(indexRoot: String, flagsOut: String,
+      textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.3)(df: DataFrame, batchId: Long): Unit = {
+    import graft.ops.Dedup
+    val spark = df.sparkSession
+    val (fpDir, bandDir, tokDir) =
+      (s"$indexRoot/fp", s"$indexRoot/band", s"$indexRoot/tok")
+    // shape frames for the first-batch case (no tree yet): the batch's
+    // own triple, emptied — same schema the accumulated trees carry
+    val (fpShape, bandShape, tokShape) = Dedup.corpusIndexesFromProfile(
+      Dedup.corpusProfile(df, textCol, idCol), numHashes, bands)
+    def prior(dir: String, shape: DataFrame): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p))
+        spark.read.parquet(dir)
+          .filter(col("_batch").cast("long") < batchId).drop("_batch")
+      else shape.filter(lit(false))
+    }
+    val flags = Dedup.crossDedupFlagsFromIndexes(df, textCol, idCol,
+      prior(fpDir, fpShape), prior(bandDir, bandShape),
+      prior(tokDir, tokShape), numHashes, bands, minJaccard)
+      .localCheckpoint(false) // batch-sized; feeds the flags write + kept
+    parquetByBatch(flagsOut)(flags, batchId)
+    val kept = df.join(
+      flags.filter(!col("exact_dup") && !col("near_dup")).select(idCol),
+      Seq(idCol))
+    val (fpK, bandK, tokK) = Dedup.corpusIndexesFromProfile(
+      Dedup.corpusProfile(kept, textCol, idCol), numHashes, bands)
+    parquetByBatch(fpDir)(fpK, batchId)
+    indexByBatch(bandDir, "band")(bandK, batchId)
+    parquetByBatch(tokDir)(tokK, batchId)
+  }
+
   /** The resumable-swap commit record: its presence inside a temp tree
     * means the consolidated rows are COMPLETE and the source-dir
     * deletes may have begun — a re-run must finish the swap, never

@@ -789,6 +789,103 @@ class StreamingSpec extends AnyFunSuite {
       "expected exactly the two planted near-dups flagged")
   }
 
+  test("self-growing streaming dedup ingest is exactly-once: the lookup " +
+    "time-travels to _batch < id (a replayed batch cannot self-match), " +
+    "later batches dedup against kept docs only, and crash+replay " +
+    "produces trees identical to an uninterrupted run") {
+    import spark.implicits._
+    val base = "one two three four five six seven eight nine ten"
+    val clean2 = "totally different words entirely here now indeed"
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    def writeDoc(src: java.nio.file.Path, id: Long, text: String): Unit =
+      Files.write(src.resolve(s"doc_$id.json"),
+        s"""{"doc_id":$id,"text":"$text"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def runOnce(src: java.nio.file.Path, ckpt: String, root: String,
+        flagsOut: String): Unit = {
+      val q = spark.readStream.schema(schema).json(src.toString)
+        .writeStream.outputMode("append")
+        .foreachBatch(graft.streaming.IdempotentSink.dedupIngestByBatch(
+          root, flagsOut, "text", "doc_id") _)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "stream did not finish within 60 s")
+    }
+    def flagTree(out: String): Map[Long, Set[(Long, Boolean, Boolean)]] =
+      spark.read.parquet(out)
+        .select(col("_batch").cast("long"), col("doc_id"),
+          col("exact_dup"), col("near_dup"))
+        .as[(Long, Long, Boolean, Boolean)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3, r._4)).toSet).toMap
+    def fpTree(root: String): Map[Long, Set[Long]] =
+      spark.read.parquet(s"$root/fp")
+        .select(col("_batch").cast("long"), col("id"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    def schedule(src: java.nio.file.Path, ckpt: String, root: String,
+        flagsOut: String, replayBatch0: Boolean): Unit = {
+      // batch 0: two clean docs — an empty index tree must flag nothing
+      writeDoc(src, 1L, base + " eleven")
+      writeDoc(src, 2L, clean2)
+      runOnce(src, ckpt, root, flagsOut)
+      if (replayBatch0)
+        // foreachBatch at-least-once recovery: batch 0 REPLAYS with the
+        // same id AFTER its own index rows are already in the trees —
+        // the time-travel lookup must keep it from matching itself
+        graft.streaming.IdempotentSink.dedupIngestByBatch(
+          root, flagsOut, "text", "doc_id")(
+          Seq((1L, base + " eleven"), (2L, clean2)).toDF("doc_id", "text"),
+          0L)
+      // batch 1: 3 near-dups doc 1, 5 exact-dups doc 2, 4 is novel
+      writeDoc(src, 3L, base + " twelve")
+      writeDoc(src, 4L, "another novel collection of unrelated tokens")
+      writeDoc(src, 5L, clean2)
+      runOnce(src, ckpt, root, flagsOut)
+      // batch 2: 6 (the bare base, the pair the composed-ingest test
+      // proves band-collides with base+" eleven") near-dups doc 1 — and
+      // doc 3, but 3 was DROPPED and must not be in the index; 7
+      // exact-dups the dropped 5's text, which lives in the index as
+      // doc 2's fingerprint
+      writeDoc(src, 6L, base)
+      writeDoc(src, 7L, clean2)
+      runOnce(src, ckpt, root, flagsOut)
+    }
+
+    val srcA = TestDirs.tmp("dedup_ingest_src_a")
+    val rootA = TestDirs.tmp("dedup_ingest_idx_a").toString
+    val flagsA = TestDirs.tmp("dedup_ingest_flags_a").toString
+    schedule(srcA, TestDirs.tmp("dedup_ingest_ckpt_a").toString,
+      rootA, flagsA, replayBatch0 = false)
+    val srcB = TestDirs.tmp("dedup_ingest_src_b")
+    val rootB = TestDirs.tmp("dedup_ingest_idx_b").toString
+    val flagsB = TestDirs.tmp("dedup_ingest_flags_b").toString
+    schedule(srcB, TestDirs.tmp("dedup_ingest_ckpt_b").toString,
+      rootB, flagsB, replayBatch0 = true)
+
+    val a = flagTree(flagsA)
+    assert(a === flagTree(flagsB),
+      "crash+replay flags diverged from the uninterrupted run")
+    assert(fpTree(rootA) === fpTree(rootB),
+      "crash+replay index tree diverged from the uninterrupted run")
+    // batch 0: both kept (clean corpus start; a self-matching replay
+    // would have flipped these to dups in run B)
+    assert(a(0L) === Set((1L, false, false), (2L, false, false)))
+    // batch 1: 3 near-dups 1; 5 exact-dups 2 (an exact copy is also a
+    // near-dup -- Jaccard 1.0); 4 clean
+    assert(a(1L) === Set((3L, false, true), (5L, true, true),
+      (4L, false, false)))
+    // batch 2: 6 near-dups the KEPT doc 1; 7 exact-dups doc 2's text
+    // (again exact implies near)
+    assert(a(2L) === Set((6L, false, true), (7L, true, true)))
+    // the index accumulated exactly the kept docs, batch-keyed (batch 2
+    // kept nothing: a zero-row dynamic overwrite touches no partition,
+    // so no _batch=2 subtree exists)
+    assert(fpTree(rootA) === Map(0L -> Set(1L, 2L), 1L -> Set(4L)))
+  }
+
   test("compactCells crash recovery: a temp tree with a committed " +
     "manifest RESUMES the per-cell swaps (including a cell whose " +
     "source dir the crash already deleted); a temp tree without a " +
