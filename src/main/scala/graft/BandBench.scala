@@ -123,10 +123,21 @@ object BandBench {
     // growth the 128/32 layout exists to kill. Band extraction mirrors
     // Dedup's MSB-first shift+mask layout exactly.
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-    val codes64 = docs.select(
+    // count over the SAME population the timed pipelines band: exact
+    // dups collapsed to one keeper per fingerprint and empty-shingle
+    // docs dropped (simhashNeighbors*Over's collapseExactOn + size>0
+    // path) — counting raw docs would book C(bucket,2) growth for
+    // duplicate mass the measured Hamming verify never absorbs. The
+    // GrowDocs fixture is dup-free, so its recorded numbers are
+    // unchanged; the counts stay honest on corpora that aren't.
+    val counted = docs
+      .filter(size(wordShingles(col("text"), 3)) > 0)
+      .withColumn("_fp", fingerprint(col("text")))
+      .dropDuplicates("_fp")
+    val codes64 = counted.select(
       column(graft.functions.Simhash64Code(
         expression(wordShingles(col("text"), 3)))).as("code"))
-    val codes128 = docs.select(
+    val codes128 = counted.select(
       column(graft.functions.Simhash64Code(
         expression(wordShingles(col("text"), 3)))).as("hi"),
       column(graft.functions.Simhash64CodeSalted(

@@ -105,10 +105,16 @@ object BloomBench {
     val survivors = corpus
       .filter(CurationOps.mightContain(bloom, col("gram"))).count()
     val trueMatches = corpus.join(bench, "gram").count()
+    // an all-rejected corpus (no leakage, fp-free sample) divides by
+    // zero survivors — report the whole corpus-gram count as the ratio
+    // rather than emitting Infinity into the JSON artifact
+    val prefilter =
+      if (survivors == 0) corpusGrams.toDouble
+      else corpusGrams.toDouble / survivors
     println(f"docs=$nDocs bench_grams=$benchGrams (exact set " +
       f"${exactSetBytes / 1e6}%.1f MB, bloom ${bloomBytes / 1e6}%.1f MB) " +
       f"corpus_grams=$corpusGrams survivors=$survivors " +
-      f"(true=$trueMatches) prefilter ${corpusGrams.toDouble / survivors}%.1fx")
+      f"(true=$trueMatches) prefilter $prefilter%.1fx")
 
     // --- wall side: warm then timed, noop-sink materialization
     def broadcastPath() = CurationOps.decontaminate(
@@ -139,7 +145,7 @@ object BloomBench {
         f""""bench_grams":$benchGrams,"exact_set_bytes":$exactSetBytes,""" +
         f""""bloom_bytes":$bloomBytes,"corpus_grams":$corpusGrams,""" +
         f""""survivor_grams":$survivors,"true_match_grams":$trueMatches,""" +
-        f""""prefilter_ratio":${corpusGrams.toDouble / survivors}%.1f,""" +
+        f""""prefilter_ratio":$prefilter%.1f,""" +
         f""""sec_broadcast":$secBroadcast%.3f,"sec_bloom":$secBloom%.3f}"""
     println(json)
     java.nio.file.Files.createDirectories(

@@ -214,20 +214,10 @@ object ShardWriter {
 
   private def readSidecarFile(fs: org.apache.hadoop.fs.FileSystem,
       f: org.apache.hadoop.fs.Path): Option[Seq[Long]] =
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var nRead = in.read(buf)
-        while (nRead > 0) { bytes.write(buf, 0, nRead); nRead = in.read(buf) }
-        // a degenerate corpus (n < 2 distinct keys) pins ZERO boundaries
-        // — a blank payload round-trips to Seq.empty, not a parse error
-        Some(bytes.toString("UTF-8").trim.split(",")
-          .filter(_.nonEmpty).map(_.toLong).toSeq)
-      } finally in.close()
-    }
+    // a degenerate corpus (n < 2 distinct keys) pins ZERO boundaries —
+    // a blank payload round-trips to Seq.empty, not a parse error
+    FsUtil.readFullyUtf8(fs, f).map(
+      _.split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
 
   def readBoundsSidecar(spark: org.apache.spark.sql.SparkSession,
       outDir: String): Option[Seq[Long]] = {
@@ -271,6 +261,14 @@ object ShardWriter {
   def writeShardsDerived(df: DataFrame, outDir: String, keyCol: String,
       numShards: Int, snapshotOnDerive: Boolean = true): Seq[Long] = {
     val spark = df.sparkSession
+    // a sibling pin with NO layout is stale: deleting the layout
+    // directory is the natural reset for a new corpus snapshot (and was
+    // a sufficient one under the old in-dir sidecar), but the sibling
+    // survives it — silently re-pinning the DELETED snapshot's
+    // boundaries over a grown corpus would pile every new high key into
+    // the last shard. Discard the orphan and re-derive.
+    val (fs, p) = fsOf(spark, outDir)
+    if (!fs.exists(p)) fs.delete(sidecarPath(p), false): Unit
     readBoundsSidecar(spark, outDir) match {
       case Some(bounds) =>
         // re-pin BEFORE the data write: a no-op when the sibling sidecar

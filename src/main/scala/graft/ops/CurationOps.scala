@@ -80,9 +80,11 @@ object CurationOps {
     * shingle set must fit in the driver AND every executor — a 10⁸-gram
     * suite at ~25 B/gram is multi-GB before join-hash overhead. The
     * bloom at 3% fpp is 7.3 bits/item (~90 MB for 10⁸ grams), built in
-    * ONE distributed pass (native `BloomFilterAggregate` over
-    * `xxhash64(gram)`, the same machinery Spark's runtime row-level
-    * filtering injects) and applied as a codegen'd scan predicate
+    * ONE distributed pass over `xxhash64(gram)` ([[gramBloom]] —
+    * per-partition sketches merged executor-side; NOT the
+    * `BloomFilterAggregate` expression, which silently clamps to the
+    * runtime-filter session caps at exactly this scale) and applied as
+    * a codegen'd scan predicate
     * (`BloomFilterMightContain` on a binary literal) — the corpus side's
     * exploded grams (the trillions-of-rows side at 100 TB) drop to
     * |true matches| + fpp·|corpus grams| BEFORE any shuffle. The
@@ -93,8 +95,8 @@ object CurationOps {
     * `expectedBenchGrams` sizes the sketch; overshooting wastes bits,
     * undershooting raises the realized fpp (never correctness — the
     * verify is exact at any fpp, a degraded sketch only prefilters
-    * less). An EMPTY benchmark side yields the empty result directly
-    * (the aggregate has no rows to sketch).
+    * less). An EMPTY benchmark side builds an empty sketch that admits
+    * nothing, so the result is empty without a special case.
     */
   def decontaminateBloom(docs: DataFrame, textCol: String, idCol: String,
       benchPred: Column, minShared: Int = 3, flagAt: Int = 8,
@@ -107,15 +109,14 @@ object CurationOps {
     val bloom = gramBloom(bench, "gram", expectedBenchGrams, fpp)
     val corpus = shinglesOf(docs.filter(!benchPred))
       .select(col(idCol), explode(col("shingles")).as("gram"))
-    val verified =
-      if (bloom == null) corpus.join(bench, "gram") // empty bench ⇒ empty
-      else corpus
-        .filter(mightContain(bloom, col("gram")))
-        // exact-verify join: both sides are now survivor-sized; NOT
-        // broadcast by us — the point is the bench set never has to fit
-        // anywhere whole (AQE may still pick broadcast when it does fit)
-        .join(bench, "gram")
-    verified
+    // an empty bench builds an empty sketch that admits nothing — the
+    // prefilter alone already yields the correct empty result
+    corpus
+      .filter(mightContain(bloom, col("gram")))
+      // exact-verify join: both sides are now survivor-sized; NOT
+      // broadcast by us — the point is the bench set never has to fit
+      // anywhere whole (AQE may still pick broadcast when it does fit)
+      .join(bench, "gram")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .withColumn("contaminated", col("n_shared") >= flagAt)
@@ -123,21 +124,43 @@ object CurationOps {
 
   /** One distributed pass building the serialized bloom sketch over
     * `df(gramCol)` (hashed with xxhash64, the convention Spark's own
-    * injected runtime filters use). Returns null for an EMPTY input —
-    * callers must branch, there is nothing to prefilter with.
+    * injected runtime filters use — [[mightContain]] deserializes the
+    * same `util.sketch.BloomFilter` form). An empty input yields a
+    * valid EMPTY sketch (admits nothing), never null.
+    *
+    * Built with per-partition `BloomFilter.create` + `treeReduce`
+    * rather than the `BloomFilterAggregate` expression on purpose: the
+    * aggregate silently clamps to the runtime-row-filter session caps
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems` = 4×10⁶,
+    * `maxNumBits` = 2²⁶) — sized for auto-injected join filters, not
+    * for an operator whose whole point is a 10⁸-gram suite. Under the
+    * clamp a 10⁸-item request builds an 8 MB sketch at ~0.67 bits/item
+    * (realized fpp ≈ 0.8) and the prefilter silently collapses;
+    * results stay correct (the verify tail is exact at any fpp) but
+    * the memory/shuffle blowup the operator exists to prevent returns
+    * with no signal. The per-partition build ships no sketch-sized
+    * closure (each task allocates its own) and merges executor-side.
     */
   private[graft] def gramBloom(df: DataFrame, gramCol: String,
       expectedItems: Long, fpp: Double): Array[Byte] = {
-    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedItems, fpp)
-    df.select(column(
-      new BloomFilterAggregate(expression(xxhash64(col(gramCol))),
-        Literal(expectedItems), Literal(numBits))
-        .toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
+    val sketches = df.select(xxhash64(col(gramCol)).as("h"))
+      .rdd.mapPartitions { it =>
+        val f = org.apache.spark.util.sketch.BloomFilter
+          .create(expectedItems, fpp)
+        it.foreach(r => f.putLong(r.getLong(0)))
+        Iterator(f)
+      }
+    // an empty plan can compile to an RDD with ZERO partitions (AQE
+    // coalesces empty shuffles away) and treeReduce refuses an empty
+    // collection — the empty sketch is built locally instead
+    val merged =
+      if (sketches.getNumPartitions == 0)
+        org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(expectedItems, 1L), fpp)
+      else sketches.treeReduce((a, b) => { a.mergeInPlace(b); a }, depth = 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    bos.toByteArray
   }
 
   /** The codegen'd scan predicate testing membership of `gramCol` in a

@@ -373,18 +373,8 @@ object Similarity {
   private[ops] def readStampSidecar(spark: SparkSession, indexDir: String)
   : Option[String] = {
     val (fs, p) = fsOf(spark, indexDir)
-    val f = new org.apache.hadoop.fs.Path(p, StampSidecar)
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        Some(bytes.toString("UTF-8").trim)
-      } finally in.close()
-    }
+    graft.io.FsUtil.readFullyUtf8(fs,
+      new org.apache.hadoop.fs.Path(p, StampSidecar))
   }
 
   /** The single root directory a reloaded file-source frame scans, when
@@ -539,6 +529,11 @@ object Similarity {
     * WITHOUT a manifest is an incomplete write (no source was touched
     * yet) and is safely rewritten; `maxFilesPerCell` is ignored while
     * a pending swap exists (the manifest pins that compaction).
+    * While the manifest is pending, [[appendToStampedLayout]] (every
+    * stamped ingest path) REFUSES appends to this layout: rows
+    * appended to a not-yet-swapped cell dir between the crash and the
+    * resume would be destroyed by the resume's delete+rename — finish
+    * the swap (re-run this), then append.
     */
   def compactCells(spark: SparkSession, indexDir: String,
       maxFilesPerCell: Int = 4, partitionCol: String = "cell")
@@ -754,7 +749,7 @@ object Similarity {
     * excluded because the existing side's type is re-inferred from
     * partition DIRECTORY NAMES, not data.
     */
-  private[ops] def appendToStampedLayout(assigned: DataFrame,
+  private[graft] def appendToStampedLayout(assigned: DataFrame,
       indexDir: String, stamp: String, caller: String,
       partitionCol: String = "cell",
       desc: String = "IVF index assigned under a different codebook")
@@ -762,6 +757,20 @@ object Similarity {
     val spark = assigned.sparkSession
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // a PENDING compaction swap must finish before any append: a crash
+    // mid-swap leaves some cell dirs still awaiting their rename from
+    // the temp tree, and the resume's delete+rename would destroy any
+    // files appended to those dirs in between — refuse loudly instead
+    // of silently losing the batch on the next compactCells run
+    val pendingManifest = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path( // compactCells's temp-tree naming
+        path.getParent, path.getName + "_compact_tmp"),
+      graft.streaming.IdempotentSink.FoldManifest)
+    require(!fs.exists(pendingManifest),
+      s"$caller: $indexDir has a pending compaction swap " +
+        s"($pendingManifest) — run Similarity.compactCells($indexDir) " +
+        "to finish the swap, then retry the append (appending now " +
+        "would race the resume's per-cell delete+rename and lose rows)")
     if (fs.exists(path)) {
       val existing = spark.read.parquet(indexDir)
       verifyStamp(existing, stamp, caller, desc): Unit

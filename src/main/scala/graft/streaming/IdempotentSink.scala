@@ -217,8 +217,13 @@ object IdempotentSink {
     val kept = df.join(
       flags.filter(!col("exact_dup") && !col("near_dup")).select(idCol),
       Seq(idCol))
+    // batch-sized lazy checkpoint: ONE text pass (fingerprint +
+    // shingles) feeds all three index writes — the corpusIndexesAppend
+    // convention; without it each write re-runs the join + profile
+    val keptProf = Dedup.corpusProfile(kept, textCol, idCol)
+      .localCheckpoint(false)
     val (fpK, bandK, tokK) = Dedup.corpusIndexesFromProfile(
-      Dedup.corpusProfile(kept, textCol, idCol), numHashes, bands)
+      keptProf, numHashes, bands)
     parquetByBatch(fpDir)(fpK, batchId)
     indexByBatch(bandDir, "band")(bandK, batchId)
     parquetByBatch(tokDir)(tokK, batchId)
@@ -244,14 +249,10 @@ object IdempotentSink {
 
   private[graft] def readFoldManifest(fs: org.apache.hadoop.fs.FileSystem,
       manifest: org.apache.hadoop.fs.Path): (Long, Seq[Long]) = {
-    val in = fs.open(manifest)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      var n = in.read(buf)
-      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      val lines = bytes.toString("UTF-8").trim.split("\n")
-      (lines(0).toLong, lines(1).split(",").map(_.toLong).toSeq)
-    } finally in.close()
+    val lines = graft.io.FsUtil.readFullyUtf8(fs, manifest)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"fold manifest $manifest vanished mid-read"))
+      .split("\n")
+    (lines(0).toLong, lines(1).split(",").map(_.toLong).toSeq)
   }
 }

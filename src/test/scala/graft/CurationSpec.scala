@@ -75,11 +75,19 @@ class CurationSpec extends AnyFunSuite {
     val plan = bloom.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
       s"no bloom predicate in the executed plan:\n$plan")
-    // an empty benchmark side must yield the empty result, not an NPE
-    // from a null sketch
+    // an empty benchmark side must yield the empty result (the empty
+    // sketch admits nothing)
     val none = CurationOps.decontaminateBloom(
       docs, "text", "doc_id", col("doc_id") < 0, minShared = 1)
     assert(none.count() == 0, "empty bench side should flag nothing")
+    // the sketch is NOT clamped by the runtime-filter session caps
+    // (maxNumItems 4e6 / maxNumBits 2^26): a 16M-item request must come
+    // back bigger than the 8 MB bit cap — the silent-collapse failure
+    // the per-partition build exists to avoid
+    val big = CurationOps.gramBloom(
+      docs.select(col("text").as("gram")), "gram", 16L * 1000 * 1000, 0.03)
+    assert(big.length > (1 << 26) / 8,
+      s"sketch is ${big.length} B — clamped to the runtime-filter caps")
   }
 
   test("redact masks digit runs and counts them") {

@@ -292,5 +292,21 @@ class ShardWriterSpec extends AnyFunSuite {
       "data overwrite should have cleared the legacy in-dir pin")
     assert(ShardWriter.readBoundsSidecar(spark, outLegacy).contains(legacy),
       "sibling pin does not carry the legacy boundaries")
+
+    // deleting the LAYOUT is the reset for a new snapshot: the orphaned
+    // sibling pin must be discarded, not silently reused — a grown
+    // corpus re-pinned to the deleted snapshot's cuts piles every new
+    // high key into the last shard
+    def deleteTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteTree)
+      f.delete(): Unit
+    }
+    deleteTree(new java.io.File(out))
+    val grown = (1L to 1000L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    val rebounds = ShardWriter.writeShardsDerived(grown, out, "doc_id", 4)
+    assert(rebounds !== bounds,
+      "rebuild over a deleted layout reused the stale sibling pin")
+    assert(rebounds === Seq(250L, 500L, 750L),
+      s"rebuild did not re-derive from the grown snapshot: $rebounds")
   }
 }

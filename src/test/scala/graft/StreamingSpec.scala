@@ -923,6 +923,15 @@ class StreamingSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(tmpA, IdempotentSink.FoldManifest),
       0L, Seq(0L, 1L))
     fs.delete(new org.apache.hadoop.fs.Path(dirA, "cell=0"), true)
+    // while the swap is pending, every stamped append path REFUSES:
+    // rows appended to a not-yet-swapped cell dir here would be
+    // destroyed by the resume's delete+rename below
+    val refused = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.appendToStampedLayout(
+        Seq((99L, 1L)).toDF("id", "cell"), dirA, "any", "spec")
+    }
+    assert(refused.getMessage.contains("pending compaction swap"),
+      s"wrong refusal: ${refused.getMessage}")
     // maxFilesPerCell is deliberately vacuous: the pending manifest —
     // not a fresh fragmentation scan — must drive the resume
     val resumed = graft.ops.Similarity.compactCells(spark, dirA,
