@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Times the REGISTERED documents-family flagships on an arbitrary
+  * documents dir (a [[GrowDocs]] corpus) — the driver's gate runs them
+  * at sf0.01 (500 docs) and the headline bench at sf0.1 (5k): this is
+  * the 200–800× point, exercising the exact `SparkEntry.queries`
+  * entries (not bench-only re-compositions) so the recorded walls are
+  * the shipped plans':
+  *
+  *  - q119_curation_capstone — component dedup flags → token-budget
+  *    mixture → chunked-prefix-sum packing → derived-then-pinned shard
+  *    write, the engine's flagship chain;
+  *  - q92_neardup_removal — exact-collapse → banded MinHash → verify →
+  *    greedy removal;
+  *  - q113_simhash64_neighbors — the banded 64-bit SimHash pair family;
+  *  - q104_incremental_dedup — batch-vs-corpus flags, inline path.
+  *
+  * Protocol: warm (one discarded run) then timed, noop-sink
+  * materialization, one JSON line + per-corpus file (SCALE_r13 style).
+  *
+  * Usage: DocsBench <documentsDir> [outDir] [names...]
+  */
+object DocsBench {
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val dir = args.lift(0).getOrElse("/tmp/grown1m")
+    val outDir = args.lift(1).getOrElse("/tmp/docs_bench")
+    val names =
+      if (args.length > 2) args.drop(2).toSeq
+      else Seq("q113_simhash64_neighbors", "q92_neardup_removal",
+        "q104_incremental_dedup", "q119_curation_capstone")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-docs-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nDocs = Tables.documents(spark, dir).count()
+    val timings = names.map { name =>
+      val q = SparkEntry.queries(name)
+      q(spark, dir).write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      q(spark, dir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$name: $sec%.1f s")
+      name -> sec
+    }
+    val json = s"""{"metric":"docs_bench","docs":$nDocs,"queries":{""" +
+      timings.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",") +
+      "}}"
+    println(json)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(outDir)): Unit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, s"docs_${nDocs}.json"),
+      (json + "\n").getBytes("UTF-8")): Unit
+    spark.stop()
+  }
+}

@@ -24,7 +24,21 @@ import org.apache.spark.sql.SparkSession
   * the same (n, familySize, docWords) reproduces the corpus bit-for-bit
   * and BandBench runs are comparable across sessions.
   *
-  * Usage: GrowDocs <sfDir> <outPath> <nDocs> [familySize=4] [docWords=120]
+  * The default (`pool`) mode draws words from the sf corpus — whose
+  * vocabulary is SMALL, so any two docs share trigrams at J ≈ 0.2-0.3
+  * by chance. That is exactly right for exercising SimHash band
+  * occupancy (the fixture's purpose) and exactly wrong for the
+  * MinHash/decontamination family, where an all-pairs-J≥0.3 corpus is
+  * adversarial (banding saturates: catch(0.3) ≈ 3% of C(n,2) pairs —
+  * quadratic). `mode=unique` generates the REALISTIC sparse-similarity
+  * shape instead: every doc's words are doc-unique (`w<id>_<i>`)
+  * except that each family shares a family pool (`f<fam>_<i>`) with
+  * one unique token per member — near-dup families exist, everything
+  * else is pairwise-disjoint, the web-corpus profile the MinHash
+  * family is built for.
+  *
+  * Usage: GrowDocs <sfDir> <outPath> <nDocs> [familySize=4]
+  *        [docWords=120] [mode=pool|unique]
   */
 object GrowDocs {
 
@@ -34,6 +48,8 @@ object GrowDocs {
     val n = args(2).toLong
     val familySize = args.lift(3).map(_.toInt).getOrElse(4)
     val docWords = args.lift(4).map(_.toInt).getOrElse(120)
+    val mode = args.lift(5).getOrElse("pool")
+    require(mode == "pool" || mode == "unique", s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,16 +72,33 @@ object GrowDocs {
       it.map { id =>
         val f = id / familySize
         val m = (id % familySize).toInt
-        val rnd = new scala.util.Random(f * 1000003L + 29L)
-        val words0 = Array(
-          pool(((f * 3) % pool.length).toInt),
-          pool(((f * 3 + 1) % pool.length).toInt),
-          pool(((f * 3 + 2) % pool.length).toInt)).flatten.toSeq
-        val shuffled = rnd.shuffle(words0)
-        val words = Array.tabulate(docWords)(i => shuffled(i % shuffled.size))
-        if (m > 0) words((m * 31) % docWords) = s"u${id}x"
+        val words =
+          if (mode == "unique") {
+            // every 19th family is a near-dup family sharing a family
+            // pool (one unique token per member keeps members near- not
+            // exact-dups); all other docs are pairwise-disjoint
+            if (f % 19 == 0)
+              Array.tabulate(docWords)(i =>
+                if (i == m * 7 + 1) s"u${id}x" else s"f${f}_$i")
+            else Array.tabulate(docWords)(i => s"w${id}_$i")
+          } else {
+            val rnd = new scala.util.Random(f * 1000003L + 29L)
+            val words0 = Array(
+              pool(((f * 3) % pool.length).toInt),
+              pool(((f * 3 + 1) % pool.length).toInt),
+              pool(((f * 3 + 2) % pool.length).toInt)).flatten.toSeq
+            val shuffled = rnd.shuffle(words0)
+            val w = Array.tabulate(docWords)(i => shuffled(i % shuffled.size))
+            if (m > 0) w((m * 31) % docWords) = s"u${id}x"
+            w
+          }
         val text = words.mkString(" ")
-        (id, text, "en", "grown", text.length.toLong)
+        // unique mode: two strata so per-lang curation stages have real
+        // groups; pool mode stays byte-identical to the recorded
+        // BAND_*_r13 corpora
+        val lang =
+          if (mode == "unique" && id % 5 == 0) "he" else "en"
+        (id, text, lang, "grown", text.length.toLong)
       }
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$outPath/documents.parquet")

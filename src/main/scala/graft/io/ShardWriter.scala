@@ -145,9 +145,11 @@ object ShardWriter {
     val keys = df.select(col(keyCol).cast("long").as("k")).na.drop()
       .localCheckpoint(false)
     val n = keys.count()
-    require(n > 0,
-      s"boundariesFromRanks: no non-null '$keyCol' values to derive " +
-        "boundaries from (empty or all-null input)")
+    // an empty (or all-null-key) snapshot pins ZERO boundaries — the
+    // same degeneration as n=1, one (empty) shard. A sampling stage
+    // upstream can legitimately select nothing; crashing the write on
+    // it turns a data condition into an outage.
+    if (n == 0) return Seq.empty
     val ranks = (1 until numShards).map(i => i * n / numShards)
       .filter(_ >= 1).distinct
     val rankSet = ranks.map(_ - 1).toSet // 0-indexed positions

@@ -235,13 +235,23 @@ object CurationOps {
   /** Token-budget mixture sampling: derive each stratum's keep-rate
     * from its token total so no stratum exceeds `tokenBudget`, then
     * apply the salted deterministic bucket filter. Integer arithmetic
-    * end-to-end — rate_pct = min(100, budget·100 ÷ stratum tokens) — so
+    * end-to-end — rate_ppm = min(10⁶, budget·10⁶ ÷ stratum tokens) — so
     * engines agree exactly. The per-stratum totals are a tiny aggregate
     * (one row per stratum) joined back by broadcast: two passes over
     * the corpus, no driver-side state at all.
     *
+    * The rate space is PARTS PER MILLION, not percent: an integer
+    * percent floors to ZERO once a stratum exceeds 100× the budget —
+    * at 1M docs (~10⁸ tokens) a 20k-token budget rounds to rate 0 and
+    * the whole stratum silently vanishes (found by running the
+    * registered capstone at 200× the gate scale, DOCS_1m_r13). ppm
+    * granularity holds to 10⁶× the budget — ~10¹⁰ tokens per stratum
+    * at this budget, and proportionally further at real budgets (a
+    * 10¹⁰-token budget saturates Long at ~10¹⁶-token strata, past any
+    * single stratum in a 100 TB corpus).
+    *
     * Output: the input columns plus `sampled` (the keep flag) and
-    * `_rate_pct` (the stratum's applied percentage, for auditing).
+    * `_rate_ppm` (the stratum's applied rate, for auditing).
     */
   def tokenBudgetSampleFlag(docs: DataFrame, strataCol: Column,
       tokensCol: Column, keyCol: Column, tokenBudget: Long,
@@ -253,17 +263,18 @@ object CurationOps {
       // A stratum with zero (or all-NULL) tokens has nothing to budget
       // away — keep it whole at rate 100 instead of letting the NULL
       // division leak into `sampled`.
-      .withColumn("_rate_pct",
+      .withColumn("_rate_ppm",
         when(col("_total") > 0,
-          least(lit(100L), expr(s"${tokenBudget}L * 100L div _total")))
-          .otherwise(lit(100L)))
+          least(lit(1000000L),
+            expr(s"${tokenBudget}L * 1000000L div _total")))
+          .otherwise(lit(1000000L)))
     // null-safe equality: a NULL stratum is a groupBy group like any
     // other, so its rows must survive the rate join too
     docs.join(broadcast(totals), strataCol <=> col("_stratum"))
       .withColumn("sampled",
         TextFunctions.hashBucket(
-          concat(lit(salt + ":"), keyCol.cast("string")), 100)
-          < col("_rate_pct"))
+          concat(lit(salt + ":"), keyCol.cast("string")), 1000000)
+          < col("_rate_ppm"))
       .drop("_stratum", "_total")
   }
 

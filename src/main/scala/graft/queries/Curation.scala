@@ -134,7 +134,7 @@ object Curation {
       CurationOps.tokenBudgetSampleFlag(base, col("lang"), col("n_tok"),
         col("doc_id"), tokenBudget = 20000L, salt = "budget")
         .groupBy(col("lang"))
-        .agg(max(col("_rate_pct")).as("rate_pct"),
+        .agg(max(col("_rate_ppm")).as("rate_ppm"),
           sum(col("n_tok")).as("total_tokens"),
           sum(when(col("sampled"), col("n_tok")).otherwise(0L))
             .as("sampled_tokens"),
@@ -342,10 +342,12 @@ object Curation {
          |ORDER BY id1, id2""".stripMargin,
 
     // mirrors tokenBudgetSampleFlag's edge handling exactly (r6 ADVICE):
-    // a zero/NULL-token stratum keeps rate 100 (nothing to budget away),
-    // and the rate join is null-safe (IS NOT DISTINCT FROM = Spark's
-    // <=>) so a NULL stratum survives like any other group — gate data
-    // has no such strata, but operator and oracle now agree on them
+    // a zero/NULL-token stratum keeps rate 10^6 ppm (nothing to budget
+    // away), and the rate join is null-safe (IS NOT DISTINCT FROM =
+    // Spark's <=>) so a NULL stratum survives like any other group —
+    // gate data has no such strata, but operator and oracle agree on
+    // them. Rate space is ppm (integer percent floors to 0 past 100×
+    // the budget — the 1M-doc capstone failure DOCS_1m_r13 records).
     "q110_token_budget_mix" ->
       """WITH base AS (
         |  SELECT doc_id, lang,
@@ -355,16 +357,16 @@ object Curation {
         |totals AS (
         |  SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
         |    CAST(CASE WHEN SUM(n_tok) > 0
-        |         THEN LEAST(100, 20000 * 100 // SUM(n_tok))
-        |         ELSE 100 END AS BIGINT) AS rate_pct
+        |         THEN LEAST(1000000, 20000::BIGINT * 1000000 // SUM(n_tok))
+        |         ELSE 1000000 END AS BIGINT) AS rate_ppm
         |  FROM base GROUP BY lang),
         |flagged AS (
-        |  SELECT b.lang, b.n_tok, t.rate_pct, t.total_tokens,
+        |  SELECT b.lang, b.n_tok, t.rate_ppm, t.total_tokens,
         |    CAST('0x' || substring(md5('budget:' ||
-        |      CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
-        |      < t.rate_pct AS sampled
+        |      CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+        |      < t.rate_ppm AS sampled
         |  FROM base b JOIN totals t ON b.lang IS NOT DISTINCT FROM t.lang)
-        |SELECT lang, MAX(rate_pct) AS rate_pct,
+        |SELECT lang, MAX(rate_ppm) AS rate_ppm,
         |  MAX(total_tokens) AS total_tokens,
         |  CAST(SUM(CASE WHEN sampled THEN n_tok ELSE 0 END) AS BIGINT)
         |    AS sampled_tokens,

@@ -27,7 +27,17 @@ private[queries] object QueryTmp {
         d.replaceAll("[^a-zA-Z0-9.-]", "_"))
     val path = f.getAbsolutePath
     if (cleanupRegistered.add(path)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(f)))
+      // the tree AND any sibling metadata files named `<dir>.<suffix>`
+      // (ShardWriter's boundary pin lives beside its layout, not inside
+      // it) — deleting only the tree would orphan the pin until the 6h
+      // sweep below catches it
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        deleteTree(f)
+        val sibs = f.getParentFile.listFiles()
+        if (sibs != null) sibs
+          .filter(s => s.isFile && s.getName.startsWith(f.getName + "."))
+          .foreach(_.delete())
+      }))
       val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
       val siblings = f.getParentFile.listFiles()
       // Age-gate on the NEWEST mtime anywhere in the tree, not the

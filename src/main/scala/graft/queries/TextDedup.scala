@@ -941,15 +941,15 @@ object TextDedup {
            |totals AS (
            |  SELECT lang,
            |    CAST(CASE WHEN SUM(n_tok) > 0
-           |      THEN LEAST(100, 20000 * 100 // SUM(n_tok))
-           |      ELSE 100 END AS BIGINT) AS rate_pct
+           |      THEN LEAST(1000000, 20000::BIGINT * 1000000 // SUM(n_tok))
+           |      ELSE 1000000 END AS BIGINT) AS rate_ppm
            |  FROM kept GROUP BY lang),
            |sampled AS (
            |  SELECT k.doc_id, k.lang, k.n_tok
            |  FROM kept k JOIN totals t ON k.lang IS NOT DISTINCT FROM t.lang
            |  WHERE CAST('0x' || substring(md5('budget:' ||
-           |    CAST(k.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
-           |    < t.rate_pct),
+           |    CAST(k.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+           |    < t.rate_ppm),
            |binned AS (
            |  SELECT doc_id, lang, n_tok,
            |    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang

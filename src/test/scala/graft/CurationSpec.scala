@@ -120,19 +120,19 @@ class CurationSpec extends AnyFunSuite {
   test("tokenBudgetSampleFlag: rates derived from stratum totals, " +
     "exact integer arithmetic, full keep under budget") {
     import graft.ops.CurationOps
-    // "small" stratum fits the budget entirely → rate 100, all kept;
-    // "big" stratum is 10× over → rate 10
+    // "small" stratum fits the budget entirely → rate 10^6 ppm, all
+    // kept; "big" stratum is 10× over → rate 100000 ppm
     val docs = ((0L until 20L).map(i => (i, "small", 50L)) ++
       (100L until 300L).map(i => (i, "big", 100L)))
       .toDF("id", "stratum", "n_tok")
     val flagged = CurationOps.tokenBudgetSampleFlag(docs, $"stratum",
       $"n_tok", $"id", tokenBudget = 2000L, salt = "t")
     val rates = flagged.groupBy("stratum")
-      .agg(max($"_rate_pct").as("r"), sum($"sampled".cast("long")).as("n"))
+      .agg(max($"_rate_ppm").as("r"), sum($"sampled".cast("long")).as("n"))
       .orderBy("stratum").as[(String, Long, Long)].collect().toSeq
     val big = rates(0); val small = rates(1)
-    assert(big._2 === 10L, s"big stratum rate: $big")   // 2000*100/20000
-    assert(small._2 === 100L && small._3 === 20L,
+    assert(big._2 === 100000L, s"big stratum rate: $big") // 2000e6/20000
+    assert(small._2 === 1000000L && small._3 === 20L,
       s"under-budget stratum must keep everything: $small")
     assert(big._3 > 0 && big._3 < 200, s"big stratum sampled: $big")
     // deterministic: same inputs → same flags
@@ -144,7 +144,8 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("tokenBudgetSampleFlag: zero-token and NULL strata keep their " +
-    "rows (rate 100, no NULL flags, null-safe rate join)") {
+    "rows (rate 10^6 ppm, no NULL flags, null-safe rate join), and the " +
+    "ppm space keeps sub-percent rates from flooring to zero") {
     import graft.ops.CurationOps
     val docs = Seq(
       (1L, Some("empty"), 0L),   // stratum sums to 0 tokens
@@ -159,13 +160,26 @@ class CurationSpec extends AnyFunSuite {
     assert(flagged.filter($"sampled".isNull).count() === 0,
       "NULL leaked into the sampled flag")
     val zeroRates = flagged.filter($"stratum" === "empty")
-      .select("_rate_pct", "sampled")
+      .select("_rate_ppm", "sampled")
       .as[(Long, Boolean)].collect().toSeq
-    assert(zeroRates.forall(r => r._1 == 100L && r._2),
+    assert(zeroRates.forall(r => r._1 == 1000000L && r._2),
       s"zero-token stratum must keep everything: $zeroRates")
     val nullRate = flagged.filter($"stratum".isNull)
-      .select(max($"_rate_pct")).as[Long].head()
-    assert(nullRate === 100L, "NULL stratum (80 tokens) is under budget")
+      .select(max($"_rate_ppm")).as[Long].head()
+    assert(nullRate === 1000000L, "NULL stratum (80 tokens) is under budget")
+
+    // the scale failure the ppm space fixes: a stratum 5000x over
+    // budget needs rate 200 ppm — integer PERCENT floors it to 0 and
+    // silently drops the whole stratum (the 1M-doc capstone failure)
+    val huge = (0L until 10000L).map(i => (i, "huge", 1000L))
+      .toDF("id", "stratum", "n_tok")
+    val hugeFlagged = CurationOps.tokenBudgetSampleFlag(huge, $"stratum",
+      $"n_tok", $"id", tokenBudget = 2000L, salt = "t")
+    val hugeRate = hugeFlagged.select(max($"_rate_ppm")).as[Long].head()
+    assert(hugeRate === 200L, s"5000x-over stratum rate: $hugeRate ppm")
+    val hugeKept = hugeFlagged.filter($"sampled").count()
+    assert(hugeKept > 0,
+      "sub-percent stratum floored to zero — nothing sampled")
   }
 
   test("native repetition-counts kernel matches the Column fold spec " +
