@@ -31,7 +31,8 @@ object DocsBench {
     val names =
       if (args.length > 2) args.drop(2).toSeq
       else Seq("q113_simhash64_neighbors", "q92_neardup_removal",
-        "q104_incremental_dedup", "q119_curation_capstone")
+        "q104_incremental_dedup", "q130_cross_dedup_shuffled",
+        "q119_curation_capstone")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,18 +43,32 @@ object DocsBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val nDocs = Tables.documents(spark, dir).count()
-    val timings = names.map { name =>
+    // a per-query failure is a RECORDED boundary (e.g. q104's broadcast
+    // contract ending where the batch outgrows the driver), not a
+    // reason to lose the other measurements
+    val timings: Seq[(String, Either[String, Double])] = names.map { name =>
       val q = SparkEntry.queries(name)
-      q(spark, dir).write.format("noop").mode("overwrite").save() // warm
-      val t0 = System.nanoTime()
-      q(spark, dir).write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"$name: $sec%.1f s")
-      name -> sec
+      try {
+        q(spark, dir).write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        q(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"$name: $sec%.1f s")
+        name -> Right(sec)
+      } catch {
+        case e: Exception =>
+          val msg = e.getMessage.linesIterator.next().take(160)
+          println(s"$name FAILED: $msg")
+          name -> Left(msg)
+      }
     }
     val json = s"""{"metric":"docs_bench","docs":$nDocs,"queries":{""" +
-      timings.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",") +
-      "}}"
+      timings.map {
+        case (n, Right(s)) => f""""$n":$s%.3f"""
+        case (n, Left(m)) =>
+          s""""$n":{"failed":"${m.replace("\\", "\\\\")
+            .replace("\"", "\\\"")}"}"""
+      }.mkString(",") + "}}"
     println(json)
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(outDir)): Unit

@@ -656,23 +656,36 @@ object Dedup {
   def crossDedupFlags(batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.3,
-      tokensOf: Column => Column = wordShingles(_, 3)): DataFrame = {
+      tokensOf: Column => Column = wordShingles(_, 3),
+      broadcastBatch: Boolean = true): DataFrame = {
     require(numHashes > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must split evenly into $bands bands")
+    // The broadcast contract BOUNDS the batch: its (id, fp, toks) frame
+    // must fit in the driver and every executor — the production ingest
+    // shape (a bounded arrival batch vs an unbounded corpus). A batch
+    // that GROWS with the corpus (a fixed fraction, a backfill) blows
+    // the broadcast build — measured at 4M docs / 400k-doc batch
+    // (~600 MB of shingle frames, DOCS_4m_r13) — so `broadcastBatch =
+    // false` swaps every batch-side broadcast for a plain shuffle
+    // equi-join: the corpus shuffles too (that is the price of a
+    // corpus-sized batch), but nothing must fit whole anywhere.
+    // Flags are identical either way (q130 shares q104's oracle).
+    val maybeBc: DataFrame => DataFrame =
+      if (broadcastBatch) broadcast else identity
     val bToks = batch.select(col(idCol).as("id"),
       fingerprint(col(textCol)).as("fp"), tokensOf(col(textCol)).as("toks"))
       .localCheckpoint(false)
     // exact: corpus scan, broadcast batch fingerprints, semi-join
     val exactIds = corpus
       .select(fingerprint(col(textCol)).as("fp"))
-      .join(broadcast(bToks.select(col("id"), col("fp"))), Seq("fp"))
+      .join(maybeBc(bToks.select(col("id"), col("fp"))), Seq("fp"))
       .select(col("id")).distinct()
     // near: corpus band rows ⋈ broadcast batch band rows
     val cBands = bandRowsOf(corpus, tokensOf(col(textCol)), idCol,
       numHashes, bands)
     val bBands = bandRowsOf(bToks, col("toks"), "id", numHashes, bands)
     val cands = cBands
-      .join(broadcast(bBands.withColumnRenamed("id", "bid")),
+      .join(maybeBc(bBands.withColumnRenamed("id", "bid")),
         Seq("band", "band_sig"))
       .select(col("bid"), col("id").as("cid")).distinct()
     // verify: corpus token sets stay map-side (broadcast the candidate
@@ -682,9 +695,9 @@ object Dedup {
     // what keeps the shingle+md5 work off the non-candidate rows.
     val verified = corpus
       .select(col(idCol).as("cid"), col(textCol))
-      .join(broadcast(cands), Seq("cid"))
+      .join(maybeBc(cands), Seq("cid"))
       .select(col("cid"), col("bid"), tokensOf(col(textCol)).as("ctoks"))
-      .join(broadcast(bToks.select(col("id").as("bid"),
+      .join(maybeBc(bToks.select(col("id").as("bid"),
         col("toks").as("btoks"))), Seq("bid"))
     assembleFlags(batch, idCol, exactIds, jaccardNearIds(verified,
       minJaccard))

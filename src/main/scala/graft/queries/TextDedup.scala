@@ -386,6 +386,21 @@ object TextDedup {
         .orderBy("doc_id")
     }),
 
+    // q104's shuffle-path twin for the batch≈corpus regime: the SAME
+    // flags through plain equi-joins instead of batch broadcasts —
+    // the escape for a batch that grows with the corpus (a fixed
+    // fraction, a backfill), where the broadcast build OOMs (measured
+    // at 4M docs / 400k-doc batch, DOCS_4m_r13). Shares q104's oracle
+    // verbatim: the flags are a pure function of the data and split.
+    "q130_cross_dedup_shuffled" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isBatch = col("doc_id") % 10 === 9
+      Dedup.crossDedupFlags(
+        docs.filter(isBatch), docs.filter(!isBatch), "text", "doc_id",
+        broadcastBatch = false)
+        .orderBy("doc_id")
+    }),
+
     // q104's amortized production path: the corpus artifacts persist
     // once through the MANAGED build (corpusIndexesWrite — one staged
     // text pass, band tree stamped + O(1) sidecar), and the flags
@@ -1070,6 +1085,10 @@ object TextDedup {
       "q104_incremental_dedup" ->
         incrementalDedupOracle(norm, sig16, bandsFrom),
       "q112_indexed_dedup" ->
+        incrementalDedupOracle(norm, sig16, bandsFrom),
+      // the shuffle-path twin must produce exactly the broadcast
+      // path's flags — same pure function, different physical joins
+      "q130_cross_dedup_shuffled" ->
         incrementalDedupOracle(norm, sig16, bandsFrom),
 
       "q50_jaccard_adjacent" ->
