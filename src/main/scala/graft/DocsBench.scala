@@ -43,6 +43,11 @@ object DocsBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val nDocs = Tables.documents(spark, dir).count()
+    // fail on a mistyped name BEFORE any minutes-long measurement runs,
+    // not between them
+    names.foreach(n => require(SparkEntry.queries.contains(n),
+      s"unknown query '$n' — registered: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
     // a per-query failure is a RECORDED boundary (e.g. q104's broadcast
     // contract ending where the batch outgrows the driver), not a
     // reason to lose the other measurements
@@ -57,17 +62,25 @@ object DocsBench {
         name -> Right(sec)
       } catch {
         case e: Exception =>
-          val msg = e.getMessage.linesIterator.next().take(160)
+          // message may be null (bare NPE) or empty — never let the
+          // recorder itself throw and lose the measured queries
+          val msg = Option(e.getMessage).filter(_.nonEmpty)
+            .flatMap(_.linesIterator.find(_.nonEmpty))
+            .getOrElse(e.getClass.getName).take(160)
           println(s"$name FAILED: $msg")
           name -> Left(msg)
       }
     }
+    def jsonStr(m: String): String = m.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => " " // control chars (Spark plans embed tabs)
+      case c => c.toString
+    }
     val json = s"""{"metric":"docs_bench","docs":$nDocs,"queries":{""" +
       timings.map {
         case (n, Right(s)) => f""""$n":$s%.3f"""
-        case (n, Left(m)) =>
-          s""""$n":{"failed":"${m.replace("\\", "\\\\")
-            .replace("\"", "\\\"")}"}"""
+        case (n, Left(m)) => s""""$n":{"failed":"${jsonStr(m)}"}"""
       }.mkString(",") + "}}"
     println(json)
     java.nio.file.Files.createDirectories(

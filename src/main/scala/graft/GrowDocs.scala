@@ -78,8 +78,11 @@ object GrowDocs {
             // pool (one unique token per member keeps members near- not
             // exact-dups); all other docs are pairwise-disjoint
             if (f % 19 == 0)
+              // modulo placement: members past docWords/7 would
+              // otherwise get NO unique token and become exact dups
               Array.tabulate(docWords)(i =>
-                if (i == m * 7 + 1) s"u${id}x" else s"f${f}_$i")
+                if (i == (m * 7 + 1) % docWords) s"u${id}x"
+                else s"f${f}_$i")
             else Array.tabulate(docWords)(i => s"w${id}_$i")
           } else {
             val rnd = new scala.util.Random(f * 1000003L + 29L)

@@ -271,7 +271,17 @@ object ShardWriter {
     // the last shard. Discard the orphan and re-derive.
     val (fs, p) = fsOf(spark, outDir)
     if (!fs.exists(p)) fs.delete(sidecarPath(p), false): Unit
-    readBoundsSidecar(spark, outDir) match {
+    // an EMPTY pin (a snapshot with < 2 distinct keys — including one
+    // whose sampling stage transiently selected nothing) must not
+    // outlive its degeneracy: re-pinning Seq.empty over a frame that
+    // NOW has ≥ 2 distinct keys would put every row in shard 0 forever
+    // — a silent, self-perpetuating single-task collapse. The ≥2-key
+    // probe is a LIMIT-2 distinct (bounded, key column only) and runs
+    // only when the stored pin is empty, never on the common path.
+    val stored = readBoundsSidecar(spark, outDir).filter(bounds =>
+      bounds.nonEmpty ||
+        df.select(col(keyCol)).na.drop().distinct().limit(2).count() < 2)
+    stored match {
       case Some(bounds) =>
         // re-pin BEFORE the data write: a no-op when the sibling sidecar
         // already holds these bounds (the common case), but when the pin

@@ -143,6 +143,10 @@ object CurationOps {
     */
   private[graft] def gramBloom(df: DataFrame, gramCol: String,
       expectedItems: Long, fpp: Double): Array[Byte] = {
+    // validated on the DRIVER: a non-positive size would otherwise
+    // throw from BloomFilter.create inside every executor task
+    require(expectedItems > 0,
+      s"gramBloom: expectedItems must be positive (got $expectedItems)")
     val sketches = df.select(xxhash64(col(gramCol)).as("h"))
       .rdd.mapPartitions { it =>
         val f = org.apache.spark.util.sketch.BloomFilter

@@ -571,8 +571,14 @@ object Similarity {
       spark.catalog.refreshByPath(indexDir)
       cells
     }
-    if (fs.exists(manifest))
+    if (fs.exists(manifest)) {
+      // a pending swap whose LAYOUT was deleted is an orphan: resuming
+      // would rename the deleted snapshot's cells into a fresh rebuild
+      // (two corpora silently mixed) — discard it instead, the same
+      // rule the stamped-append guard applies
+      if (!fs.exists(root)) { fs.delete(tmp, true); return Seq.empty }
       return finishSwap(IdempotentSink.readFoldManifest(fs, manifest)._2)
+    }
     val cellDirs = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
     def parquetCount(d: org.apache.hadoop.fs.Path): Int =
@@ -762,15 +768,24 @@ object Similarity {
     // the temp tree, and the resume's delete+rename would destroy any
     // files appended to those dirs in between — refuse loudly instead
     // of silently losing the batch on the next compactCells run
+    val pendingTmp = new org.apache.hadoop.fs.Path( // compactCells naming
+      path.getParent, path.getName + "_compact_tmp")
     val pendingManifest = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path( // compactCells's temp-tree naming
-        path.getParent, path.getName + "_compact_tmp"),
-      graft.streaming.IdempotentSink.FoldManifest)
-    require(!fs.exists(pendingManifest),
-      s"$caller: $indexDir has a pending compaction swap " +
-        s"($pendingManifest) — run Similarity.compactCells($indexDir) " +
-        "to finish the swap, then retry the append (appending now " +
-        "would race the resume's per-cell delete+rename and lose rows)")
+      pendingTmp, graft.streaming.IdempotentSink.FoldManifest)
+    if (fs.exists(pendingManifest)) {
+      if (fs.exists(path))
+        throw new IllegalArgumentException(
+          s"$caller: $indexDir has a pending compaction swap " +
+            s"($pendingManifest) — run Similarity.compactCells($indexDir) " +
+            "to finish the swap, then retry the append (appending now " +
+            "would race the resume's per-cell delete+rename and lose rows)")
+      // layout deleted out from under a pending swap: the temp tree is
+      // an ORPHAN of the old snapshot — resuming it would resurrect the
+      // deleted corpus's rows into the fresh layout, and refusing would
+      // brick the rebuild forever. Discard it and write fresh (the
+      // same rule ShardWriter applies to its orphaned boundary pin).
+      fs.delete(pendingTmp, true): Unit
+    }
     if (fs.exists(path)) {
       val existing = spark.read.parquet(indexDir)
       verifyStamp(existing, stamp, caller, desc): Unit

@@ -264,6 +264,15 @@ class ShardWriterSpec extends AnyFunSuite {
       .contains(Seq.empty[Long]), "blank pin did not round-trip")
     // and the re-write consumes the empty pin without crashing
     assert(ShardWriter.writeShardsDerived(one, outOne, "doc_id", 4).isEmpty)
+    // an empty pin must NOT outlive its degeneracy: once the frame has
+    // ≥ 2 distinct keys (e.g. a sampling stage that transiently
+    // selected nothing now selects normally), reusing Seq.empty would
+    // put every row in shard 0 forever — the write re-derives instead
+    val recovered = ShardWriter.writeShardsDerived(
+      (1L to 100L).map(i => (i, s"r$i")).toDF("doc_id", "payload"),
+      outOne, "doc_id", 4)
+    assert(recovered === Seq(25L, 50L, 75L),
+      s"empty pin was reused over a non-degenerate frame: $recovered")
 
     // legacy layouts (pre-sibling builds) carry the pin INSIDE the dir
     val outLegacy = TestDirs.tmp("sidecar_legacy").toFile.getAbsolutePath

@@ -945,6 +945,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.ops.Similarity.compactCells(spark, dirA,
       maxFilesPerCell = 1).isEmpty, "compaction is not idempotent")
 
+    // ---- layout deleted OUT FROM UNDER a pending swap: the temp tree
+    // is an orphan of the dead snapshot — both the append guard and
+    // compactCells must DISCARD it (resuming would resurrect the
+    // deleted corpus's rows into a fresh rebuild; refusing would brick
+    // the rebuild forever)
+    val dirC = freshFragmented("ccells_orphan")
+    val tmpC = new org.apache.hadoop.fs.Path(dirC + "_compact_tmp")
+    spark.read.parquet(dirC).repartition(2, col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(tmpC.toString)
+    IdempotentSink.writeFoldManifest(fs,
+      new org.apache.hadoop.fs.Path(tmpC, IdempotentSink.FoldManifest),
+      0L, Seq(0L, 1L))
+    fs.delete(new org.apache.hadoop.fs.Path(dirC), true)
+    // fresh write to the rebuilt location proceeds (guard discards the
+    // orphan instead of refusing or resuming)
+    graft.ops.Similarity.appendToStampedLayout(
+      Seq((1L, 0L)).toDF("id", "cell").withColumn("_params", lit("s")),
+      dirC, "s", "spec")
+    assert(!fs.exists(tmpC), "orphaned temp tree not discarded by append")
+    assert(spark.read.parquet(dirC).count() == 1,
+      "rebuilt layout should hold only the fresh row")
+    // and compactCells itself also treats it as an orphan
+    val dirD = freshFragmented("ccells_orphan2")
+    val tmpD = new org.apache.hadoop.fs.Path(dirD + "_compact_tmp")
+    spark.read.parquet(dirD).repartition(2, col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(tmpD.toString)
+    IdempotentSink.writeFoldManifest(fs,
+      new org.apache.hadoop.fs.Path(tmpD, IdempotentSink.FoldManifest),
+      0L, Seq(0L, 1L))
+    fs.delete(new org.apache.hadoop.fs.Path(dirD), true)
+    assert(graft.ops.Similarity.compactCells(spark, dirD).isEmpty)
+    assert(!fs.exists(tmpD), "orphaned temp tree not discarded")
+
     // ---- crash BEFORE the manifest: a partial temp tree (here: one
     // cell, truncated rows) must be rewritten — no source was deleted
     val dirB = freshFragmented("ccells_rewrite")
