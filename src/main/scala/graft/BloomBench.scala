@@ -131,12 +131,15 @@ object BloomBench {
     val secBroadcast = time(broadcastPath)
     val secBloom = time(bloomPath)
 
-    // result identity (the exact-verify contract), not just timings
-    def rows(df: org.apache.spark.sql.DataFrame) =
+    // result identity (the exact-verify contract), not just timings —
+    // compared DISTRIBUTED (exceptAll both directions): on the dense
+    // GrowDocs fixture nearly every doc is flagged, so collecting both
+    // results would hold millions of tuples on the driver at the
+    // recorded 1M–4M points
+    def proj(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id"), col("n_shared"), col("contaminated"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-        .toSet
-    require(rows(broadcastPath()) == rows(bloomPath()),
+    require(proj(broadcastPath()).exceptAll(proj(bloomPath())).isEmpty &&
+      proj(bloomPath()).exceptAll(proj(broadcastPath())).isEmpty,
       "bloom path diverged from the exact broadcast path")
 
     val json =

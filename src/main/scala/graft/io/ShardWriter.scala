@@ -181,7 +181,7 @@ object ShardWriter {
     * still readable: [[readBoundsSidecar]] falls back to the legacy
     * in-dir location.
     */
-  private val BoundsSidecar = "_graft_shard_bounds"
+  private[graft] val BoundsSidecar = "_graft_shard_bounds"
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -276,11 +276,21 @@ object ShardWriter {
     // outlive its degeneracy: re-pinning Seq.empty over a frame that
     // NOW has ≥ 2 distinct keys would put every row in shard 0 forever
     // — a silent, self-perpetuating single-task collapse. The ≥2-key
-    // probe is a LIMIT-2 distinct (bounded, key column only) and runs
-    // only when the stored pin is empty, never on the common path.
+    // probe is two short-circuiting `head(1)` scans (CollectLimit
+    // probes partitions incrementally and stops at the first hit — a
+    // `distinct().limit(2)` would run the full distinct SHUFFLE before
+    // its limit applied) and runs only when the stored pin is empty,
+    // never on the common path.
+    def hasTwoDistinctKeys: Boolean = {
+      val keys = df.select(col(keyCol)).na.drop()
+      keys.head(1) match {
+        case Array(first) =>
+          keys.filter(col(keyCol) =!= lit(first.get(0))).head(1).nonEmpty
+        case _ => false
+      }
+    }
     val stored = readBoundsSidecar(spark, outDir).filter(bounds =>
-      bounds.nonEmpty ||
-        df.select(col(keyCol)).na.drop().distinct().limit(2).count() < 2)
+      bounds.nonEmpty || !hasTwoDistinctKeys)
     stored match {
       case Some(bounds) =>
         // re-pin BEFORE the data write: a no-op when the sibling sidecar

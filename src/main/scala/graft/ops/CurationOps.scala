@@ -92,6 +92,12 @@ object CurationOps {
     * set — a shuffle join whose corpus side the bloom already cut ~1/fpp
     * and whose bench side never materializes on the driver.
     *
+    * EAGER at call time: the sketch build ([[gramBloom]]) runs a Spark
+    * job inside this call (the sketch must exist as a literal before
+    * the returned plan can be built), so invoking the operator twice
+    * builds the sketch twice — callers timing or iterating on the
+    * RESULT should hold the returned frame, not re-call the operator.
+    *
     * `expectedBenchGrams` sizes the sketch; overshooting wastes bits,
     * undershooting raises the realized fpp (never correctness — the
     * verify is exact at any fpp, a degraded sketch only prefilters
@@ -140,6 +146,16 @@ object CurationOps {
     * the memory/shuffle blowup the operator exists to prevent returns
     * with no signal. The per-partition build ships no sketch-sized
     * closure (each task allocates its own) and merges executor-side.
+    *
+    * Every task allocates the FULL sketch and treeReduce ships one per
+    * partition, so the build's memory and network cost is
+    * O(partitions × sketch bytes) — at 10⁸ grams / 3% fpp that is
+    * ~90 MB per partition, which over 10⁴ raw input partitions would
+    * be ~1 TB of sketch traffic. The hashed gram stream (8 bytes/row)
+    * is therefore COALESCED to the cluster's parallelism before the
+    * build — a narrow dependency, no shuffle — capping the cost at
+    * O(cores × sketch bytes) regardless of how many files the bench
+    * suite arrived in.
     */
   private[graft] def gramBloom(df: DataFrame, gramCol: String,
       expectedItems: Long, fpp: Double): Array[Byte] = {
@@ -147,8 +163,9 @@ object CurationOps {
     // throw from BloomFilter.create inside every executor task
     require(expectedItems > 0,
       s"gramBloom: expectedItems must be positive (got $expectedItems)")
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val sketches = df.select(xxhash64(col(gramCol)).as("h"))
-      .rdd.mapPartitions { it =>
+      .rdd.coalesce(math.max(parallelism, 1)).mapPartitions { it =>
         val f = org.apache.spark.util.sketch.BloomFilter
           .create(expectedItems, fpp)
         it.foreach(r => f.putLong(r.getLong(0)))

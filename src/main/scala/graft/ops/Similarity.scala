@@ -575,7 +575,16 @@ object Similarity {
       // a pending swap whose LAYOUT was deleted is an orphan: resuming
       // would rename the deleted snapshot's cells into a fresh rebuild
       // (two corpora silently mixed) — discard it instead, the same
-      // rule the stamped-append guard applies
+      // rule the stamped-append guard applies. `!exists(root)` as the
+      // deleted-on-purpose signal assumes DIRECTORY-native semantics
+      // (HDFS/local FS, where a committed layout's directory exists
+      // independent of its contents). On an object store, where
+      // "directories" are only key prefixes, a transient
+      // list-after-delete inconsistency could make a live layout look
+      // absent and this branch would discard committed rows — front
+      // such stores with an explicit layout sentinel (the stamp
+      // sidecar this family already writes is a natural one) before
+      // trusting prefix existence as liveness.
       if (!fs.exists(root)) { fs.delete(tmp, true); return Seq.empty }
       return finishSwap(IdempotentSink.readFoldManifest(fs, manifest)._2)
     }
@@ -784,6 +793,10 @@ object Similarity {
       // deleted corpus's rows into the fresh layout, and refusing would
       // brick the rebuild forever. Discard it and write fresh (the
       // same rule ShardWriter applies to its orphaned boundary pin).
+      // Like compactCells' orphan check, `!exists(path)` as the
+      // deleted-on-purpose signal assumes directory-native FS semantics
+      // (HDFS/local); on an object store, gate this on an explicit
+      // layout sentinel instead of prefix existence.
       fs.delete(pendingTmp, true): Unit
     }
     if (fs.exists(path)) {

@@ -27,16 +27,17 @@ private[queries] object QueryTmp {
         d.replaceAll("[^a-zA-Z0-9.-]", "_"))
     val path = f.getAbsolutePath
     if (cleanupRegistered.add(path)) {
-      // the tree AND any sibling metadata files named `<dir>.<suffix>`
-      // (ShardWriter's boundary pin lives beside its layout, not inside
-      // it) — deleting only the tree would orphan the pin until the 6h
-      // sweep below catches it
+      // the tree AND its known sibling sidecars (ShardWriter's boundary
+      // pin lives beside its layout, not inside it) — deleting only the
+      // tree would orphan the pin until the 6h sweep below catches it.
+      // Matched by EXACT sidecar name, not an open-ended `<dir>.` prefix:
+      // the prefix form would also delete any unrelated sibling file
+      // that happens to share the name-plus-dot in the shared tmp parent
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         deleteTree(f)
-        val sibs = f.getParentFile.listFiles()
-        if (sibs != null) sibs
-          .filter(s => s.isFile && s.getName.startsWith(f.getName + "."))
-          .foreach(_.delete())
+        new java.io.File(f.getParentFile,
+          f.getName + "." + graft.io.ShardWriter.BoundsSidecar)
+          .delete(): Unit
       }))
       val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
       val siblings = f.getParentFile.listFiles()

@@ -99,7 +99,41 @@ object IdempotentSink {
     * pending swap exists (the manifest pins that fold).
     */
   def compactBatches(spark: org.apache.spark.sql.SparkSession,
-      out: String, partitionCol: String, uptoBatch: Long): Seq[Long] = {
+      out: String, partitionCol: String, uptoBatch: Long): Seq[Long] =
+    compactBatchesWith(spark, out, uptoBatch, (folded, tmp) =>
+      folded.repartition(col(partitionCol))
+        .write.partitionBy(partitionCol).mode("overwrite").parquet(tmp))
+
+  /** [[compactBatches]] for the NON-partitioned `_batch=` trees
+    * ([[parquetByBatch]] outputs — [[dedupIngestByBatch]]'s fp/tok
+    * index trees and its flags tree): every `_batch ≤ uptoBatch`
+    * subtree folds into ONE consolidated `_batch=<smallest folded id>`
+    * subtree of exactly `numFiles` files (coalesce, no shuffle), so a
+    * lookup's file LISTING stops growing with stream age — at 10⁵
+    * micro-batches the un-folded trees' listing is the lookup job
+    * itself. Same resumable `_graft_fold` swap, same REPLAY-SAFETY
+    * CONTRACT as [[compactBatches]]: only fold `uptoBatch` < the
+    * stream's latest committed batch id. The ingest's time-travel
+    * filter (`_batch < id`) is unaffected — folded rows keep the
+    * smallest folded id, which stays strictly below every batch id
+    * that can still replay.
+    */
+  def compactBatchesFlat(spark: org.apache.spark.sql.SparkSession,
+      out: String, uptoBatch: Long, numFiles: Int = 1): Seq[Long] = {
+    require(numFiles >= 1, s"numFiles must be ≥1 (got $numFiles)")
+    compactBatchesWith(spark, out, uptoBatch, (folded, tmp) =>
+      folded.coalesce(numFiles).write.mode("overwrite").parquet(tmp))
+  }
+
+  /** The shared fold core: list `_batch=` subtrees ≤ `uptoBatch`, write
+    * the consolidated tree to `<out>_compact_tmp` via `rewrite` (which
+    * receives the folded rows WITHOUT `_batch` and the temp path),
+    * commit the `_graft_fold` manifest inside it, then swap — per the
+    * crash-recovery contract documented on [[compactBatches]].
+    */
+  private def compactBatchesWith(spark: org.apache.spark.sql.SparkSession,
+      out: String, uptoBatch: Long,
+      rewrite: (DataFrame, String) => Unit): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(out)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(
@@ -131,12 +165,11 @@ object IdempotentSink {
       .filter(_ <= uptoBatch).toSeq.sorted
     if (batchIds.size < 2) return Seq.empty
     val target = batchIds.head
-    spark.read.parquet(out)
-      .filter(col("_batch").cast("long") <= uptoBatch)
-      .drop("_batch")
-      .repartition(col(partitionCol))
-      .write.partitionBy(partitionCol).mode("overwrite")
-      .parquet(tmp.toString)
+    rewrite(
+      spark.read.parquet(out)
+        .filter(col("_batch").cast("long") <= uptoBatch)
+        .drop("_batch"),
+      tmp.toString)
     writeFoldManifest(fs, manifest, target, batchIds)
     finishSwap(target, batchIds)
   }
@@ -184,11 +217,17 @@ object IdempotentSink {
     * batch on; pre-collapse the batch (`exactDedupFlags` /
     * `componentDedupFlags`) when that matters.
     *
-    * Compaction: the band tree is [[compactBatches]]-shaped
-    * (partitionCol "band", from OUTSIDE the stream, after the
-    * checkpoint commits past the folded ids). The fp/tok trees carry
-    * one narrow row per kept doc; fold them with a plain
-    * read→rewrite when file counts matter.
+    * Compaction — all four trees this ingest grows have a resumable
+    * fold, run from OUTSIDE the stream after the checkpoint commits
+    * past the folded ids: the band tree is [[compactBatches]]-shaped
+    * (partitionCol "band"); the fp/tok trees (and the flags tree, if
+    * its consumers want it) fold with [[compactBatchesFlat]] — without
+    * it they accumulate one `_batch=` subtree per micro-batch forever,
+    * and at 10⁵ micro-batches the `prior()` lookup's file LISTING is
+    * the job (growth measured pre/post fold in STREAM_*_r14). The
+    * folded target id is the smallest folded id, strictly below any
+    * batch that can still replay, so the `_batch < id` time-travel
+    * contract is preserved across folds.
     */
   def dedupIngestByBatch(indexRoot: String, flagsOut: String,
       textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,

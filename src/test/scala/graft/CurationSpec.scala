@@ -88,6 +88,16 @@ class CurationSpec extends AnyFunSuite {
       docs.select(col("text").as("gram")), "gram", 16L * 1000 * 1000, 0.03)
     assert(big.length > (1 << 26) / 8,
       s"sketch is ${big.length} B — clamped to the runtime-filter caps")
+    // sketch-shipping cost cap: a pathologically over-partitioned input
+    // (here 97 partitions — on a cluster, 10⁴ raw file splits) must
+    // still produce the same flags, through a build coalesced to
+    // ~defaultParallelism partitions (O(cores × sketch), not
+    // O(input partitions × sketch), of treeReduce traffic)
+    val shredded = rows(CurationOps.decontaminateBloom(
+      docs.repartition(97), "text", "doc_id", pred, minShared = 2,
+      flagAt = 4, expectedBenchGrams = 64))
+    assert(shredded === exact,
+      "coalesced sketch build changed flags on an over-partitioned input")
   }
 
   test("redact masks digit runs and counts them") {

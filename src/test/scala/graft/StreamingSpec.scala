@@ -1049,6 +1049,139 @@ class StreamingSpec extends AnyFunSuite {
       "a manifest-less temp tree leaked into the fold")
   }
 
+  test("compactBatchesFlat folds non-partitioned _batch= trees into one " +
+    "numFiles-file subtree: rows preserved, the time-travel lookup lists " +
+    "exactly the consolidated file, replay-after-fold is a no-op, " +
+    "idempotent; crash recovery resumes a committed manifest and " +
+    "rewrites a manifest-less temp tree") {
+    import spark.implicits._
+    import graft.streaming.IdempotentSink
+
+    def freshFlat(tag: String): String = {
+      val out = TestDirs.tmp(tag).toFile.getAbsolutePath
+      for (b <- 0L to 2L)
+        IdempotentSink.parquetByBatch(out)(
+          (0L until 10L).map(i => (b * 100 + i, s"v$i")).toDF("id", "v"), b)
+      out
+    }
+    def rowsOf(dir: String): Set[Long] =
+      spark.read.parquet(dir).select(col("id"))
+        .collect().map(_.getLong(0)).toSet
+    def batchDirs(dir: String): Seq[String] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("_batch=")).map(_.getName).toSeq.sorted
+
+    // ---- fold semantics + numFiles gate + replay-safety boundary:
+    // uptoBatch=1 folds 0+1 and leaves _batch=2 (the latest committed
+    // batch — the one foreachBatch can still replay) untouched
+    val out = freshFlat("cflat")
+    val expected = rowsOf(out)
+    val folded = IdempotentSink.compactBatchesFlat(spark, out, uptoBatch = 1L)
+    assert(folded == Seq(0L, 1L), s"folded $folded")
+    assert(batchDirs(out) == Seq("_batch=0", "_batch=2"),
+      s"unexpected batch dirs: ${batchDirs(out)}")
+    assert(rowsOf(out) == expected, "fold lost or duplicated rows")
+    assert(new java.io.File(out, "_batch=0").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1,
+      "consolidated subtree should hold exactly numFiles=1 parquet file")
+    // the ingest's prior() shape over the folded tree: _batch < 2 sees
+    // batches 0+1's rows from exactly the one consolidated file
+    val prior = spark.read.parquet(out)
+      .filter(col("_batch").cast("long") < 2L).drop("_batch")
+    assert(prior.count() == 20)
+    assert(prior.select(input_file_name()).distinct().count() == 1,
+      "time-travel lookup should list exactly the consolidated file")
+    assert(IdempotentSink.compactBatchesFlat(spark, out, 1L).isEmpty,
+      "compactBatchesFlat is not idempotent")
+    // a replayed batch 2 (dynamic overwrite of its own subtree) stays a
+    // byte-identical no-op after the fold
+    IdempotentSink.parquetByBatch(out)(
+      (0L until 10L).map(i => (200 + i, s"v$i")).toDF("id", "v"), 2L)
+    spark.catalog.refreshByPath(out)
+    assert(rowsOf(out) == expected, "replay after fold duplicated rows")
+
+    // ---- crash mid-fold, after the manifest: _batch=0 already deleted
+    val outA = freshFlat("cflat_resume")
+    val expA = rowsOf(outA)
+    val fs = new org.apache.hadoop.fs.Path(outA)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmpA = new org.apache.hadoop.fs.Path(outA + "_compact_tmp")
+    spark.read.parquet(outA).drop("_batch").coalesce(1)
+      .write.mode("overwrite").parquet(tmpA.toString)
+    IdempotentSink.writeFoldManifest(fs,
+      new org.apache.hadoop.fs.Path(tmpA, IdempotentSink.FoldManifest),
+      0L, Seq(0L, 1L, 2L))
+    fs.delete(new org.apache.hadoop.fs.Path(outA, "_batch=0"), true)
+    // uptoBatch is deliberately vacuous: the manifest pins the fold
+    val resumed = IdempotentSink.compactBatchesFlat(spark, outA,
+      uptoBatch = -999L)
+    assert(resumed == Seq(0L, 1L, 2L), s"resume folded $resumed")
+    assert(batchDirs(outA) == Seq("_batch=0"))
+    assert(rowsOf(outA) == expA, "resumed fold lost or duplicated rows")
+    assert(!fs.exists(tmpA), "pending temp tree not retired")
+
+    // ---- crash before the manifest: partial temp tree, sources intact
+    val outB = freshFlat("cflat_rewrite")
+    val expB = rowsOf(outB)
+    spark.read.parquet(outB).drop("_batch").filter(col("id") < 3)
+      .coalesce(1).write.mode("overwrite").parquet(outB + "_compact_tmp")
+    val foldedB = IdempotentSink.compactBatchesFlat(spark, outB,
+      uptoBatch = 2L)
+    assert(foldedB == Seq(0L, 1L, 2L))
+    assert(batchDirs(outB) == Seq("_batch=0"))
+    assert(rowsOf(outB) == expB,
+      "a manifest-less temp tree leaked into the fold")
+  }
+
+  test("dedupIngestByBatch flags identically over folded index trees " +
+    "(compactBatchesFlat on fp/tok, compactBatches on band) as over " +
+    "the unfolded control") {
+    import spark.implicits._
+    import graft.streaming.IdempotentSink
+    val base = "one two three four five six seven eight nine ten"
+    val clean2 = "totally different words entirely here now indeed"
+    val b0 = Seq((1L, base + " eleven"), (2L, clean2))
+    val b1 = Seq((3L, "another novel collection of unrelated tokens"),
+      (4L, "yet more fresh language with no overlap at all"))
+    val b2 = Seq((5L, base), (6L, clean2),
+      (7L, "genuinely new closing content"))
+
+    def run(tag: String, foldAfterB1: Boolean)
+    : Map[Long, (Boolean, Boolean)] = {
+      val root = TestDirs.tmp(s"ingfold_idx_$tag").toString
+      val flags = TestDirs.tmp(s"ingfold_flags_$tag").toString
+      def ingest(rows: Seq[(Long, String)], b: Long): Unit =
+        IdempotentSink.dedupIngestByBatch(root, flags, "text", "doc_id")(
+          rows.toDF("doc_id", "text"), b)
+      ingest(b0, 0L)
+      ingest(b1, 1L)
+      if (foldAfterB1) {
+        // the checkpoint has committed past batch 1 (batch 2 is next):
+        // uptoBatch=1 satisfies the replay-safety contract
+        assert(IdempotentSink.compactBatchesFlat(
+          spark, s"$root/fp", 1L) == Seq(0L, 1L))
+        assert(IdempotentSink.compactBatchesFlat(
+          spark, s"$root/tok", 1L) == Seq(0L, 1L))
+        assert(IdempotentSink.compactBatches(
+          spark, s"$root/band", "band", 1L) == Seq(0L, 1L))
+      }
+      ingest(b2, 2L)
+      spark.read.parquet(flags).filter(col("_batch").cast("long") === 2L)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2))))
+        .toMap
+    }
+    val control = run("ctl", foldAfterB1 = false)
+    val overFolded = run("fold", foldAfterB1 = true)
+    assert(overFolded === control, "fold changed the ingest's flags")
+    // the planted batch-2 dups flag against rows that now live in the
+    // consolidated subtree: 6 exact-dups doc 2, 5 near-dups doc 1
+    assert(control(6L) == ((true, true)), s"doc 6: ${control(6L)}")
+    assert(control(5L)._2, s"doc 5 should near-dup doc 1: ${control(5L)}")
+    assert(control(7L) == ((false, false)), s"doc 7: ${control(7L)}")
+  }
+
   test("watermarked tumbling-window aggregation (streaming)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
