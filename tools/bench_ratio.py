@@ -21,6 +21,17 @@ base, scaled, factor = sys.argv[1], sys.argv[2], float(sys.argv[3])
 b = json.load(open(base))
 s = json.load(open(scaled))
 bq, sq = b["queries"], s["queries"]
+# host-window sanity: when both artifacts carry the fixed-work calib
+# sentinel (r14+ Bench), their ratio is a pure host-speed ratio —
+# report it so a contaminated window is visible before per-query ratios
+# are interpreted (a calib ratio near 2x explains per-query ratios near
+# 2x as host, not engine)
+cb, cs = b.get("calib"), s.get("calib")
+if cb and cs:
+    rb, rs = min(cb), min(cs)
+    print(f"calib sentinel: base {rb:.3f}s scaled {rs:.3f}s "
+          f"(host-speed ratio x{rs/rb:.2f}; >1.3x means the windows "
+          f"are not comparable)")
 print(f"{'query':<28}{'base':>9}{'scaled':>9}{'ratio':>8}  flag")
 flagged = []
 for q in sorted(bq):
