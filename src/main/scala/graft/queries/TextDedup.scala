@@ -419,6 +419,32 @@ object TextDedup {
         .orderBy("doc_id")
     }),
 
+    // The streaming dedup ingest's core read/write path under the batch
+    // oracle gate (the foreachBatch wiring itself is spec-only —
+    // streaming output can't hash-oracle): epoch 0 ingests the 90%
+    // corpus against an empty prior (nothing flags, so every corpus doc
+    // indexes batch-keyed under _batch=0 in all three trees); epoch 1
+    // ingests the 10% batch, whose flags compute through the SAME
+    // time-travel prior() read (_batch < 1) and batch-keyed index
+    // layout the stream uses. The returned frame is epoch 1's flags
+    // read back from the flags tree — so the write path is under the
+    // gate too. Shares q104's oracle verbatim: with this split the
+    // epoch-1 flags are exactly the batch-vs-corpus pure function.
+    "q131_ingest_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isBatch = col("doc_id") % 10 === 9
+      val root = queryTmpDir("q131", s, d)
+      def ingest(df: DataFrame, b: Long): Unit =
+        graft.streaming.IdempotentSink.dedupIngestByBatch(
+          s"$root/idx", s"$root/flags", "text", "doc_id")(df, b)
+      ingest(docs.filter(!isBatch), 0L)
+      ingest(docs.filter(isBatch), 1L)
+      s.read.parquet(s"$root/flags")
+        .filter(col("_batch").cast("long") === 1L)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"))
+        .orderBy("doc_id")
+    }),
+
     // Materialized packed sequences: the q97 bins turned into actual
     // training payloads — docs concatenated in doc_id order with an
     // <eos> separator, one row per (lang, bin). The output carries the
@@ -1089,6 +1115,12 @@ object TextDedup {
       // the shuffle-path twin must produce exactly the broadcast
       // path's flags — same pure function, different physical joins
       "q130_cross_dedup_shuffled" ->
+        incrementalDedupOracle(norm, sig16, bandsFrom),
+      // the streaming-ingest path (epoch 0 indexes the corpus
+      // batch-keyed, epoch 1 flags through the time-travel read) must
+      // ALSO produce exactly those flags — the trees are only a
+      // different physical residence of the same corpus artifacts
+      "q131_ingest_dedup" ->
         incrementalDedupOracle(norm, sig16, bandsFrom),
 
       "q50_jaccard_adjacent" ->
