@@ -989,14 +989,28 @@ object Dedup {
     * pipeline) is persisted once, so each iteration pays ONE hash
     * shuffle (neighbor-label join + min agg) over cached edges —
     * without the persist every iteration would re-run the whole
-    * MinHash/verify pipeline. Iterations needed = graph diameter, which
-    * for near-dup clusters is small (template families are star/clique-
-    * shaped, diameter ≤ ~3). The loop early-stops on a converged
+    * MinHash/verify pipeline. The loop early-stops on a converged
     * iteration via a bounded driver-side count — the same documented
     * driver-action pattern as [[Similarity]]'s kmeansIterate — and
     * throws if `maxIters` rounds did not converge (silently returning
     * partial labels would split components, the exact inconsistency
     * this operator exists to prevent).
+    *
+    * CONVERGENCE CONTRACT: rounds-to-converge = O(component DIAMETER),
+    * not corpus size — plus one final all-stable round to observe
+    * convergence. Near-dup clusters in real corpora are template
+    * families, star/clique-shaped with diameter ≤ ~3, so the loop is
+    * a handful of rounds at ANY corpus size (measured on the 4M-doc
+    * grown corpus: 3 rounds, per-round wall flat — DOCS_4m_r14 /
+    * SCALE_r14 §4; per-round changed-counts and walls log under
+    * GRAFT_CC_LOG=1). The adversary is a CHAIN-shaped graph
+    * (a~b~c~…~z, diameter = n): min-label propagation needs O(n)
+    * rounds there, and `maxIters` exists to turn that pathology into a
+    * loud error instead of an unbounded driver loop. A corpus whose
+    * near-dup graph legitimately carries long chains wants a
+    * pointer-doubling variant (labels propagate along label-graph
+    * edges, O(log diameter) rounds at ~2× per-round cost) — not
+    * needed for the template-family regime this engine targets.
     *
     * Returns (id, rep): one row per node of the pair graph (isolated
     * docs never enter; their "component" is trivially themselves). The
@@ -1019,6 +1033,7 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      val t0 = System.nanoTime()
       val propagated = edges.join(labels, edges("b") === labels("id"))
         .select(col("a").as("id"), col("rep"))
         .unionByName(labels.select(col("id"), col("rep")))
@@ -1033,11 +1048,13 @@ object Dedup {
       labels = propagated
       converged = changed == 0
       i += 1
-      // scale-measurement hook (SCALE_r10): per-iteration label-change
-      // counts put the driver-loop cost curve on record — opt-in via
-      // env so the gate's stderr stays quiet
+      // scale-measurement hook (SCALE_r10/r14): per-iteration
+      // label-change counts and round walls put the driver-loop cost
+      // curve on record — opt-in via env so the gate's stderr stays
+      // quiet
       if (sys.env.contains("GRAFT_CC_LOG"))
-        System.err.println(s"[cc] iter $i changed=$changed")
+        System.err.println(f"[cc] iter $i changed=$changed " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     edges.unpersist()
     if (!converged) {
