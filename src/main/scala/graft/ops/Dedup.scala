@@ -1070,6 +1070,95 @@ object Dedup {
     result
   }
 
+  /** [[connectedComponents]] with POINTER JUMPING — the chain-graph
+    * escape the plain loop's scaladoc names: min-label propagation
+    * alone needs O(diameter) rounds (a path a~b~…~z is the adversary),
+    * while alternating each propagation with a label-shortcut round
+    * (`rep(x) ← rep(rep(x))` — labels are themselves node ids, so the
+    * label table self-joins as its own lookup) doubles the distance a
+    * minimum travels per round: O(log diameter) rounds total, the
+    * standard pointer-doubling argument (cf. hash-to-min, Rastogi et
+    * al. 2012). Per round it pays TWO hash shuffles (the neighbor join
+    * + the self-join) against the plain loop's one, so on the
+    * template-family regime (diameter ≤ ~3) it is strictly MORE
+    * expensive — use it when components can legitimately be long
+    * chains (citation/link graphs, time-ordered revision chains), not
+    * as a default.
+    *
+    * Correctness: both steps only DECREASE labels and both preserve
+    * "label is the id of a node reachable from me" (neighbor labels
+    * are reachable through the edge; `rep(rep(x))` is reachable
+    * transitively), so labels are bounded below by the component min;
+    * at a fixpoint every edge has equal labels at both ends (each end
+    * ≤ the other) ⇒ labels are constant per component, and the min
+    * node's own label can never move off itself ⇒ the constant is the
+    * component min. Same convergence observation, cache ownership,
+    * maxIters guard, and GRAFT_CC_LOG hook as the plain loop; DedupSpec
+    * proves label-parity on the banded pair graph and convergence on a
+    * chain 10× longer than its maxIters.
+    */
+  def connectedComponentsFast(pairs: DataFrame, maxIters: Int = 20)
+  : DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // self-loops CLOSE the neighborhood once, outside the loop, so each
+    // round's propagate is a single join+agg — the plain loop's
+    // per-round `union(neighbor mins, own labels)` form is unusable
+    // here: unioning against a checkpoint-truncated labels frame trips
+    // Catalyst's union-constraint rewrite (AttributeMap lookup fails on
+    // the join-side constraint attribute at planning)
+    val closed = edges.unionByName(
+      edges.select(col("a"), col("a").as("b")).distinct()).persist()
+    // each round's labels are LINEAGE-TRUNCATED (eager localCheckpoint,
+    // not persist): the jump step references the round's propagated
+    // frame TWICE (both sides of the self-join), so under persist alone
+    // the LOGICAL plan doubles every round — 2^rounds copies of the
+    // base tree by round 10, an analyzer/optimizer OOM before any task
+    // runs (measured: 8 GB heap dies at a 101-node chain). Checkpoint
+    // blocks are reclaimed by the ContextCleaner as each round's frame
+    // goes unreferenced, same ownership story as the plain loop's
+    // returned frame.
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val t0 = System.nanoTime()
+      // propagate: everyone adopts the min label in their CLOSED
+      // neighborhood (self-loops supply the own-label term).
+      // Checkpointed before the self-join below — it is consumed twice
+      val propagated = closed.join(labels, closed("b") === labels("id"))
+        .select(closed("a").as("id"), col("rep"))
+        .groupBy("id").agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      // shortcut: follow the label one hop through the label table
+      // itself — rep ids are node ids, so this is a self-join; a rep
+      // that is already a component min maps to itself
+      val jumped = propagated.as("p")
+        .join(propagated.select(col("id").as("rep"),
+          col("rep").as("rep2")).as("q"), Seq("rep"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      val changed = jumped.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("n.rep") < col("o.rep")).count()
+      labels = jumped
+      converged = changed == 0
+      i += 1
+      if (sys.env.contains("GRAFT_CC_LOG"))
+        System.err.println(f"[cc-fast] iter $i changed=$changed " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    closed.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsFast did not converge in $maxIters " +
+          "iterations (log₂ of the component diameter exceeds maxIters?); " +
+          "raise maxIters")
+    labels
+  }
+
   /** Transitive-consistent keep/drop flags for every document: keep iff
     * the doc is its exact-dup group's keeper AND (it sits outside the
     * near-dup pair graph OR it is its component's min-id

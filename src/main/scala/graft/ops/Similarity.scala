@@ -663,8 +663,26 @@ object Similarity {
     * Returns (qid, `idCol`, cell, cos_sim). `excludeSelf` drops
     * candidates whose id equals the query id (the common
     * corpus-queries-corpus case). `queryIdCol` must be unique within
-    * `queries`: both rank windows partition by qid, so duplicated ids
-    * merge two queries' candidate pools into one top-k.
+    * `queries`: the rank windows partition by qid (and the candidate
+    * join re-attaches query vectors by qid), so duplicated ids merge
+    * two queries' candidate pools into one top-k.
+    *
+    * Broadcast sizing (r14): the probe-assignment frame broadcast to
+    * the index scan carries ONLY (qid, cell) — the query VECTORS
+    * broadcast separately, once per query, and re-attach by qid at the
+    * candidate join. Broadcasting the vector riding on every probe row
+    * (the pre-r14 shape) is O(batch × nProbe × dim) bytes and OOMs the
+    * build exactly when nProbe grows toward |codebook| (the
+    * brute-force-truth probe: 2k queries × 1k cells × 64 dims ≈ 1 GB);
+    * split, it is O(batch × nProbe + batch × dim) — 32 MB + 1 MB for
+    * the same probe.
+    *
+    * Top-1 (the semantic-dedup shape, q120) skips the rank window
+    * entirely: a `max_by` aggregate with map-side partial aggregation
+    * reduces each partition's candidates to one row per query BEFORE
+    * the shuffle — the window form shuffles EVERY candidate row
+    * (batch × nProbe × cell size) to sort it, which at corpus-probe
+    * sizes is the job. Same (cos_sim desc, id asc) determinism.
     */
   def ivfSearchBatch(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, index: DataFrame, idCol: String, vecCol: String,
@@ -676,30 +694,46 @@ object Similarity {
     val codebook = typedLit(cents)
     val q = queries.select(col(queryIdCol).as("qid"),
       asDouble(col(queryVecCol)).as("qvec"))
+      .localCheckpoint(true) // one pass feeds probe ranking + vector join
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("d").asc, col("cell").asc)
     val qcells = q
       .select(col("qid"), col("qvec"), explode(codebook).as("c"))
-      .select(col("qid"), col("qvec"), col("c._1").as("cell"),
+      .select(col("qid"), col("c._1").as("cell"),
         GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d"))
       .withColumn("_rn", row_number().over(wProbe))
       .filter(col("_rn") <= nProbe)
-      .select(col("qid"), col("qvec"), col("cell"))
+      .select(col("qid"), col("cell"))
       .localCheckpoint(true) // probe side computed once: cells collect + join
     val probedCells = qcells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     val cand = checked.filter(col("cell").isin(probedCells: _*))
       .join(broadcast(qcells), Seq("cell"))
+      .join(broadcast(q), Seq("qid"))
     val scoped =
       if (excludeSelf) cand.filter(col(idCol) =!= col("qid")) else cand
-    val wTop = Window.partitionBy(col("qid"))
-      .orderBy(col("cos_sim").desc, col(idCol).asc)
-    scoped
+    val scored = scoped
       .select(col("qid"), col(idCol), col("cell"),
         round(cosine(asDouble(col(vecCol)), col("qvec")), 5).as("cos_sim"))
-      .withColumn("_rn", row_number().over(wTop))
-      .filter(col("_rn") <= k)
-      .drop("_rn")
+    if (k == 1)
+      // partial-agg top-1: (cos_sim desc, id asc) via a max_by whose
+      // ordering key negates the id — ids are nonnegative in every
+      // layout this engine writes (ivfIndexWrite stamps them long)
+      scored
+        .groupBy(col("qid"))
+        .agg(max_by(
+          struct(col(idCol), col("cell"), col("cos_sim")),
+          struct(col("cos_sim"), (-col(idCol)).cast("long"))).as("_t"))
+        .select(col("qid"), col(s"_t.$idCol"), col("_t.cell"),
+          col("_t.cos_sim"))
+    else {
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col(idCol).asc)
+      scored
+        .withColumn("_rn", row_number().over(wTop))
+        .filter(col("_rn") <= k)
+        .drop("_rn")
+    }
   }
 
   /** Incremental append to a persisted [[ivfIndex]] layout — the

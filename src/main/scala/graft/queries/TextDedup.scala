@@ -479,6 +479,23 @@ object TextDedup {
         .orderBy("rep")
     }),
 
+    // q107's pointer-doubling twin: the SAME components through
+    // propagate+shortcut rounds (O(log diameter) instead of
+    // O(diameter)) — the escape for legitimately chain-shaped pair
+    // graphs, where plain propagation's round count is the diameter
+    // itself. Shares q107's oracle verbatim: components are a pure
+    // function of the pair graph.
+    "q132_dup_components_fast" -> ((s, d) => {
+      val pairs = Dedup.minhashBandPairsOver(Tables.documents(s, d),
+        TextFunctions.wordShingles(col("text"), 3), "doc_id",
+        minJaccard = 0.3,
+        collapseExactOn = Some(TextFunctions.fingerprint(col("text"))))
+      Dedup.connectedComponentsFast(pairs)
+        .groupBy("rep")
+        .agg(count(lit(1)).as("size"), max(col("id")).as("id_max"))
+        .orderBy("rep")
+    }),
+
     // Token-set Jaccard for id-adjacent pairs.
     "q50_jaccard_adjacent" -> ((s, d) => {
       Dedup.jaccardAdjacent(Tables.documents(s, d), "text", "doc_id")
@@ -654,6 +671,51 @@ object TextDedup {
     ).mkString(", ")
     val simhashBits = (1 to 16).map(j =>
       s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    // the components derivation, shared by q107 (plain min-label
+    // propagation) and q132 (pointer doubling): same pair graph, same
+    // component semantics — DuckDB computes reachability exactly with a
+    // recursive CTE, so both loop shapes answer to one oracle
+    val dupComponentsOracle =
+      s"""WITH RECURSIVE $keepCte,
+         |tok AS (
+         |  SELECT doc_id AS id,
+         |    list_distinct(list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS toks
+         |  FROM (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |    FROM keep)),
+         |t AS (SELECT id, unnest(toks) AS tok FROM tok),
+         |sig AS (SELECT id,
+         |    $sig16
+         |  FROM t GROUP BY id),
+         |bands AS (
+         |  $bands16),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS id1, y.id AS id2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_sig = y.band_sig
+         |      AND x.id < y.id),
+         |p AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT id1, id2,
+         |      ROUND(len(list_intersect(t1.toks, t2.toks)) /
+         |        CAST(len(t1.toks) + len(t2.toks)
+         |          - len(list_intersect(t1.toks, t2.toks)) AS DOUBLE), 4)
+         |        AS jaccard
+         |    FROM cand
+         |    JOIN tok t1 ON t1.id = cand.id1
+         |    JOIN tok t2 ON t2.id = cand.id2)
+         |  WHERE jaccard >= 0.3),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM p
+         |  UNION ALL SELECT id2, id1 FROM p),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+         |SELECT rep, count(*) AS size, max(id) AS id_max
+         |FROM comp GROUP BY rep ORDER BY rep""".stripMargin
 
     Map(
       "q40_text_normalize" ->
@@ -1053,47 +1115,12 @@ object TextDedup {
            |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
            |FROM binned GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
 
-      "q107_dup_components" ->
-        s"""WITH RECURSIVE $keepCte,
-           |tok AS (
-           |  SELECT doc_id AS id,
-           |    list_distinct(list_transform(range(1, len(t) - 1),
-           |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS toks
-           |  FROM (SELECT doc_id,
-           |    list_filter(string_split(text, ' '), x -> x <> '') AS t
-           |    FROM keep)),
-           |t AS (SELECT id, unnest(toks) AS tok FROM tok),
-           |sig AS (SELECT id,
-           |    $sig16
-           |  FROM t GROUP BY id),
-           |bands AS (
-           |  $bands16),
-           |cand AS (
-           |  SELECT DISTINCT x.id AS id1, y.id AS id2
-           |  FROM bands x JOIN bands y
-           |    ON x.band = y.band AND x.band_sig = y.band_sig
-           |      AND x.id < y.id),
-           |p AS (
-           |  SELECT id1, id2 FROM (
-           |    SELECT id1, id2,
-           |      ROUND(len(list_intersect(t1.toks, t2.toks)) /
-           |        CAST(len(t1.toks) + len(t2.toks)
-           |          - len(list_intersect(t1.toks, t2.toks)) AS DOUBLE), 4)
-           |        AS jaccard
-           |    FROM cand
-           |    JOIN tok t1 ON t1.id = cand.id1
-           |    JOIN tok t2 ON t2.id = cand.id2)
-           |  WHERE jaccard >= 0.3),
-           |edges AS (
-           |  SELECT id1 AS a, id2 AS b FROM p
-           |  UNION ALL SELECT id2, id1 FROM p),
-           |reach AS (
-           |  SELECT a AS id, a AS r FROM edges
-           |  UNION
-           |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
-           |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
-           |SELECT rep, count(*) AS size, max(id) AS id_max
-           |FROM comp GROUP BY rep ORDER BY rep""".stripMargin,
+      // q132 shares this oracle verbatim: the component labels are a
+      // pure function of the pair graph — the pointer-doubling loop
+      // must produce exactly the plain propagation's (and DuckDB's
+      // recursive-CTE's) components
+      "q107_dup_components" -> dupComponentsOracle,
+      "q132_dup_components_fast" -> dupComponentsOracle,
 
       "q106_pack_payloads" ->
         s"""WITH $duckBinnedCte,

@@ -659,6 +659,40 @@ class DedupSpec extends AnyFunSuite {
       "connectedComponents leaked a cached frame")
   }
 
+  test("connectedComponentsFast: label-parity with the plain loop, and " +
+    "converges on a chain an order of magnitude longer than its round " +
+    "budget (where plain propagation's O(diameter) loop throws)") {
+    import spark.implicits._
+    // parity on a mixed graph: chain + clique + isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id1", "id2")
+    val plain = graft.ops.Dedup.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val fast = graft.ops.Dedup.connectedComponentsFast(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(fast === plain, "pointer doubling changed the components")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "connectedComponentsFast leaked a cached frame")
+    // the loud-error contract, at a cheap size: a 10-node path
+    // (diameter 9) cannot converge in 3 propagation rounds
+    assertThrows[IllegalStateException] {
+      graft.ops.Dedup.connectedComponents(
+        (0L until 9L).map(i => (i, i + 1)).toDF("id1", "id2"),
+        maxIters = 3)
+    }
+    // the chain adversary: a 101-node path (diameter 100). Plain
+    // propagation moves the min one hop per round — it would need
+    // ~100 rounds; doubling covers the distance in ~7 rounds plus the
+    // stability round, inside a 10-round budget
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val fastChain = graft.ops.Dedup.connectedComponentsFast(
+      chain, maxIters = 10)
+    assert(fastChain.count() == 101)
+    assert(fastChain.filter(col("rep") =!= 0L).count() == 0,
+      "chain did not collapse to the single min label")
+  }
+
   test("crossDedupFlagsFromIndexes: flag-identical to the inline path " +
     "over persisted indexes, with zero corpus-text scans") {
     import spark.implicits._
