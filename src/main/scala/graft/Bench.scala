@@ -17,12 +17,20 @@ import org.apache.spark.sql.SparkSession
   *    MinHash computation vanished from the count plan, so those rounds
   *    measured a bare parquet scan.)
   *  - One warm-up pass over every query (JIT + codegen cache +
-  *    file-index warm), then 3 timed passes, INTERLEAVED pass-major
-  *    (q1..qN, q1..qN, q1..qN) rather than per-query back-to-back: the
-  *    sandbox host shows multi-minute CPU-steal windows, and
-  *    back-to-back repeats let one window swallow ALL of a query's
-  *    samples — interleaving spreads a window across one sample of
-  *    many queries, leaving each query two clean samples.
+  *    file-index warm), then 3 timed repeats per query. Default order
+  *    is GROUPED (back-to-back repeats, `order:"grouped"` in the
+  *    JSON) — comparable with every prior round's artifact.
+  *    SPARK_GRAFT_BENCH_ORDER=interleaved switches to pass-major
+  *    (q1..qN ×3), which decorrelates a multi-minute host-load window
+  *    from any single query's samples but reads each query in a
+  *    COLDER per-query state (JIT/file handles/codegen icache shared
+  *    across 44 queries between samples): measured on identical code
+  *    in one window, interleaved mins sit ~1.25× (median) above
+  *    grouped mins, with grouped-vs-prior-round at 0.95 — a protocol
+  *    LEVEL, not a regression (BENCH_sf01_{quiet,interleaved}_r14).
+  *    Cross-round ratios are only meaningful within one order mode;
+  *    `order` is stamped in the JSON so a comparison can refuse
+  *    mixed-mode inputs.
   *  - The reported per-query stat is the MIN of the 3 samples: the
   *    queries are deterministic, so host contention only ever ADDS
   *    time — min is the unbiased estimator of the uncontended wall.
@@ -149,28 +157,42 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
     }
-    // timed passes, pass-major (q1..qN three times, not q1 ×3 then q2 ×3)
+    // repeat order: see the scaladoc's protocol note — grouped is the
+    // history-comparable default, interleaved the load-window-robust
+    // alternative with a measured ~1.25× colder-state level shift
+    val order = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "grouped")
     val samples = scala.collection.mutable.Map[String,
       scala.collection.mutable.ListBuffer[(Double, Double)]]()
     names.foreach(n => samples(n) =
       scala.collection.mutable.ListBuffer.empty[(Double, Double)])
     val calibs = scala.collection.mutable.ListBuffer[Double]()
-    for (_ <- 1 to 3) {
-      calibs += calibSec()
-      alive.foreach { name =>
-        val l = load1()
-        val t0 = System.nanoTime()
-        try {
-          materialize(qs(name)(spark, sfDir))
-          samples(name) += (((System.nanoTime() - t0) / 1e9, l))
-        } catch {
-          case e: Throwable => // a mid-pass failure after a clean warm-up
-            System.err.println(s"[bench] $name failed mid-pass: " +
-              e.getMessage)
-            alive -= name
-        }
+    def timeOne(name: String): Unit = {
+      val l = load1()
+      val t0 = System.nanoTime()
+      try {
+        materialize(qs(name)(spark, sfDir))
+        samples(name) += (((System.nanoTime() - t0) / 1e9, l))
+      } catch {
+        case e: Throwable => // a mid-pass failure after a clean warm-up
+          System.err.println(s"[bench] $name failed mid-pass: " +
+            e.getMessage)
+          alive -= name
       }
     }
+    if (order == "grouped") {
+      val grouped = alive.toSeq
+      grouped.zipWithIndex.foreach { case (name, i) =>
+        // calib thrice across the sweep, not per query (0.4 s each)
+        if (i % math.max(1, (grouped.size + 2) / 3) == 0)
+          calibs += calibSec()
+        (1 to 3).foreach(_ => timeOne(name))
+      }
+    }
+    else
+      for (_ <- 1 to 3) {
+        calibs += calibSec()
+        alive.toSeq.foreach(timeOne)
+      }
     val loadEnd = load1()
 
     val results: Seq[(String, Seq[(Double, Double)])] =
@@ -193,7 +215,7 @@ object Bench {
       .map(c => f"$c%.3f").mkString("[", ",", "]")
     val total = results.map(r => minOf(r._2.map(_._1))).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_3_interleaved","queries":$qJson,"medians":$mJson,"samples":$sJson,"load1":$lJson,"calib":$cJson,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_3","order":"$order","queries":$qJson,"medians":$mJson,"samples":$sJson,"load1":$lJson,"calib":$cJson,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>

@@ -115,13 +115,12 @@ object IngestBench {
     val preFlags = lookupFlags().localCheckpoint(true)
 
     // fold: latest committed batch (nBatches-1) stays unfolded per the
-    // replay-safety contract
+    // replay-safety contract — the one-call maintenance pass
     val upto = nBatches.toLong - 2
     val tFold0 = System.nanoTime()
-    val foldedFp = IdempotentSink.compactBatchesFlat(spark, s"$root/fp", upto)
-    val foldedTok = IdempotentSink.compactBatchesFlat(spark, s"$root/tok", upto)
-    val foldedBand = IdempotentSink.compactBatches(
-      spark, s"$root/band", "band", upto)
+    val folded = IdempotentSink.compactIngestTrees(spark, root, upto)
+    val (foldedFp, foldedBand, foldedTok) =
+      (folded("fp"), folded("band"), folded("tok"))
     val foldSec = (System.nanoTime() - tFold0) / 1e9
     val filesPost = treeFiles()
     val lookupPost = lookupSec()

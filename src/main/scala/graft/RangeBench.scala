@@ -64,16 +64,20 @@ object RangeBench {
     val span = math.max(1L, nDocs / numShards / 4)
     val (lo, hi) = (mid + span, mid + 2 * span)
 
+    // executed via collect() ON THE INSPECTED df (a writer action runs
+    // through its own QueryExecution, leaving the inspected plan's
+    // metrics at zero — the spec gates use the same collect convention);
+    // the range is point-ish, so the collected rows are ~n/shards/4
     def timedScan(mk: () => DataFrame): (Double, Long, Long) = {
-      mk().write.format("noop").mode("overwrite").save() // warm
+      mk().collect(): Unit // warm
       val df = mk()
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      val rows = df.collect().length
       val sec = (System.nanoTime() - t0) / 1e9
       val scan = df.queryExecution.executedPlan.collectLeaves().collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s
       }.headOption.getOrElse(sys.error("no file scan leaf"))
-      (sec, scan.metrics("numFiles").value, mk().count())
+      (sec, scan.metrics("numFiles").value, rows.toLong)
     }
 
     val (secPruned, filesPruned, rowsPruned) = timedScan(() =>

@@ -1026,25 +1026,36 @@ object Dedup {
   : DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .persist()
+    // self-loops CLOSE the neighborhood so each round is ONE join+agg
+    // with labels referenced ONCE. The former round shape —
+    // union(neighbor-min join, own labels) — referenced labels TWICE,
+    // doubling the LOGICAL plan per round: invisible at the
+    // template-family diameter (≤4 rounds ⇒ ≤16 copies) but a
+    // diameter-16 random graph OOM'd plan stringification at 2¹⁶
+    // copies before maxIters could fire (found by the r14 differential
+    // sweep). Same semantics: min over the closed neighborhood.
+    val closed = edges.unionByName(
+      edges.select(col("a"), col("a").as("b")).distinct()).persist()
+    // per-round labels are lineage-truncated (eager localCheckpoint):
+    // persist alone caches DATA but leaves the logical tree growing
+    // with every round, and the checkpoint also sidesteps Catalyst's
+    // union-constraint rewrite bug that a union over a checkpointed
+    // frame trips (see connectedComponentsFast)
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("rep", col("id")).persist()
-    labels.count() // materialize before the loop mutates the variable
+      .withColumn("rep", col("id")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val t0 = System.nanoTime()
-      val propagated = edges.join(labels, edges("b") === labels("id"))
-        .select(col("a").as("id"), col("rep"))
-        .unionByName(labels.select(col("id"), col("rep")))
+      val propagated = closed.join(labels, closed("b") === labels("id"))
+        .select(closed("a").as("id"), col("rep"))
         .groupBy("id").agg(min(col("rep")).as("rep"))
-        .persist()
+        .localCheckpoint(true)
       // converged ⇔ no node's label shrank this round (bounded driver
       // action: one count over the changed-row join)
       val changed = propagated.as("n")
         .join(labels.as("o"), Seq("id"))
         .filter(col("n.rep") < col("o.rep")).count()
-      labels.unpersist()
       labels = propagated
       converged = changed == 0
       i += 1
@@ -1056,18 +1067,14 @@ object Dedup {
         System.err.println(f"[cc] iter $i changed=$changed " +
           f"wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    edges.unpersist()
-    if (!converged) {
-      labels.unpersist()
+    closed.unpersist()
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations " +
           "(component diameter exceeds maxIters); raise maxIters")
-    }
-    // own the cache: one eager materialization of the converged labels,
-    // then drop the loop's persist — the caller gets a plain frame
-    val result = labels.localCheckpoint(true)
-    labels.unpersist()
-    result
+    // the converged labels are already checkpoint-materialized; the
+    // caller gets a plain frame with no unpersist obligation
+    labels
   }
 
   /** [[connectedComponents]] with POINTER JUMPING — the chain-graph

@@ -125,6 +125,21 @@ object IdempotentSink {
       folded.coalesce(numFiles).write.mode("overwrite").parquet(tmp))
   }
 
+  /** One maintenance call folding ALL THREE of a [[dedupIngestByBatch]]
+    * index root's trees (band via [[compactBatches]], fp/tok via
+    * [[compactBatchesFlat]]) under the shared replay-safety contract —
+    * the stream owner's scheduled pass. Returns the folded batch ids
+    * per tree. Each tree's fold is independently crash-resumable; a
+    * re-run after a crash finishes whichever swaps were pending.
+    */
+  def compactIngestTrees(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, uptoBatch: Long, numFiles: Int = 1)
+  : Map[String, Seq[Long]] = Map(
+    "fp" -> compactBatchesFlat(spark, s"$indexRoot/fp", uptoBatch, numFiles),
+    "band" -> compactBatches(spark, s"$indexRoot/band", "band", uptoBatch),
+    "tok" -> compactBatchesFlat(spark, s"$indexRoot/tok", uptoBatch,
+      numFiles))
+
   /** The shared fold core: list `_batch=` subtrees ≤ `uptoBatch`, write
     * the consolidated tree to `<out>_compact_tmp` via `rewrite` (which
     * receives the folded rows WITHOUT `_batch` and the temp path),

@@ -691,6 +691,22 @@ class DedupSpec extends AnyFunSuite {
     assert(fastChain.count() == 101)
     assert(fastChain.filter(col("rep") =!= 0L).count() == 0,
       "chain did not collapse to the single min label")
+    // seeded random-graph differential sweep: sparse graphs (fragmented
+    // components) and denser ones (few big components) must agree with
+    // the plain loop label-for-label
+    for (seed <- Seq(11, 12, 13); density <- Seq(0.6, 1.5)) {
+      val rnd = new scala.util.Random(seed * 1000 + (density * 10).toInt)
+      val n = 60
+      val es = (1 to (n * density).toInt).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      val g = es.toDF("id1", "id2")
+      val want = graft.ops.Dedup.connectedComponents(g, maxIters = 40)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      val got = graft.ops.Dedup.connectedComponentsFast(g, maxIters = 40)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(got === want, s"divergence at seed=$seed density=$density")
+    }
   }
 
   test("crossDedupFlagsFromIndexes: flag-identical to the inline path " +

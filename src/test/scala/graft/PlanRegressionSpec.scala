@@ -218,6 +218,41 @@ class PlanRegressionSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("ivfSearchBatch top-1 (the q120 semantic-dedup shape) reduces " +
+    "candidates with a PARTIAL max_by aggregate, not a rank window") {
+    // the k=1 fast path exists because a row_number window shuffles
+    // EVERY candidate row (batch × nProbe × cell size) to sort it,
+    // while max_by partial-aggregates each partition down to one row
+    // per query before the exchange — assert the plan shape so a
+    // refactor can't silently reintroduce the window
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val res = Similarity.ivfSearchBatch(
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      Similarity.ivfIndex(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec"),
+      "vec_id", "embedding", centroids, "cid", "cvec",
+      k = 1, nProbe = 2)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"top-1 probe went through a rank window:\n${plan.take(1500)}")
+    assert(plan.contains("partial_max_by") || plan.contains("partial max_by")
+      || plan.toLowerCase.contains("max_by"),
+      s"no max_by aggregate in the top-1 plan:\n${plan.take(1500)}")
+    // and k>1 still takes the window path (the generic top-k)
+    val res5 = Similarity.ivfSearchBatch(
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      Similarity.ivfIndex(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec"),
+      "vec_id", "embedding", centroids, "cid", "cvec",
+      k = 5, nProbe = 2)
+    res5.collect()
+    assert(res5.queryExecution.executedPlan.toString.contains("Window"),
+      "k>1 should rank through the window top-k")
+  }
+
   test("q118 media embed→index→batch-ANN composition prunes the " +
     "persisted index to the probed cells' files") {
     // the end-to-end multimodal path: md5-stub embeddings (not the

@@ -1157,13 +1157,11 @@ class StreamingSpec extends AnyFunSuite {
       ingest(b1, 1L)
       if (foldAfterB1) {
         // the checkpoint has committed past batch 1 (batch 2 is next):
-        // uptoBatch=1 satisfies the replay-safety contract
-        assert(IdempotentSink.compactBatchesFlat(
-          spark, s"$root/fp", 1L) == Seq(0L, 1L))
-        assert(IdempotentSink.compactBatchesFlat(
-          spark, s"$root/tok", 1L) == Seq(0L, 1L))
-        assert(IdempotentSink.compactBatches(
-          spark, s"$root/band", "band", 1L) == Seq(0L, 1L))
+        // uptoBatch=1 satisfies the replay-safety contract; the
+        // one-call maintenance pass folds all three trees
+        val folded = IdempotentSink.compactIngestTrees(spark, root, 1L)
+        assert(folded == Map("fp" -> Seq(0L, 1L), "band" -> Seq(0L, 1L),
+          "tok" -> Seq(0L, 1L)), s"unexpected fold: $folded")
       }
       ingest(b2, 2L)
       spark.read.parquet(flags).filter(col("_batch").cast("long") === 2L)

@@ -26,6 +26,13 @@ bq, sq = b["queries"], s["queries"]
 # report it so a contaminated window is visible before per-query ratios
 # are interpreted (a calib ratio near 2x explains per-query ratios near
 # 2x as host, not engine)
+# order-mode sanity: interleaved and grouped repeats sit at measured
+# different LEVELS (~1.25x) on identical code — refuse to compare across
+# modes silently (pre-r14 artifacts carry no order field = grouped-like)
+ob, os_ = b.get("order", "grouped"), s.get("order", "grouped")
+if ob != os_:
+    print(f"WARNING: order modes differ (base={ob}, scaled={os_}) — "
+          f"levels are not comparable (~1.25x protocol shift)")
 cb, cs = b.get("calib"), s.get("calib")
 if cb and cs:
     rb, rs = min(cb), min(cs)
