@@ -1001,7 +1001,8 @@ object Dedup {
     * convergence. Near-dup clusters in real corpora are template
     * families, star/clique-shaped with diameter ≤ ~3, so the loop is
     * a handful of rounds at ANY corpus size (measured on the 4M-doc
-    * grown corpus: 3 rounds, per-round wall flat — DOCS_4m_r14 /
+    * grown corpus: 4 rounds — 3 changing + 1 stability-observation —
+    * per-round wall flat; DOCS_4m_r14 /
     * SCALE_r14 §4; per-round changed-counts and walls log under
     * GRAFT_CC_LOG=1). The adversary is a CHAIN-shaped graph
     * (a~b~c~…~z, diameter = n): min-label propagation needs O(n)
@@ -1024,8 +1025,15 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20)
   : DataFrame = {
+    // edges persist for the one-time setup, not the loop: `closed`
+    // references edges TWICE (the union below) and the initial labels
+    // scan it once more — unpersisted, each consumer re-runs the full
+    // upstream MinHash/verify pairs pipeline before closed's own cache
+    // populates (~2-3× one-time setup cost, the r14 advice finding).
+    // Dropped right after the first materialization below.
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .persist()
     // self-loops CLOSE the neighborhood so each round is ONE join+agg
     // with labels referenced ONCE. The former round shape —
     // union(neighbor-min join, own labels) — referenced labels TWICE,
@@ -1040,9 +1048,13 @@ object Dedup {
     // persist alone caches DATA but leaves the logical tree growing
     // with every round, and the checkpoint also sidesteps Catalyst's
     // union-constraint rewrite bug that a union over a checkpointed
-    // frame trips (see connectedComponentsFast)
-    var labels = edges.select(col("a").as("id")).distinct()
+    // frame trips (see connectedComponentsFast). Derived from `closed`
+    // (node set is identical — self-loops add no ids), so this eager
+    // materialization also populates closed's cache, after which the
+    // edges cache has no further reader.
+    var labels = closed.select(col("a").as("id")).distinct()
       .withColumn("rep", col("id")).localCheckpoint(true)
+    edges.unpersist()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -1106,8 +1118,12 @@ object Dedup {
     */
   def connectedComponentsFast(pairs: DataFrame, maxIters: Int = 20)
   : DataFrame = {
+    // persisted for the same one-time-setup reason as the plain loop:
+    // closed's union reads edges twice and the initial labels once —
+    // without the cache each re-runs the upstream pairs pipeline
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .persist()
     // self-loops CLOSE the neighborhood once, outside the loop, so each
     // round's propagate is a single join+agg — the plain loop's
     // per-round `union(neighbor mins, own labels)` form is unusable
@@ -1124,9 +1140,12 @@ object Dedup {
     // runs (measured: 8 GB heap dies at a 101-node chain). Checkpoint
     // blocks are reclaimed by the ContextCleaner as each round's frame
     // goes unreferenced, same ownership story as the plain loop's
-    // returned frame.
-    var labels = edges.select(col("a").as("id")).distinct()
+    // returned frame. Derived from `closed` so this eager
+    // materialization populates closed's cache; the edges cache is
+    // done after it.
+    var labels = closed.select(col("a").as("id")).distinct()
       .withColumn("rep", col("id")).localCheckpoint(true)
+    edges.unpersist()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {

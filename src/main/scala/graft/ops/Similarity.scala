@@ -678,7 +678,7 @@ object Similarity {
     * the same probe.
     *
     * Top-1 (the semantic-dedup shape, q120) skips the rank window
-    * entirely: a `max_by` aggregate with map-side partial aggregation
+    * entirely: a `min_by` aggregate with map-side partial aggregation
     * reduces each partition's candidates to one row per query BEFORE
     * the shuffle — the window form shuffles EVERY candidate row
     * (batch × nProbe × cell size) to sort it, which at corpus-probe
@@ -716,14 +716,19 @@ object Similarity {
       .select(col("qid"), col(idCol), col("cell"),
         round(cosine(asDouble(col(vecCol)), col("qvec")), 5).as("cos_sim"))
     if (k == 1)
-      // partial-agg top-1: (cos_sim desc, id asc) via a max_by whose
-      // ordering key negates the id — ids are nonnegative in every
-      // layout this engine writes (ivfIndexWrite stamps them long)
+      // partial-agg top-1: (cos_sim desc, id asc) as a min_by over
+      // struct(-cos_sim, id) — negating the SCORE instead of the id
+      // keeps the tie-break correct for ANY id domain (the former
+      // max_by(…, struct(cos_sim, -id)) silently inverted ties for
+      // caller-supplied negative ids and overflowed at Long.MinValue).
+      // `0.0 - x` rather than `-x` so a -0.0 score (round() of a tiny
+      // negative cosine) normalizes to +0.0 and can't order-split a
+      // tie against a +0.0 score.
       scored
         .groupBy(col("qid"))
-        .agg(max_by(
+        .agg(min_by(
           struct(col(idCol), col("cell"), col("cos_sim")),
-          struct(col("cos_sim"), (-col(idCol)).cast("long"))).as("_t"))
+          struct(lit(0.0) - col("cos_sim"), col(idCol))).as("_t"))
         .select(col("qid"), col(s"_t.$idCol"), col("_t.cell"),
           col("_t.cos_sim"))
     else {

@@ -219,10 +219,10 @@ class PlanRegressionSpec extends AnyFunSuite {
   }
 
   test("ivfSearchBatch top-1 (the q120 semantic-dedup shape) reduces " +
-    "candidates with a PARTIAL max_by aggregate, not a rank window") {
+    "candidates with a PARTIAL min_by aggregate, not a rank window") {
     // the k=1 fast path exists because a row_number window shuffles
     // EVERY candidate row (batch × nProbe × cell size) to sort it,
-    // while max_by partial-aggregates each partition down to one row
+    // while min_by partial-aggregates each partition down to one row
     // per query before the exchange — assert the plan shape so a
     // refactor can't silently reintroduce the window
     val emb = Tables.embeddings(spark, sf)
@@ -238,9 +238,9 @@ class PlanRegressionSpec extends AnyFunSuite {
     val plan = res.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"top-1 probe went through a rank window:\n${plan.take(1500)}")
-    assert(plan.contains("partial_max_by") || plan.contains("partial max_by")
-      || plan.toLowerCase.contains("max_by"),
-      s"no max_by aggregate in the top-1 plan:\n${plan.take(1500)}")
+    assert(plan.contains("partial_min_by") || plan.contains("partial min_by")
+      || plan.toLowerCase.contains("min_by"),
+      s"no min_by aggregate in the top-1 plan:\n${plan.take(1500)}")
     // and k>1 still takes the window path (the generic top-k)
     val res5 = Similarity.ivfSearchBatch(
       emb.filter(col("vec_id") < 3), "vec_id", "embedding",

@@ -33,6 +33,14 @@ ob, os_ = b.get("order", "grouped"), s.get("order", "grouped")
 if ob != os_:
     print(f"WARNING: order modes differ (base={ob}, scaled={os_}) — "
           f"levels are not comparable (~1.25x protocol shift)")
+# estimator sanity: r14+ artifacts' per-query values are min-of-3 while
+# pre-r14 artifacts are median-of-3 — min <= median, so mixing biases
+# cross-round ratios low by roughly the noise level (pre-r14 files
+# carry no stat field = median-like)
+sb, ss = b.get("stat", "median_of_3"), s.get("stat", "median_of_3")
+if sb != ss:
+    print(f"WARNING: stat estimators differ (base={sb}, scaled={ss}) — "
+          f"min<=median biases ratios by ~the noise level")
 cb, cs = b.get("calib"), s.get("calib")
 if cb and cs:
     rb, rs = min(cb), min(cs)
