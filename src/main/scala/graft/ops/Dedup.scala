@@ -653,25 +653,58 @@ object Dedup {
     * means an executor loss fails the ingest job instead of
     * recomputing (rerun the batch; flags are deterministic).
     */
+  /** Auto-regime boundary for [[crossDedupFlags]]: estimated batch
+    * shingle-frame bytes above this pick the shuffle regime. 256 MiB
+    * against the measured failure boundary — ~600 MB of shingle frames
+    * (4M-doc corpus, 400k-doc batch) killed the broadcast build twice
+    * (DOCS_4m_r13/r14) — with 2× headroom for the driver holding up to
+    * three batch-derived broadcasts concurrently and for per-executor
+    * copies on a real cluster's 8-16 GB executors.
+    */
+  val BroadcastShingleMaxBytes: Long = 256L << 20
+
   def crossDedupFlags(batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.3,
       tokensOf: Column => Column = wordShingles(_, 3),
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Option[Boolean] = None,
+      broadcastMaxBytes: Long = BroadcastShingleMaxBytes): DataFrame = {
     require(numHashes > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must split evenly into $bands bands")
-    // The broadcast contract BOUNDS the batch: its (id, fp, toks) frame
+    // The broadcast regime BOUNDS the batch: its (id, fp, toks) frame
     // must fit in the driver and every executor — the production ingest
     // shape (a bounded arrival batch vs an unbounded corpus). A batch
     // that GROWS with the corpus (a fixed fraction, a backfill) blows
     // the broadcast build — measured at 4M docs / 400k-doc batch
-    // (~600 MB of shingle frames, DOCS_4m_r13) — so `broadcastBatch =
-    // false` swaps every batch-side broadcast for a plain shuffle
-    // equi-join: the corpus shuffles too (that is the price of a
-    // corpus-sized batch), but nothing must fit whole anywhere.
+    // (~600 MB of shingle frames, DOCS_4m_r13 AND r14) — where the
+    // shuffle regime swaps every batch-side broadcast for a plain
+    // shuffle equi-join: the corpus shuffles too (that is the price of
+    // a corpus-sized batch), but nothing must fit whole anywhere.
     // Flags are identical either way (q130 shares q104's oracle).
+    //
+    // `broadcastBatch = Some(x)` forces a regime; the None default
+    // AUTO-selects: one narrow batch-sided agg (row count + text chars)
+    // estimates the dominant broadcast — the shingle frame, ~3× the
+    // text (every word lands in ~3 three-word shingles) plus per-row
+    // array overhead — and estimates above `broadcastMaxBytes` take
+    // the shuffle regime. The estimate costs one extra batch scan
+    // (batch-sized, i.e. exactly the quantity being bounded), and is
+    // deliberately coarse: chars ≈ bytes and the 3× multiplier assume
+    // the default `wordShingles(_, 3)` tokenizer; a custom `tokensOf`
+    // with very different expansion should force its regime explicitly.
+    val useBroadcast = broadcastBatch.getOrElse {
+      val est = batch.agg(count(lit(1)),
+        coalesce(sum(length(col(textCol))), lit(0L))).head
+      val rows = est.getLong(0)
+      val estShingleBytes = est.getLong(1) * 3L + rows * 64L
+      val pick = estShingleBytes <= broadcastMaxBytes
+      System.err.println(s"[graft] crossDedupFlags auto regime: ~" +
+        s"${estShingleBytes >> 20} MiB estimated shingle frame for " +
+        s"$rows batch rows -> ${if (pick) "broadcast" else "shuffle"}")
+      pick
+    }
     val maybeBc: DataFrame => DataFrame =
-      if (broadcastBatch) broadcast else identity
+      if (useBroadcast) broadcast else identity
     val bToks = batch.select(col(idCol).as("id"),
       fingerprint(col(textCol)).as("fp"), tokensOf(col(textCol)).as("toks"))
       .localCheckpoint(false)

@@ -377,7 +377,9 @@ object TextDedup {
     // corpus (the other 90%) — exact membership via broadcast
     // fingerprint semi-join, near-dup via SHINGLE banding (token-set
     // banding saturates on this template corpus), batch side broadcast
-    // everywhere (the corpus is scanned, never shuffled).
+    // everywhere (the corpus is scanned, never shuffled) — picked by
+    // the AUTO regime switch, which estimates this batch far below the
+    // broadcast boundary.
     "q104_incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val isBatch = col("doc_id") % 10 === 9
@@ -390,14 +392,16 @@ object TextDedup {
     // flags through plain equi-joins instead of batch broadcasts —
     // the escape for a batch that grows with the corpus (a fixed
     // fraction, a backfill), where the broadcast build OOMs (measured
-    // at 4M docs / 400k-doc batch, DOCS_4m_r13). Shares q104's oracle
-    // verbatim: the flags are a pure function of the data and split.
+    // at 4M docs / 400k-doc batch, DOCS_4m_r13). The regime is FORCED
+    // here (the auto default picks it by size estimate — q104
+    // exercises that path); shares q104's oracle verbatim: the flags
+    // are a pure function of the data and split.
     "q130_cross_dedup_shuffled" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val isBatch = col("doc_id") % 10 === 9
       Dedup.crossDedupFlags(
         docs.filter(isBatch), docs.filter(!isBatch), "text", "doc_id",
-        broadcastBatch = false)
+        broadcastBatch = Some(false))
         .orderBy("doc_id")
     }),
 

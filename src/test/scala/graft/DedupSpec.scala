@@ -642,6 +642,57 @@ class DedupSpec extends AnyFunSuite {
       (29L, false, false)))
   }
 
+  test("crossDedupFlags auto regime: the size estimate picks broadcast " +
+    "below the threshold, shuffle above, identical flags either way") {
+    import spark.implicits._
+    val base = "one two three four five six seven eight nine ten"
+    val corpus = ((0L until 50L).map(i => (i, s"a$i b$i c$i d$i e$i")) :+
+      (50L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (900L, base),              // exact + near
+      (901L, base + " eleven"),  // near only
+      (902L, "nothing in common here at all")).toDF("doc_id", "text")
+    // pin Catalyst's own size-based broadcast off so the only
+    // BroadcastExchanges in either plan are the ones the regime switch
+    // injects (explicit broadcast() hints survive threshold -1)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def bcExchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .BroadcastExchangeExec => e
+        }.size
+      // max threshold → auto picks broadcast; 0 → auto picks shuffle
+      val viaBc = Dedup.crossDedupFlags(batch, corpus, "text", "doc_id",
+        broadcastMaxBytes = Long.MaxValue)
+      val viaSh = Dedup.crossDedupFlags(batch, corpus, "text", "doc_id",
+        broadcastMaxBytes = 0L)
+      assert(bcExchanges(viaBc) >= 3,
+        "auto-below-threshold did not take the broadcast regime")
+      assert(bcExchanges(viaSh) == 0,
+        "auto-above-threshold still broadcasts the batch side")
+      val expect = Seq((900L, true, true), (901L, false, true),
+        (902L, false, false))
+      assert(viaBc.orderBy("doc_id")
+        .as[(Long, Boolean, Boolean)].collect().toSeq === expect)
+      assert(viaSh.orderBy("doc_id")
+        .as[(Long, Boolean, Boolean)].collect().toSeq === expect)
+      // the explicit override beats the estimate in both directions
+      assert(bcExchanges(Dedup.crossDedupFlags(batch, corpus, "text",
+        "doc_id", broadcastBatch = Some(true),
+        broadcastMaxBytes = 0L)) >= 3)
+      assert(bcExchanges(Dedup.crossDedupFlags(batch, corpus, "text",
+        "doc_id", broadcastBatch = Some(false),
+        broadcastMaxBytes = Long.MaxValue)) == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("connectedComponents: min-label propagation over chains and " +
     "separate clusters") {
     import spark.implicits._
