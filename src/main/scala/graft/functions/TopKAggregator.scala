@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** One ANN candidate as the bounded top-k aggregate carries it: the
+  * corpus id, its IVF cell, and the rounded cosine score. Ids and
+  * cells travel as longs inside the aggregate; the call site casts
+  * narrower integral layouts in and back out (partition-directory
+  * inference can make `cell` an int on a reloaded index).
+  */
+case class TopKHit(id: Long, cell: Long, cos_sim: Double)
+
+/** Size-bounded partial top-k by (cos_sim desc, id asc) — the k>1
+  * analog of the `min_by` top-1 fast path in
+  * [[graft.ops.Similarity.ivfSearchBatch]].
+  *
+  * Why an aggregate and not a rank window: `row_number().over(
+  * partitionBy(qid))` shuffles EVERY candidate row (batch × nProbe ×
+  * cell size) just to sort-and-discard all but k of them, and at
+  * corpus-probe sizes that exchange IS the job. This aggregate's
+  * buffer is a sorted Vector capped at `k`, so the PARTIAL (map-side)
+  * aggregation reduces each partition to at most k hits per query
+  * BEFORE the exchange — the shuffle carries ≤ k × partitions rows
+  * per query instead of every candidate. `collect_list` + sort +
+  * slice would partial-aggregate too, but its buffer is UNBOUNDED:
+  * the exchange bytes stay identical to the window's, only the row
+  * count shrinks.
+  *
+  * Cost model behind the [[TopKByScore.MaxK]] guard: `reduce` is O(1)
+  * for a non-qualifying row (one compare against the current worst —
+  * the common case once the buffer warms) and O(k) to insert; `merge`
+  * is O(k²) but runs once per (query, partition) pair. At k ≤ 100
+  * both are trivially memory- and CPU-bounded; past that the window
+  * form's single O(n log n) sort wins, so callers route large k there.
+  *
+  * Ordering contract matches the window path and the DuckDB oracles:
+  * ties on the (rounded) score break by ascending id. Scores are
+  * assumed non-null/non-NaN (they are `round(cosine, 5)` of finite
+  * vectors in every caller); NaN would sort first under Spark's
+  * window ordering but last here.
+  */
+class TopKByScore(k: Int)
+    extends Aggregator[TopKHit, Seq[TopKHit], Seq[TopKHit]] {
+  require(k >= 1 && k <= TopKByScore.MaxK,
+    s"TopKByScore holds its whole buffer per group: k=$k exceeds " +
+      s"MaxK=${TopKByScore.MaxK}; use the rank-window form instead")
+
+  private def beats(a: TopKHit, b: TopKHit): Boolean =
+    a.cos_sim > b.cos_sim || (a.cos_sim == b.cos_sim && a.id < b.id)
+
+  override def zero: Seq[TopKHit] = Vector.empty
+
+  override def reduce(buf: Seq[TopKHit], x: TopKHit): Seq[TopKHit] =
+    if (buf.size >= k && !beats(x, buf.last)) buf
+    else {
+      val i = buf.indexWhere(h => beats(x, h))
+      val at = if (i < 0) buf.size else i
+      val grown = (buf.take(at) :+ x) ++ buf.drop(at)
+      if (grown.size > k) grown.take(k) else grown
+    }
+
+  override def merge(a: Seq[TopKHit], b: Seq[TopKHit]): Seq[TopKHit] =
+    b.foldLeft(a)(reduce)
+
+  override def finish(buf: Seq[TopKHit]): Seq[TopKHit] = buf
+
+  override def bufferEncoder: Encoder[Seq[TopKHit]] =
+    ExpressionEncoder[Seq[TopKHit]]()
+  override def outputEncoder: Encoder[Seq[TopKHit]] =
+    ExpressionEncoder[Seq[TopKHit]]()
+}
+
+object TopKByScore {
+  /** Buffer-size guard: above this the window form's single sort beats
+    * the O(k) insert / O(k²) merge, and a "top-k" this wide is a
+    * different query shape anyway.
+    */
+  val MaxK = 100
+
+  /** Column form: `df.groupBy("qid").agg(topk(k, id, cell, score))` →
+    * an `array<struct<id, cell, cos_sim>>` sorted best-first.
+    */
+  def topk(k: Int, id: Column, cell: Column, cosSim: Column): Column =
+    udaf(new TopKByScore(k), ExpressionEncoder[TopKHit]())
+      .apply(id, cell, cosSim)
+}

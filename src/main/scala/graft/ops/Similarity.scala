@@ -683,6 +683,13 @@ object Similarity {
     * the shuffle — the window form shuffles EVERY candidate row
     * (batch × nProbe × cell size) to sort it, which at corpus-probe
     * sizes is the job. Same (cos_sim desc, id asc) determinism.
+    *
+    * k>1 (up to [[graft.functions.TopKByScore.MaxK]], integral
+    * id/cell layouts) gets the same treatment through a size-bounded
+    * partial top-k aggregate: ≤ k hits per query leave each map
+    * partition instead of every candidate. Larger k or exotic column
+    * types fall back to the rank window (identical results, plan-gated
+    * in PlanRegressionSpec).
     */
   def ivfSearchBatch(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, index: DataFrame, idCol: String, vecCol: String,
@@ -732,12 +739,43 @@ object Similarity {
         .select(col("qid"), col(s"_t.$idCol"), col("_t.cell"),
           col("_t.cos_sim"))
     else {
-      val wTop = Window.partitionBy(col("qid"))
-        .orderBy(col("cos_sim").desc, col(idCol).asc)
-      scored
-        .withColumn("_rn", row_number().over(wTop))
-        .filter(col("_rn") <= k)
-        .drop("_rn")
+      // k>1 mirrors the top-1 shape with a size-bounded partial top-k
+      // aggregate (TopKByScore): each map partition reduces to ≤ k
+      // hits per query before the exchange, where the rank window
+      // shuffles every candidate row. Ids/cells travel as longs inside
+      // the aggregate and cast back to the layout's types on the way
+      // out (partition-directory inference can make `cell` an int),
+      // so the output schema is bit-identical to the window form's.
+      // Non-integral id/cell layouts and k past the buffer guard keep
+      // the window form — correctness first, the agg is an
+      // optimization.
+      import graft.functions.TopKByScore
+      def integral(dt: org.apache.spark.sql.types.DataType) = dt match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      val idType = scored.schema(idCol).dataType
+      val cellType = scored.schema("cell").dataType
+      if (k <= TopKByScore.MaxK && integral(idType) && integral(cellType))
+        scored
+          .groupBy(col("qid"))
+          .agg(TopKByScore.topk(k, col(idCol).cast("long"),
+            col("cell").cast("long"), col("cos_sim")).as("_t"))
+          .select(col("qid"), explode(col("_t")).as("_e"))
+          .select(col("qid"), col("_e.id").cast(idType).as(idCol),
+            col("_e.cell").cast(cellType).as("cell"),
+            col("_e.cos_sim").as("cos_sim"))
+      else {
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(col("cos_sim").desc, col(idCol).asc)
+        scored
+          .withColumn("_rn", row_number().over(wTop))
+          .filter(col("_rn") <= k)
+          .drop("_rn")
+      }
     }
   }
 

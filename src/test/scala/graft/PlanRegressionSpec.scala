@@ -241,7 +241,9 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(plan.contains("partial_min_by") || plan.contains("partial min_by")
       || plan.toLowerCase.contains("min_by"),
       s"no min_by aggregate in the top-1 plan:\n${plan.take(1500)}")
-    // and k>1 still takes the window path (the generic top-k)
+    // k>1 within the buffer guard is ALSO window-free: the bounded
+    // TopKByScore partial aggregate replaces the rank window (≤ k hits
+    // per query leave each map partition instead of every candidate)
     val res5 = Similarity.ivfSearchBatch(
       emb.filter(col("vec_id") < 3), "vec_id", "embedding",
       Similarity.ivfIndex(emb, "vec_id", "embedding",
@@ -249,8 +251,22 @@ class PlanRegressionSpec extends AnyFunSuite {
       "vec_id", "embedding", centroids, "cid", "cvec",
       k = 5, nProbe = 2)
     res5.collect()
-    assert(res5.queryExecution.executedPlan.toString.contains("Window"),
-      "k>1 should rank through the window top-k")
+    val plan5 = res5.queryExecution.executedPlan.toString
+    assert(!plan5.contains("Window"),
+      s"k=5 probe went through a rank window:\n${plan5.take(1500)}")
+    assert(plan5.contains("topkbyscore") ||
+      plan5.toLowerCase.contains("topkbyscore"),
+      s"no TopKByScore aggregate in the k=5 plan:\n${plan5.take(1500)}")
+    // past the buffer guard the window form remains (a top-10000 is a
+    // different query shape; the bounded buffer no longer pays)
+    val resBig = Similarity.ivfSearchBatch(
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      Similarity.ivfIndex(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec"),
+      "vec_id", "embedding", centroids, "cid", "cvec",
+      k = graft.functions.TopKByScore.MaxK + 1, nProbe = 2)
+    assert(resBig.queryExecution.executedPlan.toString.contains("Window"),
+      "k past the buffer guard should rank through the window top-k")
   }
 
   test("q118 media embed→index→batch-ANN composition prunes the " +
