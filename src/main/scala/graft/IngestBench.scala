@@ -28,10 +28,18 @@ import graft.streaming.IdempotentSink
   * the pre-fold lookup (distributed compare).
   *
   * Usage: IngestBench <documentsDir> [nBatches=100] [outDir]
-  *        [mode=full|lookup]  — `lookup` skips the ingest+fold and
-  * just re-times the standalone lookup (min-of-3) over whatever state
-  * the outDir's work trees are in; for adjudicating a suspect
-  * single-sample window without a 30-minute re-ingest.
+  *        [mode=full|lookup] [foldEvery=0]
+  * `lookup` skips the ingest+fold and just re-times the standalone
+  * lookup (min-of-3) over whatever state the outDir's work trees are
+  * in — the time-travel bound is DERIVED from the trees themselves
+  * (max `_batch` + 1), so a re-adjudication run can't silently time a
+  * truncated tree by passing a different nBatches than the original
+  * ingest; for adjudicating a suspect single-sample window without a
+  * 30-minute re-ingest. `foldEvery > 0` runs the ingest with
+  * IN-STREAM fold scheduling ([[IdempotentSink.foldIfDue]]) — the
+  * checkpoints curve then records whether listings stay flat WITHOUT
+  * any outside maintenance pass (the final manual fold still runs and
+  * should find almost nothing left to fold).
   */
 object IngestBench {
 
@@ -41,6 +49,7 @@ object IngestBench {
     val nBatches = args.lift(1).map(_.toInt).getOrElse(100)
     val outDir = args.lift(2).getOrElse("/tmp/ingest_bench")
     val mode = args.lift(3).getOrElse("full")
+    val foldEvery = args.lift(4).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,7 +88,7 @@ object IngestBench {
       Seq("fp", "band", "tok").map(t => t -> parquetFiles(s"$root/$t")).toMap
 
     val ingest = IdempotentSink.dedupIngestByBatch(
-      root, flagsOut, "text", "doc_id") _
+      root, flagsOut, "text", "doc_id", foldEvery = foldEvery) _
     val walls = new scala.collection.mutable.ArrayBuffer[Double](nBatches)
     val checkpoints = scala.collection.mutable.ListBuffer[(Int, Double,
       Map[String, Long])]()
@@ -98,40 +107,57 @@ object IngestBench {
     }
 
     // the standalone lookup: exactly the ingest's prior() + flag
-    // computation over the full tree (batchId = nBatches ⇒ sees all),
-    // no writes — isolates the read path the fold exists to protect
+    // computation over the full tree, no writes — isolates the read
+    // path the fold exists to protect. The time-travel bound is
+    // DERIVED from the trees (max _batch + 1 ⇒ sees everything the
+    // ingest wrote), never the CLI arg: a lookup-mode re-adjudication
+    // run passing a different nBatches than the original ingest would
+    // otherwise silently time a truncated tree under the same metric
+    // name.
     val probe = spark.read.parquet(s"$arrivals/_arr=0")
+    val lookupBound: Long = {
+      val ids = Seq("fp", "band", "tok").flatMap { t =>
+        Option(new java.io.File(s"$root/$t").listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("_batch="))
+          .map(_.getName.stripPrefix("_batch=").toLong)
+      }
+      require(ids.nonEmpty, s"no _batch= subtrees under $root — " +
+        "run mode=full first")
+      ids.max + 1
+    }
+    def prior(t: String) = spark.read.parquet(s"$root/$t")
+      .filter(col("_batch").cast("long") < lookupBound).drop("_batch")
+    def lookupFlags() = graft.ops.Dedup.crossDedupFlagsFromIndexes(
+      probe, "text", "doc_id", prior("fp"), prior("band"), prior("tok"))
     // min-of-3 timed runs after a warm: the lookup is the artifact's
-    // headline number and single samples flapped ±80% in host windows
-    def lookupSec(): Double = {
-      def prior(t: String) = spark.read.parquet(s"$root/$t")
-        .filter(col("_batch").cast("long") < nBatches.toLong).drop("_batch")
-      def mk() = graft.ops.Dedup.crossDedupFlagsFromIndexes(
-        probe, "text", "doc_id", prior("fp"), prior("band"), prior("tok"))
-      mk().write.format("noop").mode("overwrite").save() // warm
+    // headline number and single samples flapped ±80% in host windows;
+    // ALL samples ride into the JSON so the headline needs no
+    // sibling-file forensics
+    def lookupSamples(): Seq[Double] = {
+      lookupFlags().write.format("noop").mode("overwrite").save() // warm
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        mk().write.format("noop").mode("overwrite").save()
+        lookupFlags().write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
     }
-    def lookupFlags() = {
-      def prior(t: String) = spark.read.parquet(s"$root/$t")
-        .filter(col("_batch").cast("long") < nBatches.toLong).drop("_batch")
-      graft.ops.Dedup.crossDedupFlagsFromIndexes(
-        probe, "text", "doc_id", prior("fp"), prior("band"), prior("tok"))
-    }
+    def samplesJson(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     if (mode == "lookup") {
       // re-adjudicate the lookup over the work trees AS THEY ARE
       // (post-fold if a full run already folded them)
-      val sec = lookupSec()
+      val samples = lookupSamples()
       println(f"""{"metric":"ingest_lookup","docs":$nDocs,""" +
-        f""""files":${treeFiles().values.sum},"lookup_sec":$sec%.2f}""")
+        f""""stat":"min_of_3","lookup_bound":$lookupBound,""" +
+        f""""files":${treeFiles().values.sum},""" +
+        f""""lookup_samples":${samplesJson(samples)},""" +
+        f""""lookup_sec":${samples.min}%.2f}""")
       spark.stop()
       return
     }
     val filesPre = treeFiles()
-    val lookupPre = lookupSec()
+    val lookupPreSamples = lookupSamples()
+    val lookupPre = lookupPreSamples.min
     val preFlags = lookupFlags().localCheckpoint(true)
 
     // fold: latest committed batch (nBatches-1) stays unfolded per the
@@ -143,7 +169,8 @@ object IngestBench {
       (folded("fp"), folded("band"), folded("tok"))
     val foldSec = (System.nanoTime() - tFold0) / 1e9
     val filesPost = treeFiles()
-    val lookupPost = lookupSec()
+    val lookupPostSamples = lookupSamples()
+    val lookupPost = lookupPostSamples.min
     val postFlags = lookupFlags()
     require(preFlags.exceptAll(postFlags).isEmpty &&
       postFlags.exceptAll(preFlags).isEmpty,
@@ -162,6 +189,10 @@ object IngestBench {
     def meanOf(xs: Seq[Double]) = xs.sum / math.max(1, xs.size)
     val json =
       f"""{"metric":"ingest_stream","docs":$nDocs,"batches":$nBatches,""" +
+        f""""stat":"min_of_3","fold_every":$foldEvery,""" +
+        f""""lookup_bound":$lookupBound,""" +
+        f""""lookup_pre_samples":${samplesJson(lookupPreSamples)},""" +
+        f""""lookup_post_samples":${samplesJson(lookupPostSamples)},""" +
         f""""flagged_rows":${dupStats.getLong(0)},""" +
         f""""exact_dups":${dupStats.getLong(1)},""" +
         f""""near_dups":${dupStats.getLong(2)},""" +
@@ -177,8 +208,10 @@ object IngestBench {
     println(json)
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(outDir)): Unit
+    val suffix = if (foldEvery > 0) s"_f$foldEvery" else ""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(outDir, s"ingest_${nDocs}_b$nBatches.json"),
+      java.nio.file.Paths.get(outDir,
+        s"ingest_${nDocs}_b$nBatches$suffix.json"),
       (json + "\n").getBytes("UTF-8")): Unit
     spark.stop()
   }

@@ -140,6 +140,40 @@ object IdempotentSink {
     "tok" -> compactBatchesFlat(spark, s"$indexRoot/tok", uptoBatch,
       numFiles))
 
+  /** IN-STREAM fold scheduling — [[compactIngestTrees]] driven from
+    * inside the foreachBatch body itself, so an ingest stream keeps its
+    * own listings flat without an external maintenance job: call once
+    * per micro-batch (or let [[dedupIngestByBatch]]'s `foldEvery` do
+    * it); every `everyN` batches it folds all three trees with
+    * `uptoBatch = batchId - 2`.
+    *
+    * That bound is the replay-safety contract DERIVED rather than
+    * guessed: inside foreachBatch(batchId) the stream's latest
+    * COMMITTED batch is batchId − 1 (the engine dispatches batch B only
+    * after B−1's checkpoint commit, and a replayed batch is precisely
+    * the last UNcommitted one), so `committed − 1 = batchId − 2` keeps
+    * one committed batch unfolded as margin and can never fold a batch
+    * that could still replay.
+    *
+    * Crash-safe at every point in the batch body: the fold is the
+    * resumable manifest swap of [[compactBatches]], and a crash
+    * anywhere between the fold and the batch's checkpoint commit
+    * replays the SAME batchId — the replay's foldIfDue fires again and
+    * either finishes a pending swap or no-ops (fewer than two foldable
+    * subtrees remain), and the replayed flags recompute identically
+    * because folding preserves rows and the folded target id stays
+    * strictly below every replayable batch id (the `_batch < batchId`
+    * time-travel read sees the same logical state).
+    */
+  def foldIfDue(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String, batchId: Long, everyN: Int, numFiles: Int = 1)
+  : Map[String, Seq[Long]] = {
+    require(everyN > 0, s"foldIfDue cadence must be positive (got $everyN)")
+    if (batchId >= 2 && batchId % everyN == 0)
+      compactIngestTrees(spark, indexRoot, batchId - 2, numFiles)
+    else Map.empty
+  }
+
   /** The shared fold core: list `_batch=` subtrees ≤ `uptoBatch`, write
     * the consolidated tree to `<out>_compact_tmp` via `rewrite` (which
     * receives the folded rows WITHOUT `_batch` and the temp path),
@@ -233,22 +267,34 @@ object IdempotentSink {
     * `componentDedupFlags`) when that matters.
     *
     * Compaction — all four trees this ingest grows have a resumable
-    * fold, run from OUTSIDE the stream after the checkpoint commits
-    * past the folded ids: the band tree is [[compactBatches]]-shaped
-    * (partitionCol "band"); the fp/tok trees (and the flags tree, if
-    * its consumers want it) fold with [[compactBatchesFlat]] — without
-    * it they accumulate one `_batch=` subtree per micro-batch forever,
-    * and at 10⁵ micro-batches the `prior()` lookup's file LISTING is
-    * the job (growth measured pre/post fold in STREAM_*_r14). The
-    * folded target id is the smallest folded id, strictly below any
-    * batch that can still replay, so the `_batch < id` time-travel
-    * contract is preserved across folds.
+    * fold: without one they accumulate one `_batch=` subtree per
+    * micro-batch forever, and at 10⁵ micro-batches the `prior()`
+    * lookup's file LISTING is the job (growth measured pre/post fold
+    * in STREAM_*_r14). `foldEvery = N` schedules it IN-STREAM via
+    * [[foldIfDue]] (fires at the top of every Nth batch's body with
+    * `uptoBatch = batchId - 2`, the derived replay-safe bound — see
+    * foldIfDue for the crash analysis), so a long-running ingest needs
+    * no external maintenance job; the default 0 leaves folding to an
+    * OUTSIDE-the-stream [[compactIngestTrees]] pass run after the
+    * checkpoint commits past the folded ids (the band tree is
+    * [[compactBatches]]-shaped, partitionCol "band"; the fp/tok trees
+    * — and the flags tree, if its consumers want it — fold with
+    * [[compactBatchesFlat]]). Either way the folded target id is the
+    * smallest folded id, strictly below any batch that can still
+    * replay, so the `_batch < id` time-travel contract is preserved
+    * across folds.
     */
   def dedupIngestByBatch(indexRoot: String, flagsOut: String,
       textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.3)(df: DataFrame, batchId: Long): Unit = {
+      minJaccard: Double = 0.3, foldEvery: Int = 0)(
+      df: DataFrame, batchId: Long): Unit = {
     import graft.ops.Dedup
     val spark = df.sparkSession
+    // fold FIRST so the current batch's prior() lookup already reads
+    // the consolidated listings — the fold only touches _batch ≤
+    // batchId-2, which the lookup sees identically either way
+    if (foldEvery > 0)
+      foldIfDue(spark, indexRoot, batchId, foldEvery): Unit
     val (fpDir, bandDir, tokDir) =
       (s"$indexRoot/fp", s"$indexRoot/band", s"$indexRoot/tok")
     // shape frames for the first-batch case (no tree yet): the batch's

@@ -1180,6 +1180,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(control(7L) == ((false, false)), s"doc 7: ${control(7L)}")
   }
 
+  test("foldIfDue schedules the fold in-stream: it fires mid-run at " +
+    "the derived replay-safe bound, a replay of the folding batch " +
+    "no-ops, and a crash between the fold and the batch's writes " +
+    "recovers to the uninterrupted state") {
+    import spark.implicits._
+    import graft.streaming.IdempotentSink
+    val base = "one two three four five six seven eight nine ten"
+    val clean2 = "totally different words entirely here now indeed"
+    val batches = Seq(
+      Seq((1L, base + " eleven"), (2L, clean2)),
+      Seq((3L, "another novel collection of unrelated tokens")),
+      Seq((4L, "yet more fresh language with no overlap at all")),
+      Seq((5L, base), (6L, clean2), (7L, "genuinely new closing content")))
+    def flagRows(flags: String): Set[(Long, Long, Boolean, Boolean)] =
+      spark.read.parquet(flags)
+        .select(col("_batch").cast("long"), col("doc_id"),
+          col("exact_dup"), col("near_dup"))
+        .as[(Long, Long, Boolean, Boolean)].collect().toSet
+    def fpSubtrees(root: String): Set[Long] =
+      new java.io.File(s"$root/fp").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("_batch="))
+        .map(_.getName.stripPrefix("_batch=").toLong).toSet
+    def runBatches(tag: String, foldEvery: Int, upTo: Int)
+    : (String, String, (Seq[(Long, String)], Long) => Unit) = {
+      val root = TestDirs.tmp(s"folddue_idx_$tag").toString
+      val flags = TestDirs.tmp(s"folddue_flags_$tag").toString
+      val ingest = (rows: Seq[(Long, String)], b: Long) =>
+        IdempotentSink.dedupIngestByBatch(root, flags, "text", "doc_id",
+          foldEvery = foldEvery)(rows.toDF("doc_id", "text"), b)
+      (0 to upTo).foreach(b => ingest(batches(b), b.toLong))
+      (root, flags, ingest)
+    }
+
+    // control: never folds — one _batch= subtree per kept batch
+    val (rootC, flagsC, _) = runBatches("ctl", foldEvery = 0, upTo = 3)
+    assert(fpSubtrees(rootC) === Set(0L, 1L, 2L, 3L))
+
+    // in-stream folding at every batch: fires at b2 (upto 0 — only one
+    // foldable subtree, a no-op) and b3 (upto 1 — folds 0,1), so the
+    // listing stays flat WITHOUT any outside maintenance pass
+    val (rootA, flagsA, ingestA) = runBatches("due", foldEvery = 1,
+      upTo = 3)
+    assert(fpSubtrees(rootA) === Set(0L, 2L, 3L),
+      "the b3 in-stream fold should have consolidated _batch=0,1")
+    assert(flagRows(flagsA) === flagRows(flagsC),
+      "in-stream folding changed the ingest's flags")
+    // the planted b3 dups resolve against rows in the consolidated
+    // subtree: 5 near-dups doc 1, 6 exact-dups doc 2, 7 is clean
+    assert(flagRows(flagsA).filter(_._1 == 3L) ===
+      Set((3L, 5L, false, true), (3L, 6L, true, true),
+        (3L, 7L, false, false)))
+
+    // replay of the FOLDING batch (foreachBatch at-least-once): fold
+    // fires again and no-ops (one foldable subtree left), writes
+    // overwrite byte-identically
+    ingestA(batches(3), 3L)
+    assert(fpSubtrees(rootA) === Set(0L, 2L, 3L))
+    assert(flagRows(flagsA) === flagRows(flagsC),
+      "replaying the folding batch changed state")
+
+    // crash BETWEEN the fold and the batch's writes: b3's fold runs,
+    // the process dies before any write, the stream replays b3 — the
+    // replay's own foldIfDue no-ops and the flags recompute over the
+    // folded trees to the identical state
+    val (rootB, flagsB, ingestB) = runBatches("crash", foldEvery = 1,
+      upTo = 2)
+    IdempotentSink.foldIfDue(spark, rootB, 3L, everyN = 1): Unit
+    ingestB(batches(3), 3L)
+    assert(fpSubtrees(rootB) === Set(0L, 2L, 3L))
+    assert(flagRows(flagsB) === flagRows(flagsC),
+      "crash-between-fold-and-writes diverged from the clean run")
+  }
+
   test("watermarked tumbling-window aggregation (streaming)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
