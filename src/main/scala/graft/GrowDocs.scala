@@ -37,8 +37,21 @@ import org.apache.spark.sql.SparkSession
   * else is pairwise-disjoint, the web-corpus profile the MinHash
   * family is built for.
   *
+  * `mode=chain` generates the LONG-DIAMETER adversary the
+  * connected-components scaladoc names: docs come in chains of
+  * `familySize` (reused as the CHAIN LENGTH), each doc two 60-word
+  * segments with CONSECUTIVE chain members sharing one segment —
+  * shingle Jaccard 58/178 ≈ 0.326, just above the 0.3 verify cut —
+  * and members two apart sharing nothing (their segment sets are
+  * disjoint), so each chain's true near-dup graph is a pure PATH of
+  * diameter chainLen−1. Word ids are globally unique per segment, so
+  * cross-chain pairs never collide. Band at r=1 (numHashes=bands=16)
+  * to catch J≈0.33 edges reliably (P ≈ 1−(1−.326)¹⁶ ≈ 0.998 per
+  * edge); the default r=4 banding catches ~4% of them, which is the
+  * point of the fixture being a separate mode.
+  *
   * Usage: GrowDocs <sfDir> <outPath> <nDocs> [familySize=4]
-  *        [docWords=120] [mode=pool|unique]
+  *        [docWords=120] [mode=pool|unique|chain]
   */
 object GrowDocs {
 
@@ -49,7 +62,8 @@ object GrowDocs {
     val familySize = args.lift(3).map(_.toInt).getOrElse(4)
     val docWords = args.lift(4).map(_.toInt).getOrElse(120)
     val mode = args.lift(5).getOrElse("pool")
-    require(mode == "pool" || mode == "unique", s"unknown mode $mode")
+    require(mode == "pool" || mode == "unique" || mode == "chain",
+      s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -73,7 +87,21 @@ object GrowDocs {
         val f = id / familySize
         val m = (id % familySize).toInt
         val words =
-          if (mode == "unique") {
+          if (mode == "chain") {
+            // chain c, position m: segments seg(m) ++ seg(m+1) of the
+            // chain's segment stream — doc m and m+1 share segment
+            // m+1's words (J ≈ 0.326 over 3-word shingles); m and m+2
+            // share none. Segment ids are globally unique (each chain
+            // owns chainLen+1 of them), so chains never cross-collide.
+            val chainLen = familySize
+            val c = id / chainLen
+            val m = id % chainLen
+            val seg0 = c * (chainLen + 1) + m
+            val half = docWords / 2
+            Array.tabulate(docWords)(i =>
+              if (i < half) s"s${seg0}_$i"
+              else s"s${seg0 + 1}_${i - half}")
+          } else if (mode == "unique") {
             // every 19th family is a near-dup family sharing a family
             // pool (one unique token per member keeps members near- not
             // exact-dups); all other docs are pairwise-disjoint

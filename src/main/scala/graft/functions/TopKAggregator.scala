@@ -43,7 +43,8 @@ case class TopKHit(id: Long, cell: Long, cos_sim: Double)
   * window ordering but last here.
   */
 class TopKByScore(k: Int)
-    extends Aggregator[TopKHit, Seq[TopKHit], Seq[TopKHit]] {
+    extends Aggregator[TopKHit, scala.collection.Seq[TopKHit],
+      Seq[TopKHit]] {
   require(k >= 1 && k <= TopKByScore.MaxK,
     s"TopKByScore holds its whole buffer per group: k=$k exceeds " +
       s"MaxK=${TopKByScore.MaxK}; use the rank-window form instead")
@@ -51,24 +52,51 @@ class TopKByScore(k: Int)
   private def beats(a: TopKHit, b: TopKHit): Boolean =
     a.cos_sim > b.cos_sim || (a.cos_sim == b.cos_sim && a.id < b.id)
 
-  override def zero: Seq[TopKHit] = Vector.empty
+  // The hot path mutates an ArrayBuffer in place (binary-search insert
+  // = one arraycopy, zero allocation): Spark's typed-Aggregator
+  // contract keeps the buffer as a live object between update() calls
+  // and reassigns it to reduce()'s return value, so returning the same
+  // mutated instance is the documented mutable-buffer pattern. The
+  // first immutable-Vector cut rebuilt three collections per insert
+  // and LOST to the rank window on CPU at gate scale. Buffers arriving
+  // from deserialization (merge inputs) may be any Seq — copied into
+  // an ArrayBuffer once, then mutated.
+  private def owned(buf: scala.collection.Seq[TopKHit])
+  : scala.collection.mutable.ArrayBuffer[TopKHit] = buf match {
+    case ab: scala.collection.mutable.ArrayBuffer[TopKHit @unchecked] => ab
+    case other => scala.collection.mutable.ArrayBuffer.from(other)
+  }
 
-  override def reduce(buf: Seq[TopKHit], x: TopKHit): Seq[TopKHit] =
-    if (buf.size >= k && !beats(x, buf.last)) buf
+  override def zero: scala.collection.Seq[TopKHit] =
+    new scala.collection.mutable.ArrayBuffer[TopKHit](k + 1)
+
+  override def reduce(buf: scala.collection.Seq[TopKHit], x: TopKHit)
+  : scala.collection.Seq[TopKHit] =
+    // O(1) reject once the buffer is full — the common case on a warm
+    // buffer; qualifying rows pay one O(log k) search + one arraycopy
+    if (buf.size >= k && !beats(x, buf(buf.size - 1))) buf
     else {
-      val i = buf.indexWhere(h => beats(x, h))
-      val at = if (i < 0) buf.size else i
-      val grown = (buf.take(at) :+ x) ++ buf.drop(at)
-      if (grown.size > k) grown.take(k) else grown
+      val b = owned(buf)
+      var lo = 0
+      var hi = b.size
+      while (lo < hi) { // first position where x beats the occupant
+        val mid = (lo + hi) >>> 1
+        if (beats(x, b(mid))) hi = mid else lo = mid + 1
+      }
+      b.insert(lo, x)
+      if (b.size > k) b.remove(b.size - 1)
+      b
     }
 
-  override def merge(a: Seq[TopKHit], b: Seq[TopKHit]): Seq[TopKHit] =
+  override def merge(a: scala.collection.Seq[TopKHit],
+      b: scala.collection.Seq[TopKHit]): scala.collection.Seq[TopKHit] =
     b.foldLeft(a)(reduce)
 
-  override def finish(buf: Seq[TopKHit]): Seq[TopKHit] = buf
+  override def finish(buf: scala.collection.Seq[TopKHit]): Seq[TopKHit] =
+    buf.toVector
 
-  override def bufferEncoder: Encoder[Seq[TopKHit]] =
-    ExpressionEncoder[Seq[TopKHit]]()
+  override def bufferEncoder: Encoder[scala.collection.Seq[TopKHit]] =
+    ExpressionEncoder[scala.collection.Seq[TopKHit]]()
   override def outputEncoder: Encoder[Seq[TopKHit]] =
     ExpressionEncoder[Seq[TopKHit]]()
 }

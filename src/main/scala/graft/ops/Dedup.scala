@@ -1056,6 +1056,14 @@ object Dedup {
     * returned frame goes unreferenced, with no caller-side `unpersist()`
     * obligation (the round-6 foot-gun).
     */
+  /** Iteration count of the most recent connectedComponents /
+    * connectedComponentsFast call that CONVERGED — a driver-side bench
+    * hook (CcBench records rounds × per-round wall without parsing the
+    * GRAFT_CC_LOG stderr). Last-writer-wins under concurrency; never
+    * read it for correctness.
+    */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20)
   : DataFrame = {
     // edges persist for the one-time setup, not the loop: `closed`
@@ -1117,6 +1125,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations " +
           "(component diameter exceeds maxIters); raise maxIters")
+    lastCcRounds = i
     // the converged labels are already checkpoint-materialized; the
     // caller gets a plain frame with no unpersist obligation
     labels
@@ -1215,6 +1224,7 @@ object Dedup {
         s"connectedComponentsFast did not converge in $maxIters " +
           "iterations (log₂ of the component diameter exceeds maxIters?); " +
           "raise maxIters")
+    lastCcRounds = i
     labels
   }
 
