@@ -161,6 +161,69 @@ object Pq {
       s"""PQ metric must be "l2" or "ip" (got "$other")""")
   }
 
+  /** The shared rank stage of the PQ search surfaces: top-k per `qid`
+    * on (score best-first, id asc) over NULL-FREE scored rows — both
+    * callers filter null ADC scores before ranking, so the bounded
+    * aggregates never see one. Window-free whenever k and the id/cell
+    * types allow, mirroring [[graft.ops.Similarity.ivfSearchBatch]]:
+    * k=1 collapses to a `min_by` partial aggregate, 1<k≤MaxK to the
+    * bounded [[graft.functions.TopKByScore]] buffer (≤ k hits per
+    * query leave each map partition instead of every ADC-scored
+    * candidate — on the brute [[searchBatch]] the window would shuffle
+    * |batch|·|corpus| rows), anything else keeps the rank window.
+    *
+    * `biggerIsBetter` encodes the metric ("ip" ranks descending, "l2"
+    * ascending): internally everything ranks on a bigger-is-better
+    * goodness, built as `0.0 - score` for "l2" so a −0.0 score can't
+    * order-split a tie, and un-negated exactly on the way out
+    * (0−(0−x) ≡ x for every finite x; ADC l2 scores are ≥ 0).
+    * `cellCol` rides through the payload when the caller carries one.
+    */
+  private def rankTopK(scored: DataFrame, idCol: String, scoreCol: String,
+      biggerIsBetter: Boolean, k: Int, cellCol: Option[String])
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopKByScore
+    def integral(dt: org.apache.spark.sql.types.DataType) = dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val goodness =
+      if (biggerIsBetter) col(scoreCol) else lit(0.0) - col(scoreCol)
+    val idType = scored.schema(idCol).dataType
+    val cellType = cellCol.map(c => scored.schema(c).dataType)
+    val outCols = Seq(idCol) ++ cellCol ++ Seq(scoreCol)
+    if (k == 1)
+      scored.groupBy(col("qid"))
+        .agg(min_by(struct(outCols.map(col): _*),
+          struct(lit(0.0) - goodness, col(idCol))).as("_t"))
+        .select(col("qid") +: outCols.map(n => col(s"_t.$n")): _*)
+    else if (k <= TopKByScore.MaxK && integral(idType) &&
+        cellType.forall(integral))
+      scored.groupBy(col("qid"))
+        .agg(TopKByScore.topk(k, col(idCol).cast("long"),
+          cellCol.map(col).getOrElse(lit(0L)).cast("long"),
+          goodness).as("_t"))
+        .select(col("qid"), explode(col("_t")).as("_e"))
+        .select(col("qid") +: (
+          Seq(col("_e.id").cast(idType).as(idCol)) ++
+          cellCol.map(c => col("_e.cell").cast(cellType.get).as(c)) ++
+          Seq((if (biggerIsBetter) col("_e.cos_sim")
+            else lit(0.0) - col("_e.cos_sim")).as(scoreCol))): _*)
+    else {
+      val ord = if (biggerIsBetter) col(scoreCol).desc_nulls_last
+        else col(scoreCol).asc_nulls_last
+      scored
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(ord, col(idCol).asc)))
+        .filter(col("_rn") <= k)
+        .drop("_rn")
+    }
+  }
+
   /** Append a `pq_code` column (array<int> of length m) — the encode
     * pass: one native-kernel scan, zero shuffle, the corpus-scale step
     * that replaces 512-byte vectors with m-byte codes.
@@ -191,24 +254,23 @@ object Pq {
       queryVecCol: String, codes: DataFrame, idCol: String,
       cb: Codebook, k: Int, excludeSelf: Boolean = true,
       metric: String = "l2"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (lut, scoreCol, order) = metricPieces(metric, cb, col(queryVecCol))
+    val (lut, scoreCol, _) = metricPieces(metric, cb, col(queryVecCol))
     val q = queries.select(col(queryIdCol).as("qid"), lut.as("_lut"))
     val cand = codes.crossJoin(broadcast(q))
     val scoped =
       if (excludeSelf) cand.filter(col(idCol) =!= col("qid")) else cand
-    val wTop = Window.partitionBy(col("qid"))
-      .orderBy(order(col(scoreCol)), col(idCol).asc)
-    scoped
+    val scored = scoped
       .select(col("qid"), col(idCol),
         round(GraftFunctions.pq_adc(col("_lut"), col("pq_code")), 5)
           .as(scoreCol))
       // a null score (corrupt row or corrupt query, per the kernel
       // null contract) is not a rankable result — excluded, not ranked
       .filter(col(scoreCol).isNotNull)
-      .withColumn("_rn", row_number().over(wTop))
-      .filter(col("_rn") <= k)
-      .drop("_rn")
+    // window-free rank whenever possible matters MOST here: the brute
+    // cross join scores |batch|·|corpus| rows, and a rank window would
+    // shuffle every one of them
+    rankTopK(scored, idCol, scoreCol, biggerIsBetter = metric == "ip",
+      k, cellCol = None)
   }
 
   private def combinedStamp(ivfStamp: String, cb: Codebook): String =
@@ -423,7 +485,7 @@ object Pq {
       "ivfPqSearchBatch")
     // cell selection stays L2 against the IVF centroids regardless of
     // metric — cells ARE L2-nearest regions of that codebook
-    val (lut, scoreCol, order) = metricPieces(metric, cb, col("qvec"))
+    val (lut, scoreCol, _) = metricPieces(metric, cb, col("qvec"))
     val codebook = typedLit(cents)
     val q = queries.select(col(queryIdCol).as("qid"),
       col(queryVecCol).cast("array<double>").as("qvec"))
@@ -449,17 +511,49 @@ object Pq {
       .join(broadcast(qluts), Seq("qid"))
     val scoped =
       if (excludeSelf) cand.filter(col(idCol) =!= col("qid")) else cand
-    val wTop = Window.partitionBy(col("qid"))
-      .orderBy(order(col(scoreCol)), col(idCol).asc)
-    scoped
+    val scored = scoped
       .select(col("qid"), col(idCol), col("cell"),
         round(GraftFunctions.pq_adc(col("_lut"), col("pq_code")), 5)
           .as(scoreCol))
       // null score (corrupt row/query) = not a rankable result
       .filter(col(scoreCol).isNotNull)
-      .withColumn("_rn", row_number().over(wTop))
-      .filter(col("_rn") <= k)
-      .drop("_rn")
+    rankTopK(scored, idCol, scoreCol, biggerIsBetter = metric == "ip",
+      k, cellCol = Some("cell"))
+  }
+
+  /** [[graft.ops.Similarity.semanticDedupFlags]] over an IVF-PQ index
+    * — the NO-FULL-VECTOR dedup regime: the probed cells' scan reads
+    * (id, pq_code) only, so flagging a batch against a 10⁹-vector
+    * corpus never touches the ~0.5 TB embedding payload (the plain
+    * variant's index stores it per row). Same flag semantics: each
+    * batch row gets its single nearest indexed neighbor — ADC-scored
+    * top-1 through the k=1 `min_by` partial aggregate, metric "l2"
+    * (ascending squared distance, the measured-better choice for
+    * cosine-normalized corpora per [[metricPieces]]) — and
+    * `keep = no neighbor within tauDist` (probed-cell misses surface
+    * as NULL neighbors ⇒ keep, exactly the plain variant's LEFT-join
+    * contract). The trade is quantization error in the SCORE: a true
+    * near-dup straddling tauDist by less than the ADC error can flip,
+    * which is the recall/τ study SemDedupBench runs; the structure
+    * (probe, candidates, determinism) is identical.
+    *
+    * Returns (batchIdCol, neighbor_id, adc_dist, keep). Same
+    * `excludeSelf` contract as the plain variant: true when batch and
+    * corpus share an id space, false when ids are independent.
+    */
+  def semanticDedupFlagsPq(batch: DataFrame, batchIdCol: String,
+      batchVecCol: String, index: DataFrame, idCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      cb: Codebook, tauDist: Double, nProbe: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    val top = ivfPqSearchBatch(batch, batchIdCol, batchVecCol,
+      index, idCol, centroids, centroidIdCol, centroidVecCol, cb,
+      k = 1, nProbe = nProbe, excludeSelf = excludeSelf, metric = "l2")
+      .select(col("qid"), col(idCol).as("neighbor_id"), col("adc_dist"))
+    batch.select(col(batchIdCol))
+      .join(top, col(batchIdCol) === col("qid"), "left")
+      .select(col(batchIdCol), col("neighbor_id"), col("adc_dist"),
+        (col("adc_dist").isNull || col("adc_dist") > tauDist).as("keep"))
   }
 
   /** [[ivfPqSearchBatch]] for query batches past its broadcast-size

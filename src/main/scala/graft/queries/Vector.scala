@@ -251,6 +251,29 @@ object Vector {
         .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
     }),
 
+    // q120's flag semantics through the IVF-PQ index — the
+    // no-full-vector dedup regime: the probed cells' scan reads
+    // (id, pq_code) only, top-1 by ADC squared distance (k=1 min_by
+    // partial aggregate, window-free), keep = no indexed neighbor
+    // within tauDist. tauDist 1.2 is q120's cos 0.4 mapped through
+    // ‖a−b‖² = 2−2·cos for unit vectors — the fixture embeddings are
+    // near-unit, so the flag SPLITS at sf0.001/0.01 like q120's does.
+    "q133_semantic_dedup_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = fixturePqCodebook(emb)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val isBatch = col("vec_id") % 10 === 9
+      val out = QueryTmp.dir("q133", s, d)
+      graft.ops.Pq.ivfPqIndexWrite(emb.filter(!isBatch), "vec_id",
+        "embedding", centroids, "cid", "cvec", cb, s"$out/ivfpq")
+      graft.ops.Pq.semanticDedupFlagsPq(
+        emb.filter(isBatch), "vec_id", "embedding",
+        s.read.parquet(s"$out/ivfpq"), "vec_id",
+        centroids, "cid", "cvec", cb, tauDist = 1.2, nProbe = 2)
+        .orderBy("vec_id")
+    }),
+
     // One Lloyd iteration over the 8-centroid codebook: the offline
     // k-means step that builds the IVF index.
     "q90_kmeans_step" -> ((s, d) => {
@@ -630,6 +653,51 @@ object Vector {
         |  FROM dots d JOIN nq ON nq.qid = d.qid)
         |SELECT qid, vec_id, cos_sim FROM rr WHERE rn <= 5
         |ORDER BY qid, cos_sim DESC, vec_id""".stripMargin),
+
+    // q126's ADC probe specialized to k = 1 over the 90% corpus, with
+    // the batch LEFT-joined back so probed-cell misses surface as NULL
+    // neighbors (keep = true) — q120's oracle shape with ADC distance
+    // in place of exact cosine.
+    "q133_semantic_dedup_pq" -> (pqPrefix +
+      """,
+        |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
+        |cdists AS (
+        |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
+        |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d ASC, cid ASC) AS rn
+        |    FROM cdists WHERE vec_id % 10 <> 9) WHERE rn = 1),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 10 = 9),
+        |probe AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, d.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY d.d ASC, d.cid ASC) AS rn
+        |    FROM qids q JOIN cdists d ON d.vec_id = q.qid)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id
+        |  FROM assigned a JOIN probe p ON a.cell = p.cid
+        |  WHERE a.vec_id <> p.qid),
+        |qlut AS (SELECT vec_id AS qid, j, c, d FROM pqd
+        |  WHERE vec_id % 10 = 9),
+        |adc AS (
+        |  SELECT cd.qid, cd.vec_id, sum(q.d) AS adc
+        |  FROM cand cd
+        |  JOIN codes co ON co.vec_id = cd.vec_id
+        |  JOIN qlut q ON q.qid = cd.qid AND q.j = co.j AND q.c = co.code
+        |  GROUP BY 1, 2),
+        |top1 AS (
+        |  SELECT qid, vec_id AS neighbor_id, adc_dist FROM (
+        |    SELECT qid, vec_id, ROUND(adc, 5) AS adc_dist,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY ROUND(adc, 5) ASC, vec_id ASC) AS rn
+        |    FROM adc) WHERE rn = 1)
+        |SELECT q.qid AS vec_id, t.neighbor_id, t.adc_dist,
+        |  (t.adc_dist IS NULL OR t.adc_dist > 1.2) AS keep
+        |FROM qids q LEFT JOIN top1 t ON t.qid = q.qid
+        |ORDER BY vec_id""".stripMargin),
 
     "q55_embedding_norms" ->
       """SELECT vec_id, ROUND(sqrt(sum(x * x)), 5) AS l2_norm

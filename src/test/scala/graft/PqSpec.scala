@@ -221,6 +221,100 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ rank stages are window-free through the bounded aggregates " +
+    "(k=1 min_by, k<=MaxK topk) and fall back to the window past MaxK; " +
+    "the ip-metric aggregate path matches the window path") {
+    import spark.implicits._
+    val dim = 16
+    val vecs = randVecs(400, dim, 77)
+    val df = vecs.toDF("id", "vec")
+    val cb = Pq.train(df, "id", "vec", m = 4, k = 8, sampleN = 400)
+    val cents = vecs.take(4).toDF("cid", "cvec")
+    val dir = TestDirs.tmp("ivfpq_plan").toFile.getAbsolutePath
+    Pq.ivfPqIndexWrite(df, "id", "vec", cents, "cid", "cvec", cb, dir)
+    val index = spark.read.parquet(dir)
+    val queries = vecs.take(3).toDF("id", "vec")
+    def probe(k: Int, metric: String = "l2") =
+      Pq.ivfPqSearchBatch(queries, "id", "vec", index, "id",
+        cents, "cid", "cvec", cb, k = k, nProbe = 2, metric = metric)
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    val p1 = planOf(probe(1))
+    assert(!p1.contains("Window") && p1.toLowerCase.contains("min_by"),
+      s"k=1 should rank through min_by, not a window:\n${p1.take(1200)}")
+    val p5 = planOf(probe(5))
+    assert(!p5.contains("Window") &&
+      p5.toLowerCase.contains("topkbyscore"),
+      s"k=5 should rank through TopKByScore:\n${p5.take(1200)}")
+    assert(planOf(probe(graft.functions.TopKByScore.MaxK + 1))
+      .contains("Window"), "k past MaxK should keep the rank window")
+    val codes = Pq.encode(df, "vec", cb).select(col("id"), col("pq_code"))
+    val pBrute = planOf(Pq.searchBatch(queries, "id", "vec", codes,
+      "id", cb, k = 5))
+    assert(!pBrute.contains("Window"),
+      "brute searchBatch k=5 should rank through TopKByScore")
+    // ip metric: the aggregate's goodness is the raw score (no
+    // negation round-trip) — its top-5 must equal the window path's
+    // first 5 ranks (forced by k past MaxK, then trimmed per query)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val ipAgg = Pq.searchBatch(queries, "id", "vec", codes, "id", cb,
+      k = 5, metric = "ip").select("qid", "id", "adc_ip")
+      .collect().map(key).sorted.toSeq
+    val ipWin = Pq.searchBatch(queries, "id", "vec", codes, "id", cb,
+      k = graft.functions.TopKByScore.MaxK + 1, metric = "ip")
+      .select("qid", "id", "adc_ip").collect()
+      .map(key).groupBy(_._1).view.mapValues(
+        _.sortBy(t => (-t._3, t._2)).take(5)).values.flatten
+      .toSeq.sorted
+    assert(ipAgg == ipWin,
+      "ip-metric aggregate top-5 diverged from the window ranking")
+  }
+
+  test("semanticDedupFlagsPq: a planted near-copy is dropped, a far " +
+    "vector kept, and flags agree with the k=1 ADC probe") {
+    import spark.implicits._
+    val dim = 16
+    val corpus = randVecs(300, dim, 91)
+    val df = corpus.toDF("id", "vec")
+    val cb = Pq.train(df, "id", "vec", m = 4, k = 8, sampleN = 300)
+    val cents = corpus.take(4).toDF("cid", "cvec")
+    val dir = TestDirs.tmp("ivfpq_dedup").toFile.getAbsolutePath
+    Pq.ivfPqIndexWrite(df, "id", "vec", cents, "cid", "cvec", cb, dir)
+    val index = spark.read.parquet(dir)
+    // 900: vector 7 + tiny noise — its best ADC distance is the
+    // quantization floor; 901: the same vector scaled −10× — its best
+    // ADC distance is two orders of magnitude above that floor. tau
+    // derives from the observed probe (the midpoint), so the test pins
+    // the FLAG MECHANICS (threshold split, left-join shape, neighbor
+    // pass-through) without hardcoding a quantization-error magnitude;
+    // the absolute-score correctness lives in the kernel specs and the
+    // q133 oracle.
+    val near = corpus(7)._2.map(_ + 1e-4)
+    val far = corpus(7)._2.map(x => -10.0 * x)
+    val batch = Seq((900L, near), (901L, far)).toDF("id", "vec")
+    val probed = Pq.ivfPqSearchBatch(batch, "id", "vec", index, "id",
+      cents, "cid", "cvec", cb, k = 1, nProbe = 4, excludeSelf = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    val (dNear, dFar) = (probed(900L)._2, probed(901L)._2)
+    assert(dNear < dFar,
+      s"fixture broken: near $dNear not below far $dFar")
+    val tau = (dNear + dFar) / 2
+    val flags = Pq.semanticDedupFlagsPq(batch, "id", "vec", index, "id",
+      cents, "cid", "cvec", cb, tauDist = tau, nProbe = 4,
+      excludeSelf = false)
+      .orderBy("id").collect()
+    assert(flags.length == 2)
+    assert(flags(0).getLong(0) == 900L &&
+      flags(0).getLong(1) == probed(900L)._1 &&
+      flags(0).getDouble(2) == dNear && !flags(0).getBoolean(3),
+      s"near-copy should carry the probe's neighbor and drop: ${flags(0)}")
+    assert(flags(1).getLong(0) == 901L && flags(1).getBoolean(3),
+      s"far vector should be kept: ${flags(1)}")
+  }
+
   test("an append-built IVF-PQ layout answers identically to a " +
     "single-shot build; compactCells applies unchanged") {
     import spark.implicits._
