@@ -21,7 +21,7 @@ case class TopKHit(id: Long, cell: Long, cos_sim: Double)
   * partitionBy(qid))` shuffles EVERY candidate row (batch × nProbe ×
   * cell size) just to sort-and-discard all but k of them, and at
   * corpus-probe sizes that exchange IS the job. This aggregate's
-  * buffer is a sorted Vector capped at `k`, so the PARTIAL (map-side)
+  * buffer is a sorted array capped at `k`, so the PARTIAL (map-side)
   * aggregation reduces each partition to at most k hits per query
   * BEFORE the exchange — the shuffle carries ≤ k × partitions rows
   * per query instead of every candidate. `collect_list` + sort +
