@@ -28,7 +28,7 @@ import graft.streaming.IdempotentSink
   * the pre-fold lookup (distributed compare).
   *
   * Usage: IngestBench <documentsDir> [nBatches=100] [outDir]
-  *        [mode=full|lookup] [foldEvery=0]
+  *        [mode=full|lookup] [foldEvery=0] [foldMode=all|tail]
   * `lookup` skips the ingest+fold and just re-times the standalone
   * lookup (min-of-3) over whatever state the outDir's work trees are
   * in — the time-travel bound is DERIVED from the trees themselves
@@ -50,6 +50,9 @@ object IngestBench {
     val outDir = args.lift(2).getOrElse("/tmp/ingest_bench")
     val mode = args.lift(3).getOrElse("full")
     val foldEvery = args.lift(4).map(_.toInt).getOrElse(0)
+    val foldMode = args.lift(5).getOrElse("all")
+    require(foldMode == "all" || foldMode == "tail",
+      s"foldMode must be all|tail (got $foldMode)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -88,7 +91,8 @@ object IngestBench {
       Seq("fp", "band", "tok").map(t => t -> parquetFiles(s"$root/$t")).toMap
 
     val ingest = IdempotentSink.dedupIngestByBatch(
-      root, flagsOut, "text", "doc_id", foldEvery = foldEvery) _
+      root, flagsOut, "text", "doc_id", foldEvery = foldEvery,
+      foldTail = foldMode == "tail") _
     val walls = new scala.collection.mutable.ArrayBuffer[Double](nBatches)
     val checkpoints = scala.collection.mutable.ListBuffer[(Int, Double,
       Map[String, Long])]()
@@ -190,6 +194,7 @@ object IngestBench {
     val json =
       f"""{"metric":"ingest_stream","docs":$nDocs,"batches":$nBatches,""" +
         f""""stat":"min_of_3","fold_every":$foldEvery,""" +
+        f""""fold_mode":"$foldMode",""" +
         f""""lookup_bound":$lookupBound,""" +
         f""""lookup_pre_samples":${samplesJson(lookupPreSamples)},""" +
         f""""lookup_post_samples":${samplesJson(lookupPostSamples)},""" +
@@ -208,7 +213,8 @@ object IngestBench {
     println(json)
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(outDir)): Unit
-    val suffix = if (foldEvery > 0) s"_f$foldEvery" else ""
+    val suffix = (if (foldEvery > 0) s"_f$foldEvery" else "") +
+      (if (foldEvery > 0 && foldMode == "tail") "t" else "")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outDir,
         s"ingest_${nDocs}_b$nBatches$suffix.json"),

@@ -99,10 +99,12 @@ object IdempotentSink {
     * pending swap exists (the manifest pins that fold).
     */
   def compactBatches(spark: org.apache.spark.sql.SparkSession,
-      out: String, partitionCol: String, uptoBatch: Long): Seq[Long] =
+      out: String, partitionCol: String, uptoBatch: Long,
+      fromBatch: Long = 0L): Seq[Long] =
     compactBatchesWith(spark, out, uptoBatch, (folded, tmp) =>
       folded.repartition(col(partitionCol))
-        .write.partitionBy(partitionCol).mode("overwrite").parquet(tmp))
+        .write.partitionBy(partitionCol).mode("overwrite").parquet(tmp),
+      fromBatch)
 
   /** [[compactBatches]] for the NON-partitioned `_batch=` trees
     * ([[parquetByBatch]] outputs — [[dedupIngestByBatch]]'s fp/tok
@@ -119,10 +121,12 @@ object IdempotentSink {
     * that can still replay.
     */
   def compactBatchesFlat(spark: org.apache.spark.sql.SparkSession,
-      out: String, uptoBatch: Long, numFiles: Int = 1): Seq[Long] = {
+      out: String, uptoBatch: Long, numFiles: Int = 1,
+      fromBatch: Long = 0L): Seq[Long] = {
     require(numFiles >= 1, s"numFiles must be ≥1 (got $numFiles)")
     compactBatchesWith(spark, out, uptoBatch, (folded, tmp) =>
-      folded.coalesce(numFiles).write.mode("overwrite").parquet(tmp))
+      folded.coalesce(numFiles).write.mode("overwrite").parquet(tmp),
+      fromBatch)
   }
 
   /** One maintenance call folding ALL THREE of a [[dedupIngestByBatch]]
@@ -133,12 +137,15 @@ object IdempotentSink {
     * re-run after a crash finishes whichever swaps were pending.
     */
   def compactIngestTrees(spark: org.apache.spark.sql.SparkSession,
-      indexRoot: String, uptoBatch: Long, numFiles: Int = 1)
+      indexRoot: String, uptoBatch: Long, numFiles: Int = 1,
+      fromBatch: Long = 0L)
   : Map[String, Seq[Long]] = Map(
-    "fp" -> compactBatchesFlat(spark, s"$indexRoot/fp", uptoBatch, numFiles),
-    "band" -> compactBatches(spark, s"$indexRoot/band", "band", uptoBatch),
+    "fp" -> compactBatchesFlat(spark, s"$indexRoot/fp", uptoBatch, numFiles,
+      fromBatch),
+    "band" -> compactBatches(spark, s"$indexRoot/band", "band", uptoBatch,
+      fromBatch),
     "tok" -> compactBatchesFlat(spark, s"$indexRoot/tok", uptoBatch,
-      numFiles))
+      numFiles, fromBatch))
 
   /** IN-STREAM fold scheduling — [[compactIngestTrees]] driven from
     * inside the foreachBatch body itself, so an ingest stream keeps its
@@ -166,23 +173,48 @@ object IdempotentSink {
     * time-travel read sees the same logical state).
     */
   def foldIfDue(spark: org.apache.spark.sql.SparkSession,
-      indexRoot: String, batchId: Long, everyN: Int, numFiles: Int = 1)
-  : Map[String, Seq[Long]] = {
+      indexRoot: String, batchId: Long, everyN: Int, numFiles: Int = 1,
+      tailOnly: Boolean = false): Map[String, Seq[Long]] = {
     require(everyN > 0, s"foldIfDue cadence must be positive (got $everyN)")
+    // tailOnly = the LSM-lite policy: fold ONLY the fresh tail — the
+    // ~everyN subtrees since the previous due point — into one run,
+    // never re-reading older consolidated runs. Listings then grow as
+    // batches/everyN runs (plus the fresh tail) instead of staying
+    // constant, but total fold work over the stream is O(n) instead of
+    // the full policy's O(n²/everyN): the full fold rewrites the WHOLE
+    // accumulated tree every due point (measured: the per-fold wall
+    // grows with the corpus, STREAM_1m_f10_r15), which at 10⁴+ batches
+    // dominates the stream. Pick full for constant listings on short
+    // streams, tail for long-lived ingests. Same replay-safety bound
+    // either way (nothing ≥ batchId−1 is ever touched); the range
+    // fold's target id is its smallest folded id, so the time-travel
+    // filter is unaffected.
+    val from = if (tailOnly) math.max(0L, batchId - everyN - 1) else 0L
     if (batchId >= 2 && batchId % everyN == 0)
-      compactIngestTrees(spark, indexRoot, batchId - 2, numFiles)
+      compactIngestTrees(spark, indexRoot, batchId - 2, numFiles, from)
     else Map.empty
   }
 
-  /** The shared fold core: list `_batch=` subtrees ≤ `uptoBatch`, write
-    * the consolidated tree to `<out>_compact_tmp` via `rewrite` (which
-    * receives the folded rows WITHOUT `_batch` and the temp path),
-    * commit the `_graft_fold` manifest inside it, then swap — per the
-    * crash-recovery contract documented on [[compactBatches]].
+  /** The shared fold core: list `_batch=` subtrees in
+    * [`fromBatch`, `uptoBatch`], write the consolidated tree to
+    * `<out>_compact_tmp` via `rewrite` (which receives the folded rows
+    * WITHOUT `_batch` and the temp path), commit the `_graft_fold`
+    * manifest inside it, then swap — per the crash-recovery contract
+    * documented on [[compactBatches]].
+    *
+    * `fromBatch > 0` is the RANGE fold behind the tail policy: only
+    * subtrees inside the range fold (into `_batch=<smallest folded
+    * id>` — still ≥ fromBatch, so ids stay time-travel-consistent:
+    * every folded row's new label is ≤ its true batch id and ≥ the
+    * range start, and every lookup bound that admitted the range
+    * admits the label). Runs BELOW the range are never read or
+    * rewritten — the property that turns a fixed fold cadence from
+    * O(n²/everyN) total rewrite work into O(n).
     */
   private def compactBatchesWith(spark: org.apache.spark.sql.SparkSession,
       out: String, uptoBatch: Long,
-      rewrite: (DataFrame, String) => Unit): Seq[Long] = {
+      rewrite: (DataFrame, String) => Unit,
+      fromBatch: Long = 0L): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(out)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(
@@ -211,12 +243,13 @@ object IdempotentSink {
     val batchIds = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_batch="))
       .map(_.getPath.getName.stripPrefix("_batch=").toLong)
-      .filter(_ <= uptoBatch).toSeq.sorted
+      .filter(b => b >= fromBatch && b <= uptoBatch).toSeq.sorted
     if (batchIds.size < 2) return Seq.empty
     val target = batchIds.head
     rewrite(
       spark.read.parquet(out)
-        .filter(col("_batch").cast("long") <= uptoBatch)
+        .filter(col("_batch").cast("long") >= fromBatch &&
+          col("_batch").cast("long") <= uptoBatch)
         .drop("_batch"),
       tmp.toString)
     writeFoldManifest(fs, manifest, target, batchIds)
@@ -286,15 +319,19 @@ object IdempotentSink {
     */
   def dedupIngestByBatch(indexRoot: String, flagsOut: String,
       textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.3, foldEvery: Int = 0)(
+      minJaccard: Double = 0.3, foldEvery: Int = 0,
+      foldTail: Boolean = false)(
       df: DataFrame, batchId: Long): Unit = {
     import graft.ops.Dedup
     val spark = df.sparkSession
     // fold FIRST so the current batch's prior() lookup already reads
     // the consolidated listings — the fold only touches _batch ≤
-    // batchId-2, which the lookup sees identically either way
+    // batchId-2, which the lookup sees identically either way.
+    // foldTail picks the O(n)-total-work tail policy over the
+    // constant-listing full policy (trade documented on foldIfDue)
     if (foldEvery > 0)
-      foldIfDue(spark, indexRoot, batchId, foldEvery): Unit
+      foldIfDue(spark, indexRoot, batchId, foldEvery,
+        tailOnly = foldTail): Unit
     val (fpDir, bandDir, tokDir) =
       (s"$indexRoot/fp", s"$indexRoot/band", s"$indexRoot/tok")
     // shape frames for the first-batch case (no tree yet): the batch's

@@ -1253,6 +1253,58 @@ class StreamingSpec extends AnyFunSuite {
       "crash-between-fold-and-writes diverged from the clean run")
   }
 
+  test("foldIfDue tailOnly (the LSM-lite policy): each due point folds " +
+    "only the fresh tail into one run, older runs are never rewritten, " +
+    "flags unchanged") {
+    import spark.implicits._
+    import graft.streaming.IdempotentSink
+    val base = "one two three four five six seven eight nine ten"
+    val clean2 = "totally different words entirely here now indeed"
+    // six batches, all kept (pairwise-novel docs) so every batch has
+    // index subtrees and the run structure is fully visible
+    val batches = (0 until 6).map(b => Seq(
+      (b * 10L + 1, s"fresh b$b alpha words one${b}a two${b}b three${b}c"),
+      (b * 10L + 2, s"other b$b beta tokens four${b}d five${b}e six${b}f")))
+    def fpSubtrees(root: String): Set[Long] =
+      new java.io.File(s"$root/fp").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("_batch="))
+        .map(_.getName.stripPrefix("_batch=").toLong).toSet
+    def flagRows(flags: String): Set[(Long, Long, Boolean, Boolean)] =
+      spark.read.parquet(flags)
+        .select(col("_batch").cast("long"), col("doc_id"),
+          col("exact_dup"), col("near_dup"))
+        .as[(Long, Long, Boolean, Boolean)].collect().toSet
+    def run(tag: String, foldEvery: Int, foldTail: Boolean)
+    : (String, String) = {
+      val root = TestDirs.tmp(s"tailfold_idx_$tag").toString
+      val flags = TestDirs.tmp(s"tailfold_flags_$tag").toString
+      batches.zipWithIndex.foreach { case (rows, b) =>
+        IdempotentSink.dedupIngestByBatch(root, flags, "text", "doc_id",
+          foldEvery = foldEvery, foldTail = foldTail)(
+          rows.toDF("doc_id", "text"), b.toLong)
+      }
+      (root, flags)
+    }
+    val (rootC, flagsC) = run("ctl", foldEvery = 0, foldTail = false)
+    assert(fpSubtrees(rootC) === (0L to 5L).toSet)
+
+    // tail folds at every 2nd batch: b2 folds [0, 0] (one subtree —
+    // no-op), b4 folds [1, 2] into _batch=1 WITHOUT touching _batch=0
+    // (the policy's point: the old run is never re-read). Final runs:
+    // 0 (untouched), 1 (folded 1-2), 3, 4, 5 (fresh tail).
+    val (rootT, flagsT) = run("tail", foldEvery = 2, foldTail = true)
+    assert(fpSubtrees(rootT) === Set(0L, 1L, 3L, 4L, 5L),
+      s"unexpected run structure: ${fpSubtrees(rootT)}")
+    assert(flagRows(flagsT) === flagRows(flagsC),
+      "tail folding changed the ingest's flags")
+    // the full policy at the same cadence consolidates everything
+    // foldable: b4's fold merges [0, 2] into _batch=0
+    val (rootF, flagsF) = run("full", foldEvery = 2, foldTail = false)
+    assert(fpSubtrees(rootF) === Set(0L, 3L, 4L, 5L),
+      s"unexpected full-fold structure: ${fpSubtrees(rootF)}")
+    assert(flagRows(flagsF) === flagRows(flagsC))
+  }
+
   test("watermarked tumbling-window aggregation (streaming)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
