@@ -477,7 +477,6 @@ object Pq {
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, k: Int, nProbe: Int = 2,
       excludeSelf: Boolean = true, metric: String = "l2"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = Similarity.collectCodebook(centroids, centroidIdCol,
       centroidVecCol)
     val checked = Similarity.verifyStamp(index,
@@ -489,19 +488,17 @@ object Pq {
     val codebook = typedLit(cents)
     val q = queries.select(col(queryIdCol).as("qid"),
       col(queryVecCol).cast("array<double>").as("qvec"))
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("d").asc, col("cell").asc)
     // (qid, cell) probe pairs and (qid, LUT) kept SEPARATE: computing
     // the m·k-double LUT on the exploded probe rows would materialize
     // (and broadcast) nProbe copies of every query's table — at m=8,
-    // k=256, nProbe=8 that is 8×16 KB per query instead of 16 KB
-    val qcells = q
+    // k=256, nProbe=8 that is 8×16 KB per query instead of 16 KB.
+    // Probe selection itself is the shared window-free bounded-agg
+    // stage (batch × |codebook| rows never cross an exchange whole)
+    val qcells = Similarity.probeTopCells(q
       .select(col("qid"), col("qvec"), explode(codebook).as("c"))
       .select(col("qid"), col("c._1").as("cell"),
-        GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d"))
-      .withColumn("_rn", row_number().over(wProbe))
-      .filter(col("_rn") <= nProbe)
-      .select(col("qid"), col("cell"))
+        GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d")),
+      nProbe)
       .localCheckpoint(true) // probe side computed once: collect + join
     val qluts = q.select(col("qid"), lut.as("_lut"))
     val probedCells = qcells.select(col("cell")).distinct()

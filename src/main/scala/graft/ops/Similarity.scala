@@ -646,8 +646,10 @@ object Similarity {
     *
     * Probe selection explodes the (tiny) codebook per query —
     * |queries|·|codebook| rows, bounded by the batch being ≪ the corpus
-    * — and rank-limits to each query's `nProbe` nearest cells
-    * (WindowGroupLimit, no full sort). The union of probed cells (at
+    * — and keeps each query's `nProbe` nearest cells through the
+    * bounded window-free aggregate ([[probeTopCells]]: ≤ nProbe
+    * entries per query leave each map partition, where a rank window
+    * shuffled the whole exploded stream). The union of probed cells (at
     * most |codebook| values) is then collected and applied to the index
     * as a STATIC `cell IN (...)` filter before the broadcast equi-join:
     * metadata-only partition pruning on a `partitionBy("cell")` layout
@@ -691,6 +693,41 @@ object Similarity {
     * types fall back to the rank window (identical results, plan-gated
     * in PlanRegressionSpec).
     */
+  /** Probe-cell selection shared by the batch ANN surfaces: each
+    * query's `nProbe` nearest cells by (centroid distance asc, cell
+    * asc) out of the exploded (qid, cell, d) frame — `batch ×
+    * |codebook|` rows, which at 10⁵ queries × 10⁴ cells is a
+    * 10⁹-row stream. A rank window would SHUFFLE all of it just to
+    * keep nProbe rows per query; the bounded TopKByScore aggregate
+    * (goodness = −d, payload = cell) caps each map partition at
+    * nProbe entries per query before the exchange, same as the
+    * candidate rank stage. nProbe past the buffer guard falls back to
+    * the window. Null distances (a corrupt query vector) are dropped
+    * — the window form ranked them FIRST (bare `.asc` is nulls-first),
+    * silently probing arbitrary cells for a garbage query; no probe
+    * and no candidates is the saner contract, and downstream
+    * left-joins already surface empty probes as NULL/keep rows.
+    * Returns (qid, cell).
+    */
+  private[ops] def probeTopCells(qdist: DataFrame, nProbe: Int)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopKByScore
+    if (nProbe <= TopKByScore.MaxK)
+      qdist.filter(col("d").isNotNull)
+        .groupBy(col("qid"))
+        .agg(TopKByScore.topk(nProbe, col("cell").cast("long"), lit(0L),
+          lit(0.0) - col("d")).as("_t"))
+        .select(col("qid"), explode(col("_t")).as("_e"))
+        .select(col("qid"), col("_e.id").as("cell"))
+    else
+      qdist
+        .withColumn("_rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("d").asc_nulls_last, col("cell").asc)))
+        .filter(col("_rn") <= nProbe)
+        .select(col("qid"), col("cell"))
+  }
+
   def ivfSearchBatch(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, index: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
@@ -702,15 +739,11 @@ object Similarity {
     val q = queries.select(col(queryIdCol).as("qid"),
       asDouble(col(queryVecCol)).as("qvec"))
       .localCheckpoint(true) // one pass feeds probe ranking + vector join
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("d").asc, col("cell").asc)
-    val qcells = q
+    val qcells = probeTopCells(q
       .select(col("qid"), col("qvec"), explode(codebook).as("c"))
       .select(col("qid"), col("c._1").as("cell"),
-        GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d"))
-      .withColumn("_rn", row_number().over(wProbe))
-      .filter(col("_rn") <= nProbe)
-      .select(col("qid"), col("cell"))
+        GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d")),
+      nProbe)
       .localCheckpoint(true) // probe side computed once: cells collect + join
     val probedCells = qcells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
