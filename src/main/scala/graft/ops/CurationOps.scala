@@ -128,6 +128,65 @@ object CurationOps {
       .withColumn("contaminated", col("n_shared") >= flagAt)
   }
 
+  /** Auto-regime boundary for [[decontaminateAuto]]: estimated bench
+    * distinct-gram-set bytes above this pick the bloom-prefilter
+    * regime. 64 MiB against the measured failure boundary — the exact
+    * broadcast set hit 198 MB at a 6.2M-gram suite (4M docs,
+    * BLOOM_4m_r13: broadcast 64.7 s vs bloom 30.4 s, the broadcast
+    * build visibly stalling) — with ~3× headroom because the exact set
+    * must materialize whole on the driver AND in every executor's
+    * join hash relation, and real clusters run 8-16 GB executors.
+    */
+  val BroadcastGramMaxBytes: Long = 64L << 20
+
+  /** [[decontaminate]] with the broadcast-vs-bloom regime AUTO-selected,
+    * so the measured exact-broadcast cliff (BLOOM_4m_r13: a 198 MB
+    * bench gram set stalls the broadcast build where the 5.7 MB sketch
+    * runs 2.1× faster) is handled by default instead of by the caller
+    * knowing which variant to call. Results are identical in both
+    * regimes by construction — the bloom path's exact-verify tail
+    * kills every false positive — so the choice is purely physical
+    * (q134 shares q98's oracle verbatim).
+    *
+    * `broadcastBench = Some(x)` forces a regime; the None default
+    * estimates the exact set from ONE narrow agg over the bench side
+    * (row count + text chars — bench-sized, i.e. exactly the quantity
+    * being bounded): distinct shingle strings are bounded above by
+    * ~3× the text bytes (every word starts one 3-shingle carrying ~3
+    * words) plus per-entry join-hash overhead. The bound ignores
+    * cross-doc dedup, so it overestimates on templated suites — which
+    * errs toward bloom, the regime that is correct at every scale and
+    * merely leaves a few seconds on the table for small suites. The
+    * same estimate sizes the sketch (`expectedBenchGrams ≈ one gram
+    * per word), so an auto-picked bloom path never inherits a default
+    * sized for a different suite.
+    */
+  def decontaminateAuto(docs: DataFrame, textCol: String, idCol: String,
+      benchPred: Column, minShared: Int = 3, flagAt: Int = 8,
+      fpp: Double = 0.03, broadcastBench: Option[Boolean] = None,
+      broadcastMaxBytes: Long = BroadcastGramMaxBytes): DataFrame = {
+    val (useBroadcast, estGrams) = broadcastBench match {
+      case Some(b) => (b, 1L << 20)
+      case None =>
+        val est = docs.filter(benchPred).agg(count(lit(1)),
+          coalesce(sum(length(col(textCol))), lit(0L))).head
+        val rows = est.getLong(0)
+        val chars = est.getLong(1)
+        val grams = math.max(chars / 6L, 1L) // ~1 shingle start per word
+        val estSetBytes = chars * 3L + grams * 16L
+        val pick = estSetBytes <= broadcastMaxBytes
+        System.err.println(s"[graft] decontaminateAuto regime: ~" +
+          s"${estSetBytes >> 20} MiB estimated exact gram set for " +
+          s"$rows bench rows -> ${if (pick) "broadcast" else "bloom"}")
+        (pick, grams)
+    }
+    if (useBroadcast)
+      decontaminate(docs, textCol, idCol, benchPred, minShared, flagAt)
+    else
+      decontaminateBloom(docs, textCol, idCol, benchPred, minShared,
+        flagAt, expectedBenchGrams = math.max(estGrams, 1L << 16), fpp)
+  }
+
   /** One distributed pass building the serialized bloom sketch over
     * `df(gramCol)` (hashed with xxhash64, the convention Spark's own
     * injected runtime filters use — [[mightContain]] deserializes the

@@ -124,7 +124,7 @@ object Similarity {
   /** Pull the (tiny) codebook to the driver once; callers that need it
     * both for assignment and probe selection collect a single time.
     */
-  private[ops] def collectCodebook(centroids: DataFrame, centroidIdCol: String,
+  private[graft] def collectCodebook(centroids: DataFrame, centroidIdCol: String,
       centroidVecCol: String): Seq[(Long, Seq[Double])] = {
     val cents = centroids
       .select(col(centroidIdCol).cast("long"),
@@ -330,7 +330,7 @@ object Similarity {
     * stamp the way [[graft.ops.Dedup.crossDedupFlagsFromIndexes]]
     * verifies band params.
     */
-  private[ops] def codebookStamp(cents: Seq[(Long, Seq[Double])]): String = {
+  private[graft] def codebookStamp(cents: Seq[(Long, Seq[Double])]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     cents.foreach { case (cid, v) =>
       md.update(cid.toString.getBytes("UTF-8"))
@@ -362,7 +362,7 @@ object Similarity {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  private[ops] def writeStampSidecar(spark: SparkSession, indexDir: String,
+  private[graft] def writeStampSidecar(spark: SparkSession, indexDir: String,
       stamp: String): Unit = {
     val (fs, p) = fsOf(spark, indexDir)
     val out = fs.create(
@@ -370,7 +370,7 @@ object Similarity {
     try out.write((stamp + "\n").getBytes("UTF-8")) finally out.close()
   }
 
-  private[ops] def readStampSidecar(spark: SparkSession, indexDir: String)
+  private[graft] def readStampSidecar(spark: SparkSession, indexDir: String)
   : Option[String] = {
     val (fs, p) = fsOf(spark, indexDir)
     graft.io.FsUtil.readFullyUtf8(fs,

@@ -183,6 +183,17 @@ object Curation {
         "doc_id", benchmarkPred, minShared = 3, flagAt = 8,
         expectedBenchGrams = 1L << 16)
         .orderBy("doc_id")
+    }),
+
+    // q98's semantics with the broadcast-vs-bloom regime AUTO-selected
+    // (the default path a caller who knows neither variant gets): on
+    // gate data the estimator picks broadcast, at the measured 4M-doc
+    // boundary it picks bloom — results identical either way, so it
+    // shares q98's oracle verbatim.
+    "q134_decontaminate_auto" -> ((s, d) => {
+      CurationOps.decontaminateAuto(Tables.documents(s, d), "text",
+        "doc_id", benchmarkPred, minShared = 3, flagAt = 8)
+        .orderBy("doc_id")
     })
   )
 
@@ -246,6 +257,23 @@ object Curation {
     // prefilter (exact-verify tail) — the oracle asserts the bloom
     // variant computes EXACTLY the broadcast variant's answer
     "q128_decontaminate_bloom" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 19 = 0),
+        |corpus AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 19 <> 0)
+        |SELECT doc_id, count(*) AS n_shared, count(*) >= 8 AS contaminated
+        |FROM corpus JOIN bench USING (gram)
+        |GROUP BY doc_id HAVING count(*) >= 3
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical SQL to q98/q128 on purpose: the auto path picks a
+    // PHYSICAL regime; the answer is regime-invariant by construction
+    "q134_decontaminate_auto" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents),

@@ -274,6 +274,36 @@ object Vector {
         .orderBy("vec_id")
     }),
 
+    // The streaming SEMANTIC dedup ingest's read/write path under the
+    // batch oracle gate — q131's pattern for the EMBEDDING family:
+    // epoch 0 ingests the 90% corpus against an empty prior (everything
+    // keeps and indexes batch-keyed under _batch=0/cell=), epoch 1
+    // ingests the 10% batch through the SAME time-travel prior read
+    // (_batch < 1), codebook-stamp sidecar check, and cell-keyed index
+    // layout the stream uses; the returned frame is epoch 1's flags
+    // read back from the flags tree, so the write path is under the
+    // gate too. Shares q120's oracle verbatim: with this split the
+    // epoch-1 flags are exactly the batch-vs-corpus semantic-dedup
+    // pure function (id spaces disjoint, so excludeSelf is moot).
+    "q135_semantic_ingest" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val isBatch = col("vec_id") % 10 === 9
+      val root = QueryTmp.dir("q135", s, d)
+      def ingest(df: DataFrame, b: Long): Unit =
+        graft.streaming.IdempotentSink.semanticIngestByBatch(
+          s"$root/idx", s"$root/flags", "vec_id", "embedding",
+          centroids, "cid", "cvec", tau = 0.4, nProbe = 2)(df, b)
+      ingest(emb.filter(!isBatch), 0L)
+      ingest(emb.filter(isBatch), 1L)
+      s.read.parquet(s"$root/flags")
+        .filter(col("_batch").cast("long") === 1L)
+        .select(col("vec_id"), col("neighbor_id"), col("cos_sim"),
+          col("keep"))
+        .orderBy("vec_id")
+    }),
+
     // One Lloyd iteration over the 8-centroid codebook: the offline
     // k-means step that builds the IVF index.
     "q90_kmeans_step" -> ((s, d) => {
@@ -449,6 +479,58 @@ object Vector {
     // neighbors (keep = true). Assignment excludes the batch; probe
     // distances exist for every vector.
     "q120_semantic_dedup" ->
+      """WITH ax AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
+        |dists AS (
+        |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
+        |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d ASC, cid ASC) AS rn
+        |    FROM dists WHERE vec_id % 10 <> 9) WHERE rn = 1),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 10 = 9),
+        |probe AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, d.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY d.d ASC, d.cid ASC) AS rn
+        |    FROM qids q JOIN dists d ON d.vec_id = q.qid)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id, a.cell
+        |  FROM assigned a JOIN probe p ON a.cell = p.cid
+        |  WHERE a.vec_id <> p.qid),
+        |qx AS (
+        |  SELECT q.qid, ax.i, ax.x FROM ax JOIN qids q
+        |  ON ax.vec_id = q.qid),
+        |nq AS (SELECT qid, sqrt(sum(x * x)) AS n FROM qx GROUP BY qid),
+        |dots AS (
+        |  SELECT c.qid, a.vec_id, sum(a.x * q.x) AS dot,
+        |         sqrt(sum(a.x * a.x)) AS na
+        |  FROM cand c JOIN ax a ON a.vec_id = c.vec_id
+        |  JOIN qx q ON q.qid = c.qid AND q.i = a.i
+        |  GROUP BY c.qid, a.vec_id),
+        |top1 AS (
+        |  SELECT qid, vec_id AS neighbor_id, cos_sim FROM (
+        |    SELECT d.qid, d.vec_id,
+        |      ROUND(dot / (na * nq.n), 5) AS cos_sim,
+        |      row_number() OVER (PARTITION BY d.qid
+        |        ORDER BY ROUND(dot / (na * nq.n), 5) DESC, d.vec_id ASC)
+        |        AS rn
+        |    FROM dots d JOIN nq ON nq.qid = d.qid)
+        |  WHERE rn = 1)
+        |SELECT q.qid AS vec_id, t.neighbor_id, t.cos_sim,
+        |  (t.cos_sim IS NULL OR t.cos_sim < 0.4) AS keep
+        |FROM qids q LEFT JOIN top1 t ON t.qid = q.qid
+        |ORDER BY vec_id""".stripMargin,
+
+    // identical SQL to q120 on purpose: the two-epoch ingest's epoch-1
+    // flags are the batch-vs-corpus pure function — the oracle asserts
+    // the time-travel read/batch-keyed write path changes nothing
+    "q135_semantic_ingest" ->
       """WITH ax AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |         unnest(embedding)::DOUBLE AS x

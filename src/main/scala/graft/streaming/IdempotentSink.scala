@@ -366,6 +366,95 @@ object IdempotentSink {
     parquetByBatch(tokDir)(tokK, batchId)
   }
 
+  /** The EMBEDDING-family twin of [[dedupIngestByBatch]]: a
+    * self-growing exactly-once streaming SEMANTIC dedup ingest. Each
+    * micro-batch of (id, vector) rows is flagged against the vectors
+    * every EARLIER batch kept (keep iff best cosine under the IVF
+    * probe < `tau` — [[graft.ops.Similarity.semanticDedupFlags]]'s
+    * contract, nProbe cells probed per query), then appends only its
+    * KEPT rows' (id, vec, cell) index rows under `_batch=<id>/cell=<c>`
+    * — the same batch-keyed dynamic-partition-overwrite tree the band
+    * index uses, so the `_batch < id` time-travel read gives a replayed
+    * batch exactly the state its first run saw (self-matches are
+    * impossible; replays rewrite byte-identically) and the probe prunes
+    * at BOTH levels (batch subtrees by the time-travel bound, cells by
+    * the static probe predicate).
+    *
+    * The codebook is the stream's INVARIANT: cell assignments must come
+    * from one codebook across every batch or the probe mis-routes, so
+    * the first batch stamps the tree with a codebook-identity sidecar
+    * ([[graft.ops.Similarity.writeStampSidecar]] — the same O(1)
+    * mechanism the persisted IVF index uses) and every later batch
+    * REFUSES a drifted codebook before writing anything. Re-clustering
+    * mid-stream therefore requires a new index root (by design — the
+    * accumulated cell layout is meaningless under new centroids).
+    *
+    * WITHIN-batch dups are out of contract, as in the text ingest: the
+    * corpus-lookup shape flags batch vs corpus. `excludeSelf` defaults
+    * false here (a streaming ingest's ids are new by construction);
+    * pass true for the corpus-refresh case where a re-embedded id must
+    * not match its own old row.
+    *
+    * `foldEvery = N` folds the vec tree in-stream every Nth batch with
+    * `uptoBatch = batchId - 2` — the same derived replay-safety bound,
+    * crash analysis, and full-vs-tail policy trade as [[foldIfDue]]
+    * (the fold here is ONE [[compactBatches]] call, partitionCol
+    * "cell"); the flags tree is the caller's to fold
+    * ([[compactBatchesFlat]]) if its consumers want it.
+    */
+  def semanticIngestByBatch(indexRoot: String, flagsOut: String,
+      idCol: String, vecCol: String, centroids: DataFrame,
+      centroidIdCol: String, centroidVecCol: String, tau: Double,
+      nProbe: Int = 2, excludeSelf: Boolean = false, foldEvery: Int = 0,
+      foldTail: Boolean = false)(df: DataFrame, batchId: Long): Unit = {
+    import graft.ops.Similarity
+    val spark = df.sparkSession
+    val vecDir = s"$indexRoot/vec"
+    if (foldEvery > 0 && batchId >= 2 && batchId % foldEvery == 0) {
+      val from =
+        if (foldTail) math.max(0L, batchId - foldEvery - 1) else 0L
+      compactBatches(spark, vecDir, "cell", batchId - 2,
+        fromBatch = from): Unit
+    }
+    val stamp = Similarity.codebookStamp(Similarity.collectCodebook(
+      centroids, centroidIdCol, centroidVecCol))
+    val sidecar = Similarity.readStampSidecar(spark, vecDir)
+    sidecar.foreach { s =>
+      if (s != stamp)
+        throw new IllegalStateException(
+          "semanticIngestByBatch: this call's codebook (stamp " +
+            s"$stamp) is not the one the index tree at $vecDir was " +
+            s"built under ($s) — the accumulated cell assignments " +
+            "would mis-route the probe. Re-clustering requires a new " +
+            "index root.")
+    }
+    val p = new org.apache.hadoop.fs.Path(vecDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val flags = (if (fs.exists(p)) {
+      val prior = spark.read.parquet(vecDir)
+        .filter(col("_batch").cast("long") < batchId).drop("_batch")
+      Similarity.semanticDedupFlags(df, idCol, vecCol, prior, idCol,
+        vecCol, centroids, centroidIdCol, centroidVecCol, tau, nProbe,
+        excludeSelf)
+    } else
+      // first batch: no prior tree — everything keeps, no search job
+      // (and no empty-frame stamp ambiguity to warn about)
+      df.select(col(idCol),
+        lit(null).cast(df.schema(idCol).dataType).as("neighbor_id"),
+        lit(null).cast("double").as("cos_sim"), lit(true).as("keep")))
+      .localCheckpoint(false) // batch-sized; feeds the flags write + kept
+    parquetByBatch(flagsOut)(flags, batchId)
+    val kept = df.join(flags.filter(col("keep")).select(idCol), Seq(idCol))
+    val keptAssigned = Similarity.ivfAssign(kept, idCol, vecCol,
+      centroids, centroidIdCol, centroidVecCol)
+      .select(col(idCol), col(vecCol), col("cell"))
+    indexByBatch(vecDir, "cell")(keptAssigned, batchId)
+    // stamp AFTER the first write so the sidecar never outlives a
+    // crashed pre-write batch; a replay re-stamps identically
+    if (sidecar.isEmpty)
+      Similarity.writeStampSidecar(spark, vecDir, stamp)
+  }
+
   /** The resumable-swap commit record: its presence inside a temp tree
     * means the consolidated rows are COMPLETE and the source-dir
     * deletes may have begun — a re-run must finish the swap, never

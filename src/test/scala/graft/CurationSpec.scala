@@ -100,6 +100,47 @@ class CurationSpec extends AnyFunSuite {
       "coalesced sketch build changed flags on an over-partitioned input")
   }
 
+  test("decontaminateAuto picks each regime through the threshold, " +
+    "results identical, and the forced override wins") {
+    val docs = ((0L to 20L).map { i =>
+      if (i == 0L) (i, "one two three four five six seven eight")
+      else if (i == 10L) (i, "alpha beta gamma delta epsilon zeta")
+      else if (i == 1L) (i, "zz one two three four alpha beta gamma delta yy")
+      else (i, s"filler${i}a filler${i}b filler${i}c filler${i}d filler${i}e")
+    }).toDF("doc_id", "text")
+    val pred = col("doc_id") % 10 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    val exact = rows(CurationOps.decontaminate(
+      docs, "text", "doc_id", pred, minShared = 2, flagAt = 4))
+    assert(exact.nonEmpty, "fixture lost its planted overlap")
+    // huge threshold → the estimator picks broadcast: NO bloom
+    // predicate in the plan
+    val asBroadcast = CurationOps.decontaminateAuto(docs, "text",
+      "doc_id", pred, minShared = 2, flagAt = 4,
+      broadcastMaxBytes = Long.MaxValue)
+    assert(rows(asBroadcast) === exact)
+    assert(!asBroadcast.queryExecution.executedPlan.toString
+      .contains("might_contain"),
+      "under-threshold auto run should take the exact broadcast path")
+    // 1-byte threshold → the estimator picks bloom: the prefilter IS
+    // in the plan, result unchanged (exact-verify tail)
+    val asBloom = CurationOps.decontaminateAuto(docs, "text",
+      "doc_id", pred, minShared = 2, flagAt = 4, broadcastMaxBytes = 1L)
+    assert(rows(asBloom) === exact,
+      "auto-picked bloom regime diverged from the exact answer")
+    assert(asBloom.queryExecution.executedPlan.toString
+      .contains("might_contain"),
+      "over-threshold auto run should take the bloom path")
+    // an explicit regime overrides the estimate entirely
+    val forced = CurationOps.decontaminateAuto(docs, "text", "doc_id",
+      pred, minShared = 2, flagAt = 4,
+      broadcastBench = Some(false), broadcastMaxBytes = Long.MaxValue)
+    assert(forced.queryExecution.executedPlan.toString
+      .contains("might_contain"),
+      "Some(false) must force the bloom regime regardless of threshold")
+  }
+
   test("redact masks digit runs and counts them") {
     val df = Seq((1L, """{"k": 42, "u": 1234}"""), (2L, "none")).toDF("id", "p")
     val got = CurationOps.redact(df, "p")

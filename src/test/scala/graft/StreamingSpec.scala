@@ -886,6 +886,166 @@ class StreamingSpec extends AnyFunSuite {
     assert(fpTree(rootA) === Map(0L -> Set(1L, 2L), 1L -> Set(4L)))
   }
 
+  test("self-growing streaming SEMANTIC dedup ingest is exactly-once: " +
+    "time-travel keeps a replayed batch from self-matching, later " +
+    "batches dedup against KEPT vectors only, crash+replay trees match " +
+    "the uninterrupted run, and a drifted codebook is refused") {
+    import spark.implicits._
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", "long").add("vec", "array<double>")
+    def writeVec(src: java.nio.file.Path, id: Long,
+        v: Seq[Double]): Unit =
+      Files.write(src.resolve(s"vec_$id.json"),
+        s"""{"vec_id":$id,"vec":[${v.mkString(",")}]}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "cvec")
+    def ingest(root: String, flagsOut: String)(
+        df: org.apache.spark.sql.DataFrame, b: Long): Unit =
+      graft.streaming.IdempotentSink.semanticIngestByBatch(
+        s"$root/idx", flagsOut, "vec_id", "vec", cents, "cid", "cvec",
+        tau = 0.9, nProbe = 2)(df, b)
+    def runOnce(src: java.nio.file.Path, ckpt: String, root: String,
+        flagsOut: String): Unit = {
+      val q = spark.readStream.schema(schema).json(src.toString)
+        .writeStream.outputMode("append")
+        .foreachBatch(ingest(root, flagsOut) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "stream did not finish within 60 s")
+    }
+    def flagTree(out: String): Map[Long, Set[(Long, Boolean)]] =
+      spark.read.parquet(out)
+        .select(col("_batch").cast("long"), col("vec_id"), col("keep"))
+        .as[(Long, Long, Boolean)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    def vecTree(root: String): Map[Long, Set[Long]] =
+      spark.read.parquet(s"$root/idx/vec")
+        .select(col("_batch").cast("long"), col("vec_id"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    // cos(v1, v3) ≈ 1 (both hug c0); v4 splits the axes (cos < 0.9 vs
+    // everything); v5 re-sends v3's DROPPED direction (must match the
+    // KEPT v1, proving the dropped v3 never entered the index); v6
+    // copies the kept v4
+    val v1 = Seq(1.0, 0.1, 0.0, 0.0); val v2 = Seq(0.0, 1.0, 0.1, 0.0)
+    val v3 = Seq(1.0, 0.11, 0.0, 0.0)
+    val v4 = Seq(0.5, -0.5, 0.7, 0.0)
+    val v5 = Seq(1.0, 0.12, 0.0, 0.0); val v6 = Seq(0.5, -0.5, 0.69, 0.0)
+    def schedule(src: java.nio.file.Path, ckpt: String, root: String,
+        flagsOut: String, replayBatch0: Boolean): Unit = {
+      writeVec(src, 1L, v1); writeVec(src, 2L, v2)
+      runOnce(src, ckpt, root, flagsOut)
+      if (replayBatch0)
+        // foreachBatch at-least-once recovery: batch 0 replays with its
+        // own index rows already in the tree — `_batch < 0` must keep
+        // it from matching itself
+        ingest(root, flagsOut)(
+          Seq((1L, v1), (2L, v2)).toDF("vec_id", "vec"), 0L)
+      writeVec(src, 3L, v3); writeVec(src, 4L, v4)
+      runOnce(src, ckpt, root, flagsOut)
+      writeVec(src, 5L, v5); writeVec(src, 6L, v6)
+      runOnce(src, ckpt, root, flagsOut)
+    }
+
+    val srcA = TestDirs.tmp("sem_ingest_src_a")
+    val rootA = TestDirs.tmp("sem_ingest_idx_a").toString
+    val flagsA = TestDirs.tmp("sem_ingest_flags_a").toString
+    schedule(srcA, TestDirs.tmp("sem_ingest_ckpt_a").toString,
+      rootA, flagsA, replayBatch0 = false)
+    val srcB = TestDirs.tmp("sem_ingest_src_b")
+    val rootB = TestDirs.tmp("sem_ingest_idx_b").toString
+    val flagsB = TestDirs.tmp("sem_ingest_flags_b").toString
+    schedule(srcB, TestDirs.tmp("sem_ingest_ckpt_b").toString,
+      rootB, flagsB, replayBatch0 = true)
+
+    val a = flagTree(flagsA)
+    assert(a === flagTree(flagsB),
+      "crash+replay flags diverged from the uninterrupted run")
+    assert(vecTree(rootA) === vecTree(rootB),
+      "crash+replay index tree diverged from the uninterrupted run")
+    // batch 0: empty prior keeps both (a self-matching replay in run B
+    // would have flipped them)
+    assert(a(0L) === Set((1L, true), (2L, true)))
+    // batch 1: v3 matches the kept v1 (drop); v4 is novel (keep)
+    assert(a(1L) === Set((3L, false), (4L, true)))
+    // batch 2: v5 matches v1 — NOT the dropped v3; v6 matches the
+    // batch-1-kept v4 (proving kept rows from every prior batch index)
+    assert(a(2L) === Set((5L, false), (6L, false)))
+    // the index accumulated exactly the kept vectors, batch-keyed
+    // (batch 2 kept nothing → no _batch=2 subtree)
+    assert(vecTree(rootA) === Map(0L -> Set(1L, 2L), 1L -> Set(4L)))
+    // batch 2's neighbor attribution: v5's best neighbor is v1
+    val n5 = spark.read.parquet(flagsA)
+      .filter(col("vec_id") === 5L).select(col("neighbor_id"))
+      .as[Long].head()
+    assert(n5 === 1L, s"v5 matched $n5, expected the kept v1")
+    // a drifted codebook must be refused BEFORE writing anything
+    val drifted = Seq((0L, Seq(0.9, 0.0, 0.1, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "cvec")
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.IdempotentSink.semanticIngestByBatch(
+        s"$rootA/idx", flagsA, "vec_id", "vec", drifted, "cid", "cvec",
+        tau = 0.9, nProbe = 2)(
+        Seq((9L, v1)).toDF("vec_id", "vec"), 3L)
+    }
+    assert(ex.getMessage.contains("codebook"))
+    assert(!a.contains(3L) && !vecTree(rootA).contains(3L),
+      "the refused batch must not have written flags or index rows")
+  }
+
+  test("semanticIngestByBatch foldEvery: the in-stream vec-tree fold " +
+    "fires at the cadence, flags match the unfolded run, and the " +
+    "folded tree answers the same lookup") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    // 6 batches, one novel vector each (distinct directions in 2D so
+    // nothing dedups away and every batch writes index rows)
+    val vecs = (0 until 6).map { b =>
+      val t = 0.1 + b * 0.25
+      (b.toLong + 1L, Seq(math.cos(t), math.sin(t)))
+    }
+    def drive(root: String, flags: String, foldEvery: Int): Unit =
+      vecs.zipWithIndex.foreach { case ((id, v), b) =>
+        graft.streaming.IdempotentSink.semanticIngestByBatch(
+          s"$root/idx", flags, "vec_id", "vec", cents, "cid", "cvec",
+          tau = 0.999, nProbe = 2, foldEvery = foldEvery)(
+          Seq((id, v)).toDF("vec_id", "vec"), b.toLong)
+      }
+    val rootU = TestDirs.tmp("sem_fold_u").toString
+    val flagsU = TestDirs.tmp("sem_fold_u_flags").toString
+    drive(rootU, flagsU, foldEvery = 0)
+    val rootF = TestDirs.tmp("sem_fold_f").toString
+    val flagsF = TestDirs.tmp("sem_fold_f_flags").toString
+    drive(rootF, flagsF, foldEvery = 2)
+    def allFlags(out: String) = spark.read.parquet(out)
+      .select(col("_batch").cast("long"), col("vec_id"), col("keep"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(allFlags(flagsU) === allFlags(flagsF),
+      "in-stream vec-tree folds changed the flags")
+    // the fold actually consolidated: fewer _batch= subtrees than
+    // batches that wrote (last due point: batch 4 folds _batch ≤ 2)
+    def batchDirs(root: String) =
+      Option(new java.io.File(s"$root/idx/vec").listFiles()).toSeq
+        .flatten.filter(f => f.isDirectory &&
+          f.getName.startsWith("_batch=")).map(_.getName).toSet
+    assert(batchDirs(rootU).size === 6)
+    assert(batchDirs(rootF).size < 6,
+      s"no fold happened: ${batchDirs(rootF)}")
+    // folded tree still answers the full-tree lookup identically
+    val prior = spark.read.parquet(s"$rootF/idx/vec").drop("_batch")
+    val probe = Seq((99L, Seq(math.cos(0.1), math.sin(0.1))))
+      .toDF("vec_id", "vec")
+    val got = graft.ops.Similarity.semanticDedupFlags(probe, "vec_id",
+      "vec", prior, "vec_id", "vec", cents, "cid", "cvec",
+      tau = 0.999, nProbe = 2, excludeSelf = false)
+      .select(col("neighbor_id")).as[Long].head()
+    assert(got === 1L, "post-fold lookup lost the planted neighbor")
+  }
+
   test("compactCells crash recovery: a temp tree with a committed " +
     "manifest RESUMES the per-cell swaps (including a cell whose " +
     "source dir the crash already deleted); a temp tree without a " +
