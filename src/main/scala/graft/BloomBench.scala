@@ -131,6 +131,19 @@ object BloomBench {
     val secBroadcast = time(broadcastPath)
     val secBloom = time(bloomPath)
 
+    // --- the AUTO path: the regime decontaminateAuto's estimator picks
+    // at THIS point (same estimator code — benchGramEstimate is
+    // shared), timed end-to-end so the decision's one extra bench-side
+    // scan is in the number
+    val (_, _, estSetBytes) = CurationOps.benchGramEstimate(
+      docs.filter(benchPred), "text")
+    val autoRegime =
+      if (estSetBytes <= CurationOps.BroadcastGramMaxBytes) "broadcast"
+      else "bloom"
+    def autoPath() = CurationOps.decontaminateAuto(
+      docs, "text", "doc_id", benchPred, fpp = fpp)
+    val secAuto = time(autoPath)
+
     // result identity (the exact-verify contract), not just timings —
     // compared DISTRIBUTED (exceptAll both directions): on the dense
     // GrowDocs fixture nearly every doc is flagged, so collecting both
@@ -149,7 +162,9 @@ object BloomBench {
         f""""bloom_bytes":$bloomBytes,"corpus_grams":$corpusGrams,""" +
         f""""survivor_grams":$survivors,"true_match_grams":$trueMatches,""" +
         f""""prefilter_ratio":$prefilter%.1f,""" +
-        f""""sec_broadcast":$secBroadcast%.3f,"sec_bloom":$secBloom%.3f}"""
+        f""""est_set_bytes":$estSetBytes,"auto_regime":"$autoRegime",""" +
+        f""""sec_broadcast":$secBroadcast%.3f,"sec_bloom":$secBloom%.3f,""" +
+        f""""sec_auto":$secAuto%.3f}"""
     println(json)
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(outDir)): Unit

@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.streaming.IdempotentSink
+
+/** Scale artifact for the streaming SEMANTIC dedup ingest
+  * ([[IdempotentSink.semanticIngestByBatch]]) — the embedding twin of
+  * [[IngestBench]], recording the same curves for the vec tree: how
+  * the per-batch ingest wall and the probe's listed-file count grow
+  * with stream age, what the in-stream fold (`foldEvery`) keeps flat,
+  * and what the final manual [[IdempotentSink.compactBatches]] pass
+  * buys back. The ingest's prior() probe prunes to the batch's probed
+  * CELLS, but un-folded each micro-batch adds one file set per touched
+  * cell — at 10⁵ batches the per-cell listing is the probe job.
+  *
+  * Protocol (matches IngestBench): the corpus is an interpolated
+  * near-unit vector family (SemDedupBench's generator — seed-pair
+  * interpolations, so cross-batch near-duplicates at practical τ are
+  * REAL), pre-split into `nBatches` arrival dirs once; the codebook is
+  * a √n `kmeansIterate` fit on a 10% sample (trained BEFORE the stream
+  * starts — the stream's invariant, stamped into the tree by the first
+  * batch); each batch runs the exact foreachBatch function the stream
+  * binds. After the last batch: a standalone full-tree lookup
+  * (min-of-3, noop-materialized) is timed, the vec tree folds
+  * (`uptoBatch = nBatches-2` per the replay-safety contract), the same
+  * lookup re-times, and post-fold flags are asserted identical
+  * (distributed compare).
+  *
+  * Usage: SemIngestBench [n=200000] [nBatches=50] [outDir]
+  *        [foldEvery=0] [foldMode=all|tail]
+  */
+object SemIngestBench {
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val n = args.lift(0).map(_.toInt).getOrElse(200000)
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(50)
+    val outDir = args.lift(2).getOrElse("/tmp/semingest_bench")
+    val foldEvery = args.lift(3).map(_.toInt).getOrElse(0)
+    val foldMode = args.lift(4).getOrElse("all")
+    require(foldMode == "all" || foldMode == "tail",
+      s"foldMode must be all|tail (got $foldMode)")
+    val dim = 64
+    val seeds = 32
+    val kCells = math.sqrt(n.toDouble).toInt
+    val tau = 0.95
+    val nProbe = 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-semingest-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val work = s"$outDir/work"
+    val workPath = new org.apache.hadoop.fs.Path(work)
+    workPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(workPath, true): Unit
+    val arrivals = s"$work/arrivals"
+    val root = s"$work/idx"
+    val vecDir = s"$root/vec"
+    val flagsOut = s"$work/flags"
+
+    // the SemDedupBench interpolated family: near-unit vectors between
+    // seed pairs, so near-duplicates across arrival batches are real
+    val seedRnd = new scala.util.Random(7)
+    val cents = Array.fill(seeds)(Array.fill(dim)(seedRnd.nextGaussian()))
+    val bc = spark.sparkContext.broadcast(cents)
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val r = new scala.util.Random(id * 1000003L + 17L)
+        val a = r.nextInt(seeds)
+        val b0 = r.nextInt(seeds)
+        val b = if (b0 == a) (b0 + 1) % seeds else b0
+        val t = r.nextDouble()
+        val raw = Array.tabulate(dim)(j =>
+          (1 - t) * bc.value(a)(j) + t * bc.value(b)(j) +
+            0.05 * r.nextGaussian())
+        val nrm = math.sqrt(raw.map(x => x * x).sum)
+        (id, raw.map(_ / nrm).toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+      // vec_id % nBatches spreads each seed pair's interpolations
+      // ACROSS batches so the cross-batch dedup actually happens
+      .withColumn("_arr", col("vec_id") % nBatches)
+      .write.partitionBy("_arr").mode("overwrite").parquet(arrivals)
+
+    // √n codebook on a 10% sample — trained before the stream starts.
+    // Init centroids stride over the FULL id range (striding the
+    // sample's own ids intersects the two modular filters and
+    // collapses the codebook to n/lcm(10, stride) cells).
+    val sample = spark.read.parquet(arrivals)
+      .filter(col("vec_id") % 10 === 0)
+    val stride = math.max(1, n / kCells)
+    val init = spark.read.parquet(arrivals)
+      .filter(col("vec_id") % stride === 0)
+      .orderBy("vec_id").limit(kCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.kmeansIterate(sample, "vec_id", "embedding",
+      init, "cid", "cvec", maxIters = 8, tol = 1e-4)
+      .write.mode("overwrite").parquet(s"$work/codebook")
+    val cb = spark.read.parquet(s"$work/codebook")
+    val nCells = cb.count().toInt
+
+    def parquetFiles(path: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum)
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(path))
+    }
+
+    val ingest = IdempotentSink.semanticIngestByBatch(
+      root, flagsOut, "vec_id", "embedding", cb, "cid", "cvec",
+      tau = tau, nProbe = nProbe, foldEvery = foldEvery,
+      foldTail = foldMode == "tail") _
+    val walls = new scala.collection.mutable.ArrayBuffer[Double](nBatches)
+    val checkpoints = scala.collection.mutable.ListBuffer[(Int, Double,
+      Long)]()
+    val every = math.max(1, nBatches / 10)
+    for (b <- 0 until nBatches) {
+      val batch = spark.read.parquet(s"$arrivals/_arr=$b")
+      val t0 = System.nanoTime()
+      ingest(batch, b.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      walls += sec
+      if ((b + 1) % every == 0 || b == nBatches - 1) {
+        val files = parquetFiles(vecDir)
+        checkpoints += ((b, sec, files))
+        println(f"batch $b: $sec%.2f s, vec_files=$files")
+      }
+    }
+
+    // standalone full-tree lookup: the ingest's prior() + flag
+    // computation, no writes — the read path the fold protects. Bound
+    // derived from the tree (max _batch + 1), never a CLI arg.
+    val probe = spark.read.parquet(s"$arrivals/_arr=0")
+    val lookupBound: Long = {
+      val ids = Option(new java.io.File(vecDir).listFiles()).toSeq
+        .flatten.filter(f => f.isDirectory &&
+          f.getName.startsWith("_batch="))
+        .map(_.getName.stripPrefix("_batch=").toLong)
+      require(ids.nonEmpty, s"no _batch= subtrees under $vecDir")
+      ids.max + 1
+    }
+    def prior() = spark.read.parquet(vecDir)
+      .filter(col("_batch").cast("long") < lookupBound).drop("_batch")
+    def lookupFlags() = Similarity.semanticDedupFlags(
+      probe, "vec_id", "embedding", prior(), "vec_id", "embedding",
+      cb, "cid", "cvec", tau = tau, nProbe = nProbe,
+      excludeSelf = true)
+    def lookupSamples(): Seq[Double] = {
+      lookupFlags().write.format("noop").mode("overwrite").save() // warm
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        lookupFlags().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
+    def samplesJson(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    val filesPre = parquetFiles(vecDir)
+    val lookupPreSamples = lookupSamples()
+    val preFlags = lookupFlags().localCheckpoint(true)
+
+    // final manual fold: latest committed batch stays unfolded
+    val tFold0 = System.nanoTime()
+    val folded = IdempotentSink.compactBatches(spark, vecDir, "cell",
+      nBatches.toLong - 2)
+    val foldSec = (System.nanoTime() - tFold0) / 1e9
+    val filesPost = parquetFiles(vecDir)
+    val lookupPostSamples = lookupSamples()
+    val postFlags = lookupFlags()
+    require(preFlags.exceptAll(postFlags).isEmpty &&
+      postFlags.exceptAll(preFlags).isEmpty,
+      "fold changed the lookup's flags")
+    preFlags.unpersist()
+
+    val dupStats = spark.read.parquet(flagsOut)
+      .agg(count(lit(1)), sum(col("keep").cast("long"))).head
+    val ckJson = checkpoints.map { case (b, sec, files) =>
+      f"""{"batch":$b,"sec":$sec%.2f,"vec_files":$files}"""
+    }.mkString("[", ",", "]")
+    def meanOf(xs: Seq[Double]) = xs.sum / math.max(1, xs.size)
+    val json =
+      f"""{"metric":"semingest_stream","docs":$n,"batches":$nBatches,""" +
+        f""""stat":"min_of_3","dim":$dim,"cells":$nCells,"tau":$tau,""" +
+        f""""n_probe":$nProbe,"fold_every":$foldEvery,""" +
+        f""""fold_mode":"$foldMode","lookup_bound":$lookupBound,""" +
+        f""""flagged_rows":${dupStats.getLong(0)},""" +
+        f""""kept_rows":${dupStats.getLong(1)},""" +
+        f""""wall_first10_mean":${meanOf(walls.take(10).toSeq)}%.2f,""" +
+        f""""wall_last10_mean":${meanOf(walls.takeRight(10).toSeq)}%.2f,""" +
+        f""""checkpoints":$ckJson,""" +
+        f""""files_pre":$filesPre,"files_post":$filesPost,""" +
+        f""""folded":${folded.size},"fold_sec":$foldSec%.2f,""" +
+        f""""lookup_pre_samples":${samplesJson(lookupPreSamples)},""" +
+        f""""lookup_post_samples":${samplesJson(lookupPostSamples)},""" +
+        f""""lookup_pre_sec":${lookupPreSamples.min}%.2f,""" +
+        f""""lookup_post_sec":${lookupPostSamples.min}%.2f}"""
+    println(json)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(outDir)): Unit
+    val suffix = (if (foldEvery > 0) s"_f$foldEvery" else "") +
+      (if (foldEvery > 0 && foldMode == "tail") "t" else "")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir,
+        s"semingest_${n}_b$nBatches$suffix.json"),
+      (json + "\n").getBytes("UTF-8")): Unit
+    spark.stop()
+  }
+}

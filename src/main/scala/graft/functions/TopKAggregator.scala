@@ -38,9 +38,10 @@ case class TopKHit(id: Long, cell: Long, cos_sim: Double)
   *
   * Ordering contract matches the window path and the DuckDB oracles:
   * ties on the (rounded) score break by ascending id. Scores are
-  * assumed non-null/non-NaN (they are `round(cosine, 5)` of finite
-  * vectors in every caller); NaN would sort first under Spark's
-  * window ordering but last here.
+  * assumed non-null/non-NaN: NaN would sort first under Spark's
+  * window ordering but last here, so `ivfSearchBatch` drops NaN
+  * scores (zero-norm vectors ⇒ cosine 0/0) BEFORE every rank path —
+  * the divergence is closed at the source, not assumed away.
   */
 class TopKByScore(k: Int)
     extends Aggregator[TopKHit, scala.collection.Seq[TopKHit],

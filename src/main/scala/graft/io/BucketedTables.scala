@@ -1,0 +1,57 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table layouts — the SHUFFLE-FREE co-located join path.
+  *
+  * A plain parquet tree carries no partitioning guarantee Catalyst can
+  * trust, so every big join/aggregation on it re-shuffles both sides
+  * on the key — at 100 TB the exchange IS the job, and it repeats for
+  * every consumer. Writing the table BUCKETED (`bucketBy(n, key)` +
+  * `saveAsTable`) records `hash(key) % n` co-location in the catalog:
+  * any join or aggregation keyed on the bucket column then satisfies
+  * its clustering requirement straight off the scan — zero Exchange on
+  * the bucketed side(s), proven by plan gate in BucketedSpec. Two
+  * tables bucketed with the SAME n on their join keys sort-merge-join
+  * with no shuffle on either side; a `groupBy(key)` on one table
+  * partial-aggregates and finishes without any exchange at all.
+  *
+  * This is the write-once/read-many counterpart of the repartition()
+  * the pipeline would otherwise pay per query: pay one bucketed write
+  * per corpus snapshot, then every downstream join/agg on that key is
+  * map-side. The pinned range-shard layout ([[ShardWriter]]) solves
+  * the ORDERED access pattern (key-range reads); buckets solve the
+  * EQUI-JOIN pattern — hash co-location is useless for ranges and
+  * range shards are useless to Catalyst's hash-clustering requirement,
+  * so the two layouts coexist.
+  *
+  * The table is EXTERNAL (explicit `path`): dropping the catalog entry
+  * never deletes data, and a fresh session re-registers the same files
+  * with one `saveAsTable`-shaped write or a `CREATE TABLE ... USING
+  * parquet CLUSTERED BY` DDL over the existing path. Bucket count is
+  * the layout's contract — Spark only elides the shuffle when the
+  * join's sides agree (or one side's count divides the other's with
+  * `spark.sql.bucketing.coalesceBucketsInJoin.enabled`); pick n once
+  * per key domain (a power of two ~= cluster cores) and keep it.
+  */
+object BucketedTables {
+
+  /** Write `df` as an external parquet table bucketed by `bucketCol`
+    * into `nBuckets`, optionally sorted within buckets (`sortCols` —
+    * lets a one-file-per-bucket layout feed sort-merge joins with the
+    * scan's order, skipping the sort too). Replaces any existing
+    * catalog entry of the same name; `mode overwrite` replaces the
+    * files, so a re-run converges instead of appending.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive (got $nBuckets)")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    val w = df.write.mode("overwrite").option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w)
+      .format("parquet").saveAsTable(table)
+  }
+}

@@ -168,12 +168,8 @@ object CurationOps {
     val (useBroadcast, estGrams) = broadcastBench match {
       case Some(b) => (b, 1L << 20)
       case None =>
-        val est = docs.filter(benchPred).agg(count(lit(1)),
-          coalesce(sum(length(col(textCol))), lit(0L))).head
-        val rows = est.getLong(0)
-        val chars = est.getLong(1)
-        val grams = math.max(chars / 6L, 1L) // ~1 shingle start per word
-        val estSetBytes = chars * 3L + grams * 16L
+        val (rows, grams, estSetBytes) =
+          benchGramEstimate(docs.filter(benchPred), textCol)
         val pick = estSetBytes <= broadcastMaxBytes
         System.err.println(s"[graft] decontaminateAuto regime: ~" +
           s"${estSetBytes >> 20} MiB estimated exact gram set for " +
@@ -185,6 +181,20 @@ object CurationOps {
     else
       decontaminateBloom(docs, textCol, idCol, benchPred, minShared,
         flagAt, expectedBenchGrams = math.max(estGrams, 1L << 16), fpp)
+  }
+
+  /** The auto-regime estimator, one narrow agg over the bench side:
+    * (rows, estimated distinct grams, estimated exact-set bytes). One
+    * definition shared with BloomBench so the recorded decision point
+    * can never drift from the operator's.
+    */
+  private[graft] def benchGramEstimate(bench: DataFrame, textCol: String)
+  : (Long, Long, Long) = {
+    val est = bench.agg(count(lit(1)),
+      coalesce(sum(length(col(textCol))), lit(0L))).head
+    val chars = est.getLong(1)
+    val grams = math.max(chars / 6L, 1L) // ~1 shingle start per word
+    (est.getLong(0), grams, chars * 3L + grams * 16L)
   }
 
   /** One distributed pass building the serialized bloom sketch over

@@ -755,6 +755,18 @@ object Similarity {
     val scored = scoped
       .select(col("qid"), col(idCol), col("cell"),
         round(cosine(asDouble(col(vecCol)), col("qvec")), 5).as("cos_sim"))
+      // NaN scores (a zero-norm vector on EITHER side ⇒ cosine 0/0)
+      // are dropped BEFORE the rank stage, making the contract uniform
+      // across all four rank paths — without this predicate they
+      // diverge: the rank window sorts NaN first under desc (Spark
+      // orders NaN above every value), so a single zero-norm corpus
+      // vector would occupy rank 1 of EVERY query it's a candidate
+      // for, while min_by and the bounded aggregate drop it (NaN
+      // loses `>`/struct comparisons). "No similarity" is the only
+      // sane reading of 0/0, and a zero-norm QUERY (all its scores
+      // NaN) surfaces as the no-candidates NULL/keep row downstream —
+      // the same contract probeTopCells applies to null distances.
+      .filter(!isnan(col("cos_sim")))
     if (k == 1)
       // partial-agg top-1: (cos_sim desc, id asc) as a min_by over
       // struct(-cos_sim, id) — negating the SCORE instead of the id

@@ -131,6 +131,33 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // q09's join through BUCKETED tables — the shuffle-free co-located
+    // join path: both sides written bucketBy(8, orderkey), so the
+    // lineitem pre-agg AND the orders⋈lineitem join satisfy their
+    // clustering off the scan (zero Exchange until the tiny
+    // post-priority agg — plan-gated in BucketedSpec). Shares q09's
+    // oracle verbatim: bucketing is a physical layout, the answer is
+    // layout-invariant.
+    "q136_bucketed_revenue" -> ((s, d) => {
+      val tmp = QueryTmp.dir("q136", s, d)
+      graft.io.BucketedTables.writeBucketed(Tables.orders(s, d),
+        "graft_q136_orders", s"$tmp/orders", "o_orderkey", 8)
+      graft.io.BucketedTables.writeBucketed(Tables.lineitem(s, d),
+        "graft_q136_lineitem", s"$tmp/lineitem", "l_orderkey", 8)
+      val o = s.table("graft_q136_orders")
+      val l = s.table("graft_q136_lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).as("_rev"),
+          count(lit(1)).as("_n"))
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("_rev")).cast("double").as("revenue"),
+          sum(col("_n")).as("n_lines"))
+        .orderBy("o_orderpriority")
+    }),
+
     // J5: anti-join diagnostic (customers with no orders).
     "q10_missing_anti" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -432,6 +459,15 @@ object Relational {
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "q09_order_revenue" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // identical SQL to q09 on purpose: bucketing is a PHYSICAL layout —
+    // the oracle asserts the co-located plan changes nothing
+    "q136_bucketed_revenue" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_lines

@@ -445,9 +445,16 @@ object IdempotentSink {
       .localCheckpoint(false) // batch-sized; feeds the flags write + kept
     parquetByBatch(flagsOut)(flags, batchId)
     val kept = df.join(flags.filter(col("keep")).select(idCol), Seq(idCol))
+    // repartition by cell before the write: one file per TOUCHED cell
+    // per batch instead of one per (cell × input partition) — at 32
+    // cores the un-repartitioned tree lists ~32× more files for the
+    // same rows, and the probe's per-cell listing is exactly what the
+    // fold exists to protect. The shuffle is batch-sized (the bounded
+    // quantity).
     val keptAssigned = Similarity.ivfAssign(kept, idCol, vecCol,
       centroids, centroidIdCol, centroidVecCol)
       .select(col(idCol), col(vecCol), col("cell"))
+      .repartition(col("cell"))
     indexByBatch(vecDir, "cell")(keptAssigned, batchId)
     // stamp AFTER the first write so the sidecar never outlives a
     // crashed pre-write batch; a replay re-stamps identically

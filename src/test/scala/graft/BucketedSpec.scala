@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.io.BucketedTables
+
+class BucketedSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect(): Unit // AQE finalizes the plan on execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("same-bucket-count join plans with ZERO exchange on either " +
+    "side, and a groupBy on the bucket key aggregates exchange-free") {
+    val dir = TestDirs.tmp("bucketed").toString
+    val left = (0L until 400L).map(i => (i % 100L, i))
+      .toDF("k", "lv")
+    val right = (0L until 300L).map(i => (i % 100L, -i))
+      .toDF("k", "rv")
+    BucketedTables.writeBucketed(left, "graft_spec_left",
+      s"$dir/left", "k", 8)
+    BucketedTables.writeBucketed(right, "graft_spec_right",
+      s"$dir/right", "k", 8)
+    val l = spark.table("graft_spec_left")
+    val r = spark.table("graft_spec_right")
+    // force sort-merge (a broadcast would also be exchange-free on the
+    // probe side and prove nothing about the bucket co-location)
+    val joined = l.hint("merge").join(r, Seq("k"))
+    val plan = planOf(joined)
+    assert(plan.contains("SortMergeJoin"), s"no SMJ in:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed-bucketed join still shuffles:\n$plan")
+    // correctness vs the plain-frame join
+    val expect = left.join(right, Seq("k"))
+      .select("k", "lv", "rv").as[(Long, Long, Long)].collect().sorted
+    val got = joined
+      .select("k", "lv", "rv").as[(Long, Long, Long)].collect().sorted
+    assert(got.toSeq === expect.toSeq)
+    // aggregation keyed on the bucket column: partial+final without a
+    // shuffle — the scan already satisfies the clustering
+    val agg = l.groupBy("k").agg(sum("lv").as("s"))
+    val aggPlan = planOf(agg)
+    assert(!aggPlan.contains("Exchange"),
+      s"groupBy(bucket key) still shuffles:\n$aggPlan")
+    assert(agg.as[(Long, Long)].collect().toMap ===
+      left.groupBy("k").agg(sum("lv")).as[(Long, Long)].collect().toMap)
+  }
+
+  test("mismatched bucket counts stay CORRECT (the layout contract " +
+    "gives back the shuffle, never a wrong answer)") {
+    val dir = TestDirs.tmp("bucketed_mm").toString
+    val left = (0L until 200L).map(i => (i % 50L, i)).toDF("k", "lv")
+    val right = (0L until 150L).map(i => (i % 50L, -i)).toDF("k", "rv")
+    BucketedTables.writeBucketed(left, "graft_spec_mm_left",
+      s"$dir/left", "k", 8)
+    BucketedTables.writeBucketed(right, "graft_spec_mm_right",
+      s"$dir/right", "k", 4)
+    val got = spark.table("graft_spec_mm_left").hint("merge")
+      .join(spark.table("graft_spec_mm_right"), Seq("k"))
+      .select("k", "lv", "rv").as[(Long, Long, Long)].collect().sorted
+    val expect = left.join(right, Seq("k"))
+      .select("k", "lv", "rv").as[(Long, Long, Long)].collect().sorted
+    assert(got.toSeq === expect.toSeq)
+  }
+
+  test("writeBucketed replaces an existing table (re-run converges, " +
+    "no append) and refuses a non-positive bucket count") {
+    val dir = TestDirs.tmp("bucketed_rw").toString
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    BucketedTables.writeBucketed(a, "graft_spec_rw", s"$dir/t", "k", 2)
+    val b = Seq((3L, 30L)).toDF("k", "v")
+    BucketedTables.writeBucketed(b, "graft_spec_rw", s"$dir/t", "k", 2)
+    assert(spark.table("graft_spec_rw").as[(Long, Long)]
+      .collect().toSet === Set((3L, 30L)))
+    intercept[IllegalArgumentException] {
+      BucketedTables.writeBucketed(a, "graft_spec_bad", s"$dir/bad",
+        "k", 0)
+    }
+  }
+}

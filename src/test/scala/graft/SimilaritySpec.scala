@@ -88,6 +88,49 @@ class SimilaritySpec extends AnyFunSuite {
       "batch probe diverged from the single-query indexed probe")
   }
 
+  test("zero-norm vectors (cosine 0/0 = NaN) are excluded from every " +
+    "rank path identically: top-1 min_by, bounded top-k aggregate, and " +
+    "the forced rank window agree, and a zero-norm QUERY keeps") {
+    import spark.implicits._
+    // 2D fixture: one cell holds a planted ZERO vector (id 100) plus
+    // two finite neighbors — without the NaN drop the window path
+    // would rank the zero vector FIRST (Spark sorts NaN above every
+    // value under desc) while the aggregate paths drop it
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (100L, Seq(0.0, 0.0)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.1, 0.9)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    val dir = TestDirs.tmp("ivf_nan").toFile.getAbsolutePath
+    Similarity.ivfIndex(emb, "vec_id", "embedding", cents, "cid", "cvec")
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val q = Seq((50L, Seq(1.0, 0.05))).toDF("vec_id", "embedding")
+    def ids(k: Int) = Similarity.ivfSearchBatch(q, "vec_id", "embedding",
+      index, "vec_id", "embedding", cents, "cid", "cvec",
+      k = k, nProbe = 2, excludeSelf = false)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .select(col("vec_id")).as[Long].collect().toSeq
+    // top-1 (min_by path): the finite best, never the NaN row
+    assert(ids(1) === Seq(1L))
+    // k=4 (bounded-aggregate path): all four finite rows, no id 100
+    assert(ids(4) === Seq(1L, 2L, 4L, 3L))
+    // k past MaxK (forced window path): same four rows — the window
+    // would have put the NaN row first without the pre-rank drop
+    assert(ids(graft.functions.TopKByScore.MaxK + 1) ===
+      Seq(1L, 2L, 4L, 3L))
+    // a zero-norm QUERY scores NaN against every candidate → no
+    // neighbors → semanticDedupFlags keeps it (the NULL/keep contract)
+    val zq = Seq((60L, Seq(0.0, 0.0))).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedupFlags(zq, "vec_id", "embedding",
+      index, "vec_id", "embedding", cents, "cid", "cvec",
+      tau = 0.5, nProbe = 2, excludeSelf = false)
+      .select(col("keep")).as[Boolean].collect().toSeq
+    assert(kept === Seq(true),
+      "zero-norm query must surface as the no-candidates keep row")
+  }
+
   test("ivfSearchIndexed fails loudly when the index was assigned " +
     "under a different codebook") {
     import spark.implicits._
