@@ -15,18 +15,23 @@ import graft.streaming.IdempotentSink
   * CELLS, but un-folded each micro-batch adds one file set per touched
   * cell — at 10⁵ batches the per-cell listing is the probe job.
   *
-  * Protocol (matches IngestBench): the corpus is an interpolated
-  * near-unit vector family (SemDedupBench's generator — seed-pair
-  * interpolations, so cross-batch near-duplicates at practical τ are
-  * REAL), pre-split into `nBatches` arrival dirs once; the codebook is
-  * a √n `kmeansIterate` fit on a 10% sample (trained BEFORE the stream
-  * starts — the stream's invariant, stamped into the tree by the first
-  * batch); each batch runs the exact foreachBatch function the stream
-  * binds. After the last batch: a standalone full-tree lookup
-  * (min-of-3, noop-materialized) is timed, the vec tree folds
-  * (`uptoBatch = nBatches-2` per the replay-safety contract), the same
-  * lookup re-times, and post-fold flags are asserted identical
-  * (distributed compare).
+  * Protocol (matches IngestBench): the corpus is MOSTLY-UNIQUE random
+  * unit vectors with ~10% planted near-copies of earlier ids (the
+  * GrowDocs `unique` philosophy in embedding space — random 64-dim
+  * unit vectors are pairwise near-orthogonal, so uniques keep and only
+  * the planted copies drop; an interpolated family like SemDedupBench's
+  * is WRONG here: at τ=0.95 it dedups the whole corpus away by batch
+  * ~22 and the tree stops growing, leaving nothing for the fold to
+  * protect — measured, first cut of this bench). Pre-split into
+  * `nBatches` arrival dirs once; the codebook is a √n `kmeansIterate`
+  * fit on a 10% sample (trained BEFORE the stream starts — the
+  * stream's invariant, stamped into the tree by the first batch); each
+  * batch runs the exact foreachBatch function the stream binds. After
+  * the last batch: a standalone full-tree lookup (min-of-3,
+  * noop-materialized) is timed, the vec tree folds (`uptoBatch =
+  * nBatches-2` per the replay-safety contract), the same lookup
+  * re-times, and post-fold flags are asserted identical (distributed
+  * compare).
   *
   * Usage: SemIngestBench [n=200000] [nBatches=50] [outDir]
   *        [foldEvery=0] [foldMode=all|tail]
@@ -43,7 +48,6 @@ object SemIngestBench {
     require(foldMode == "all" || foldMode == "tail",
       s"foldMode must be all|tail (got $foldMode)")
     val dim = 64
-    val seeds = 32
     val kCells = math.sqrt(n.toDouble).toInt
     val tau = 0.95
     val nProbe = 2
@@ -66,23 +70,27 @@ object SemIngestBench {
     val vecDir = s"$root/vec"
     val flagsOut = s"$work/flags"
 
-    // the SemDedupBench interpolated family: near-unit vectors between
-    // seed pairs, so near-duplicates across arrival batches are real
-    val seedRnd = new scala.util.Random(7)
-    val cents = Array.fill(seeds)(Array.fill(dim)(seedRnd.nextGaussian()))
-    val bc = spark.sparkContext.broadcast(cents)
+    // mostly-unique corpus: vec(id) is a pure function — ids ≡ 9 (mod
+    // 10) are near-copies (σ=0.02 noise) of base id (id/10)*10, every
+    // other id an independent random unit vector. Arrival = id %
+    // nBatches puts base and copy 9 batches apart, so the dedup the
+    // ingest exists for is CROSS-batch (bases whose id % nBatches ≥
+    // nBatches-9 wrap: the copy arrives first and the BASE drops —
+    // deterministic either way).
+    def unitVec(seed: Long, noiseOf: Long = -1L): Seq[Double] = {
+      val r = new scala.util.Random(seed * 1000003L + 17L)
+      val raw = Array.fill(dim)(r.nextGaussian())
+      if (noiseOf >= 0L) {
+        val rn = new scala.util.Random(noiseOf * 999983L + 5L)
+        for (j <- 0 until dim) raw(j) += 0.02 * rn.nextGaussian() * 8.0
+      }
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / nrm).toSeq
+    }
     spark.range(n).as[Long].mapPartitions { it =>
       it.map { id =>
-        val r = new scala.util.Random(id * 1000003L + 17L)
-        val a = r.nextInt(seeds)
-        val b0 = r.nextInt(seeds)
-        val b = if (b0 == a) (b0 + 1) % seeds else b0
-        val t = r.nextDouble()
-        val raw = Array.tabulate(dim)(j =>
-          (1 - t) * bc.value(a)(j) + t * bc.value(b)(j) +
-            0.05 * r.nextGaussian())
-        val nrm = math.sqrt(raw.map(x => x * x).sum)
-        (id, raw.map(_ / nrm).toSeq)
+        if (id % 10 == 9) (id, unitVec((id / 10) * 10, noiseOf = id))
+        else (id, unitVec(id))
       }
     }.toDF("vec_id", "embedding")
       // vec_id % nBatches spreads each seed pair's interpolations

@@ -25,6 +25,15 @@ import org.apache.spark.sql.DataFrame
   * range shards are useless to Catalyst's hash-clustering requirement,
   * so the two layouts coexist.
   *
+  * Buckets also PRUNE: a point predicate on the bucket key plans as
+  * `SelectedBucketsCount: 1 out of n` — a 1/n scan with no layout
+  * metadata beyond the catalog entry. Caveat:
+  * `spark.sql.sources.bucketing.autoBucketedScan.enabled` (default
+  * true) falls back to a plain scan when no operator in the plan
+  * consumes the clustering, which ALSO forfeits the pruning on bare
+  * point lookups — pin it false for lookup-heavy workloads (the
+  * joins/aggs this layout primarily serves are unaffected either way).
+  *
   * The table is EXTERNAL (explicit `path`): dropping the catalog entry
   * never deletes data, and a fresh session re-registers the same files
   * with one `saveAsTable`-shaped write or a `CREATE TABLE ... USING

@@ -49,6 +49,33 @@ class BucketedSpec extends AnyFunSuite {
       left.groupBy("k").agg(sum("lv")).as[(Long, Long)].collect().toMap)
   }
 
+  test("a point filter on the bucket key PRUNES buckets at the scan " +
+    "(SelectedBucketsCount < total), and the pruned read is correct") {
+    val dir = TestDirs.tmp("bucketed_prune").toString
+    val rows = (0L until 400L).map(i => (i % 100L, i)).toDF("k", "lv")
+    BucketedTables.writeBucketed(rows, "graft_spec_prune",
+      s"$dir/t", "k", 8)
+    // autoBucketedScan falls back to a PLAIN scan when no operator in
+    // the plan needs the clustering — which also forfeits bucket
+    // pruning on a bare point lookup; pin it off for the lookup shape
+    // (documented on BucketedTables)
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val (plan, q) =
+      try {
+        val q0 = spark.table("graft_spec_prune").filter(col("k") === 42L)
+        (planOf(q0), q0)
+      } finally spark.conf.unset(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val m = sel.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in the scan:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"point filter scanned every bucket:\n$plan")
+    assert(q.select("lv").as[Long].collect().sorted.toSeq ===
+      Seq(42L, 142L, 242L, 342L))
+  }
+
   test("mismatched bucket counts stay CORRECT (the layout contract " +
     "gives back the shuffle, never a wrong answer)") {
     val dir = TestDirs.tmp("bucketed_mm").toString
