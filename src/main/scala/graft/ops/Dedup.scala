@@ -1228,6 +1228,86 @@ object Dedup {
     labels
   }
 
+  /** [[connectedComponents]] with the plain-vs-pointer-doubling regime
+    * AUTO-selected — the third measured-boundary auto (after
+    * crossDedupFlags' broadcast-vs-shuffle and decontaminateAuto's
+    * exact-vs-bloom): the plain loop wins on template-family graphs
+    * (diameter ≤ ~3, ONE shuffle/round — CC_1m_chain_r15 measured the
+    * fast loop ~2.7× per round) while chains need the fast loop
+    * (O(log d) vs O(d) rounds), and today the caller must know their
+    * graph's shape to pick. This loop runs PLAIN rounds first and
+    * switches to pointer-doubling only if convergence hasn't been
+    * observed after `switchAfter` rounds — a diameter the caller never
+    * sees costs nothing (template families converge before the switch
+    * and pay exactly the plain loop), while a chain pays `switchAfter`
+    * cheap rounds then finishes in O(log remaining-diameter).
+    *
+    * Interleaving is sound because BOTH round shapes preserve the two
+    * invariants the fixpoint argument needs — labels only DECREASE and
+    * every label is the id of a reachable node — so any mix converges,
+    * and at `changed == 0` the propagate step alone was a no-op, which
+    * is exactly the plain loop's fixpoint: labels constant per
+    * component, pinned to the component min by the min node's own
+    * immovable label. Labels produced mid-run by either shape are
+    * valid input to the other.
+    *
+    * Same cache ownership, convergence observation, maxIters guard,
+    * and GRAFT_CC_LOG hook as both fixed loops; q137 shares q107's
+    * oracle verbatim, DedupSpec proves parity on the banded graph plus
+    * chain convergence inside a budget the plain loop throws on, and
+    * asserts the shallow case never pays a jump round
+    * ([[lastCcRounds]] ≤ switchAfter).
+    */
+  def connectedComponentsAuto(pairs: DataFrame, switchAfter: Int = 4,
+      maxIters: Int = 20): DataFrame = {
+    require(switchAfter >= 1 && switchAfter <= maxIters,
+      s"switchAfter ($switchAfter) must be in [1, maxIters=$maxIters]")
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .persist()
+    val closed = edges.unionByName(
+      edges.select(col("a"), col("a").as("b")).distinct()).persist()
+    var labels = closed.select(col("a").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint(true)
+    edges.unpersist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val t0 = System.nanoTime()
+      val jump = i >= switchAfter
+      val propagated = closed.join(labels, closed("b") === labels("id"))
+        .select(closed("a").as("id"), col("rep"))
+        .groupBy("id").agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      val next =
+        if (!jump) propagated
+        else propagated.as("p")
+          .join(propagated.select(col("id").as("rep"),
+            col("rep").as("rep2")).as("q"), Seq("rep"), "left")
+          .select(col("id"),
+            least(col("rep"), coalesce(col("rep2"), col("rep")))
+              .as("rep"))
+          .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("n.rep") < col("o.rep")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+      if (sys.env.contains("GRAFT_CC_LOG"))
+        System.err.println(f"[cc-auto] iter $i " +
+          f"${if (jump) "jump" else "plain"} changed=$changed " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    closed.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsAuto did not converge in $maxIters " +
+          "iterations; raise maxIters")
+    lastCcRounds = i
+    labels
+  }
+
   /** Transitive-consistent keep/drop flags for every document: keep iff
     * the doc is its exact-dup group's keeper AND (it sits outside the
     * near-dup pair graph OR it is its component's min-id

@@ -500,6 +500,23 @@ object TextDedup {
         .orderBy("rep")
     }),
 
+    // q107's AUTO twin — plain rounds until `switchAfter`, pointer
+    // doubling only if convergence stalls: the default a caller who
+    // doesn't know their graph's diameter should reach for. On gate
+    // data (template families, diameter ≤ 3) it converges before the
+    // switch and pays exactly q107's plan. Shares q107's oracle
+    // verbatim.
+    "q137_dup_components_auto" -> ((s, d) => {
+      val pairs = Dedup.minhashBandPairsOver(Tables.documents(s, d),
+        TextFunctions.wordShingles(col("text"), 3), "doc_id",
+        minJaccard = 0.3,
+        collapseExactOn = Some(TextFunctions.fingerprint(col("text"))))
+      Dedup.connectedComponentsAuto(pairs)
+        .groupBy("rep")
+        .agg(count(lit(1)).as("size"), max(col("id")).as("id_max"))
+        .orderBy("rep")
+    }),
+
     // Token-set Jaccard for id-adjacent pairs.
     "q50_jaccard_adjacent" -> ((s, d) => {
       Dedup.jaccardAdjacent(Tables.documents(s, d), "text", "doc_id")
@@ -1125,6 +1142,7 @@ object TextDedup {
       // recursive-CTE's) components
       "q107_dup_components" -> dupComponentsOracle,
       "q132_dup_components_fast" -> dupComponentsOracle,
+      "q137_dup_components_auto" -> dupComponentsOracle,
 
       "q106_pack_payloads" ->
         s"""WITH $duckBinnedCte,

@@ -760,6 +760,59 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponentsAuto: shallow graphs converge before the " +
+    "switch (pure plain-loop cost), chains switch and finish inside a " +
+    "budget the plain loop throws on, and labels match both fixed " +
+    "loops on a seeded sweep") {
+    import spark.implicits._
+    // shallow mixed graph (diameter 4 < switchAfter 5): converges in
+    // 5 rounds — all plain, no jump round ever paid
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id1", "id2")
+    val plain = graft.ops.Dedup.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val auto = graft.ops.Dedup.connectedComponentsAuto(pairs,
+      switchAfter = 5)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(auto === plain, "auto loop changed the components")
+    assert(graft.ops.Dedup.lastCcRounds <= 5,
+      s"shallow graph took ${graft.ops.Dedup.lastCcRounds} rounds — " +
+        "it should converge before the switch")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "connectedComponentsAuto leaked a cached frame")
+    // the chain adversary under a budget the PLAIN loop throws on:
+    // 4 plain rounds advance the min 4 hops, then doubling covers the
+    // remaining ~96 in ~7 jump rounds + stability — inside 15
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("id1", "id2")
+    assertThrows[IllegalStateException] {
+      graft.ops.Dedup.connectedComponents(chain, maxIters = 15)
+    }
+    val autoChain = graft.ops.Dedup.connectedComponentsAuto(
+      chain, switchAfter = 4, maxIters = 15)
+    assert(autoChain.count() == 101)
+    assert(autoChain.filter(col("rep") =!= 0L).count() == 0,
+      "chain did not collapse to the single min label")
+    // seeded sweep incl. a switch mid-convergence (switchAfter 1 jumps
+    // from round 2): any plain/jump interleave must land on the same
+    // fixpoint
+    for (seed <- Seq(31, 32); switchAfter <- Seq(1, 3)) {
+      val rnd = new scala.util.Random(seed * 977 + switchAfter)
+      val n = 50
+      val es = (1 to (n * 2)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      val g = es.toDF("id1", "id2")
+      val want = graft.ops.Dedup.connectedComponents(g, maxIters = 40)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      val got = graft.ops.Dedup.connectedComponentsAuto(g,
+        switchAfter = switchAfter, maxIters = 40)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(got === want,
+        s"divergence at seed=$seed switchAfter=$switchAfter")
+    }
+  }
+
   test("crossDedupFlagsFromIndexes: flag-identical to the inline path " +
     "over persisted indexes, with zero corpus-text scans") {
     import spark.implicits._

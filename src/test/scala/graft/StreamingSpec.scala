@@ -996,6 +996,66 @@ class StreamingSpec extends AnyFunSuite {
       "the refused batch must not have written flags or index rows")
   }
 
+  test("semanticIngestByBatch differential sweep: 4 seeded random " +
+    "corpora agree with an independent driver-side sequential model " +
+    "(exact cosine vs the kept set, batch by batch)") {
+    import spark.implicits._
+    // nProbe = |codebook| so the IVF probe is EXACT — the sweep tests
+    // the ingest protocol (time-travel, kept-only indexing, replay
+    // surface), not IVF recall, which has its own measured artifacts
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0))).toDF("cid", "cvec")
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val tau = 0.85 + 0.05 * (seed % 3) // sweep the threshold too
+      val nBatches = 4
+      val vecs: Seq[(Long, Seq[Double])] = (0 until 28).map { i =>
+        val raw = Seq.fill(3)(rnd.nextGaussian())
+        val nrm = math.sqrt(raw.map(x => x * x).sum)
+        (i.toLong, raw.map(_ / nrm))
+      }
+      // independent model: sequential batches, exact cosine against
+      // every kept vector so far, keep iff best < tau (round 5 like
+      // the engine so threshold comparisons can't split on ulps)
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        BigDecimal(dot / (na * nb))
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val expected = scala.collection.mutable.Map[Long, Boolean]()
+      val keptModel = scala.collection.mutable.ArrayBuffer[(Long,
+        Seq[Double])]()
+      for (b <- 0 until nBatches) {
+        val batch = vecs.filter(_._1 % nBatches == b)
+        val flags = batch.map { case (id, v) =>
+          val best = keptModel.map(kv => cos(v, kv._2))
+            .reduceOption(_ max _)
+          (id, best.forall(_ < tau))
+        }
+        flags.foreach { case (id, k) => expected(id) = k }
+        keptModel ++= batch.filter(x => expected(x._1))
+      }
+      val root = TestDirs.tmp(s"sem_diff_$seed").toString
+      val flagsOut = TestDirs.tmp(s"sem_diff_flags_$seed").toString
+      for (b <- 0 until nBatches) {
+        val batch = vecs.filter(_._1 % nBatches == b)
+          .toDF("vec_id", "vec")
+        graft.streaming.IdempotentSink.semanticIngestByBatch(
+          s"$root/idx", flagsOut, "vec_id", "vec", cents, "cid", "cvec",
+          tau = tau, nProbe = 3)(batch, b.toLong)
+      }
+      val got = spark.read.parquet(flagsOut)
+        .select(col("vec_id"), col("keep"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(got === expected.toMap,
+        s"seed $seed tau $tau: ingest flags diverged from the " +
+          s"sequential exact model (got ${got.toSeq.sorted}, " +
+          s"expected ${expected.toSeq.sorted})")
+    }
+  }
+
   test("semanticIngestByBatch foldEvery: the in-stream vec-tree fold " +
     "fires at the cadence, flags match the unfolded run, and the " +
     "folded tree answers the same lookup") {
