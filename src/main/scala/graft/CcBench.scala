@@ -73,6 +73,11 @@ object CcBench {
     // number is already on record
     val (fastL, fastRounds, fastSec) =
       timeLoop("fast", () => Dedup.connectedComponentsFast(pairs, maxFast))
+    // the auto loop under its DEFAULT switchAfter — the number a caller
+    // who doesn't know the graph shape gets on this adversary
+    val (autoL, autoRounds, autoSec) =
+      timeLoop("auto", () => Dedup.connectedComponentsAuto(pairs,
+        maxIters = maxFast + 4))
     val (plainL, plainRounds, plainSec) =
       timeLoop("plain", () => Dedup.connectedComponents(pairs, maxPlain))
 
@@ -80,6 +85,10 @@ object CcBench {
       .join(fastL.as("f"), Seq("id"), "full")
       .filter(col("p.rep").isNull || col("f.rep").isNull ||
         col("p.rep") =!= col("f.rep")).count()
+    val autoMismatches = plainL.as("p")
+      .join(autoL.as("a"), Seq("id"), "full")
+      .filter(col("p.rep").isNull || col("a.rep").isNull ||
+        col("p.rep") =!= col("a.rep")).count()
     val components = plainL.select("rep").distinct().count()
 
     val json =
@@ -87,7 +96,9 @@ object CcBench {
         f""""pairs_sec":$pairsSec%.1f,"components":$components,""" +
         f""""plain":{"rounds":$plainRounds,"sec":$plainSec%.1f},""" +
         f""""fast":{"rounds":$fastRounds,"sec":$fastSec%.1f},""" +
-        f""""label_mismatches":$mismatches}"""
+        f""""auto":{"rounds":$autoRounds,"sec":$autoSec%.1f},""" +
+        f""""label_mismatches":$mismatches,""" +
+        f""""auto_label_mismatches":$autoMismatches}"""
     println(json)
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(outDir)): Unit
