@@ -113,7 +113,14 @@ object Bench {
     "q109_winnow_neardup", // fp equi-join with stop-gram df cap
     "q122_ivf_hier_cells", // two-level (coarse-quantizer) assignment
     "q126_ivfpq_search", // IVF-PQ: pruned probe over the (id, code) index
-    "q127_ivfpq_refined") // IVF-PQ + candidate-sized exact re-rank
+    "q127_ivfpq_refined", // IVF-PQ + candidate-sized exact re-rank
+    // the r15/r16 auto-regime + layout queries, in the sweep so a plan
+    // regression in the new regimes surfaces in the per-round ratios
+    "q133_semantic_dedup_pq", // no-full-vector semantic dedup (ADC top-1)
+    "q134_decontaminate_auto", // estimator-picked broadcast-vs-bloom
+    "q136_bucketed_revenue", // bucketed write + zero-exchange join/agg
+    "q137_dup_components_auto", // auto plain-vs-doubling components
+    "q138_semantic_ingest_pq") // streaming PQ ingest, two-epoch path
 
   def main(args: Array[String]): Unit = {
     // the f interpolator renders %f under the JVM default locale; a

@@ -22,4 +22,30 @@ object FsUtil {
         Some(bytes.toString("UTF-8").trim)
       } finally in.close()
     }
+
+  /** True iff the tree at `root` holds at least one DATA file — a
+    * non-hidden file anywhere under it, descending into partition
+    * directories (`name=value`, which may legitimately start with `_`,
+    * e.g. the streaming ingests' `_batch=` keying) but not into hidden
+    * ones. This is the "does a prior layout exist" probe the streaming
+    * ingests need: `fs.exists(root)` is NOT it — an EMPTY micro-batch's
+    * dynamic-partition overwrite creates the root with only `_SUCCESS`
+    * (and possibly a stamp sidecar), no data files and no partition
+    * dirs, and `spark.read.parquet` over such a tree throws "Unable to
+    * infer schema"; keyed off bare existence, every replay of the next
+    * batch then fails identically and the stream wedges with no
+    * recovery (r16 ADVICE). Short-circuits on the first data file, so
+    * on a populated tree this is one directory listing deep.
+    */
+  def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Boolean = {
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def walk(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory) (n.contains("=") || !hidden(n)) && walk(s.getPath)
+        else !hidden(n)
+      }
+    fs.exists(root) && fs.getFileStatus(root).isDirectory && walk(root)
+  }
 }

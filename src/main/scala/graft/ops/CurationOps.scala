@@ -166,7 +166,17 @@ object CurationOps {
       fpp: Double = 0.03, broadcastBench: Option[Boolean] = None,
       broadcastMaxBytes: Long = BroadcastGramMaxBytes): DataFrame = {
     val (useBroadcast, estGrams) = broadcastBench match {
-      case Some(b) => (b, 1L << 20)
+      // forced broadcast never consumes the estimate — skip the scan
+      case Some(true) => (true, 0L)
+      // forced bloom still sizes its sketch from THIS suite's estimate:
+      // a hardcoded default here undersized the sketch on large suites
+      // (fpp collapse — correctness saved only by the exact-verify
+      // tail), contradicting the "never inherits a default sized for a
+      // different suite" contract (r16 ADVICE)
+      case Some(false) =>
+        val (_, grams, _) =
+          benchGramEstimate(docs.filter(benchPred), textCol)
+        (false, grams)
       case None =>
         val (rows, grams, estSetBytes) =
           benchGramEstimate(docs.filter(benchPred), textCol)

@@ -273,7 +273,10 @@ object Pq {
       k, cellCol = None)
   }
 
-  private def combinedStamp(ivfStamp: String, cb: Codebook): String =
+  /** The pair identity of an IVF-PQ layout: both codebooks, one stamp
+    * (graft-wide: the streaming PQ ingest stamps its tree with it too).
+    */
+  private[graft] def combinedStamp(ivfStamp: String, cb: Codebook): String =
     s"$ivfStamp+${cb.stamp}"
 
   /** Build AND persist an IVF-PQ index: cell-partitioned like
@@ -555,14 +558,24 @@ object Pq {
 
   /** [[ivfPqSearchBatch]] for query batches past its broadcast-size
     * contract (~10⁴ queries at m=16/k=256): the batch splits into
-    * `maxLutBatch`-query chunks driver-side (one bounded qid collect —
-    * batch-sized, the same class as the probe-cell collect) and each
-    * chunk runs the ordinary probe; results union. Per-query top-k is
-    * independent of every other query, so the union is result-
-    * identical to the single-shot probe (PqSpec asserts equality at
-    * maxLutBatch=1); the cost is one stamp check + probe-cell
-    * selection per chunk — O(|batch|/maxLutBatch) tiny driver jobs,
-    * each chunk's LUT broadcast bounded at maxLutBatch·m·k doubles.
+    * `ceil(|batch| / maxLutBatch)` HASH chunks
+    * (`pmod(xxhash64(qid), nChunks)`) and each chunk runs the ordinary
+    * probe; results union. Per-query top-k is independent of every
+    * other query, so the union is result-identical to the single-shot
+    * probe (PqSpec asserts equality against it) regardless of which
+    * chunk a query hashes into; the cost is one stamp check +
+    * probe-cell selection per chunk — O(|batch|/maxLutBatch) probes,
+    * each chunk's LUT broadcast bounded at ~maxLutBatch·m·k doubles.
+    *
+    * The ONLY driver-side materialization is one scalar `count` of the
+    * batch (sizing nChunks). The previous form collected every
+    * distinct qid to the driver to build IN-lists — O(|batch|) driver
+    * memory, GBs at a 10⁸-query corpus-refresh batch, i.e. the same
+    * failure class the chunking exists to bound. Hash chunks are
+    * Binomial(|batch|, 1/nChunks)-sized: mean maxLutBatch, stddev
+    * ~√maxLutBatch, so even a +5σ outlier chunk overshoots the LUT
+    * budget by ~√(1/maxLutBatch) relative (≈1% at the 8192 default) —
+    * noise against the broadcast ceiling's ~3× headroom.
     */
   def ivfPqSearchBatchChunked(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, index: DataFrame, idCol: String,
@@ -571,15 +584,18 @@ object Pq {
       excludeSelf: Boolean = true, metric: String = "l2",
       maxLutBatch: Int = 8192): DataFrame = {
     require(maxLutBatch >= 1, "maxLutBatch must be ≥ 1")
-    val qids = queries.select(col(queryIdCol)).distinct()
-      .collect().map(_.get(0)).sortBy(_.toString)
-    val chunks = qids.grouped(maxLutBatch).toSeq
-    if (chunks.size <= 1)
+    val nQueries = queries.count()
+    val nChunks =
+      math.max(1L, (nQueries + maxLutBatch - 1) / maxLutBatch).toInt
+    if (nChunks <= 1)
       ivfPqSearchBatch(queries, queryIdCol, queryVecCol, index, idCol,
         centroids, centroidIdCol, centroidVecCol, cb, k, nProbe,
         excludeSelf, metric)
-    else chunks.map { ids =>
-      ivfPqSearchBatch(queries.filter(col(queryIdCol).isin(ids: _*)),
+    else (0 until nChunks).map { chunk =>
+      // an unlucky-empty chunk probes nothing and unions empty — safe
+      ivfPqSearchBatch(
+        queries.filter(
+          pmod(xxhash64(col(queryIdCol)), lit(nChunks)) === lit(chunk)),
         queryIdCol, queryVecCol, index, idCol,
         centroids, centroidIdCol, centroidVecCol, cb, k, nProbe,
         excludeSelf, metric)

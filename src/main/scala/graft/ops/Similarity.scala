@@ -137,7 +137,7 @@ object Similarity {
     cents
   }
 
-  private[ops] def ivfAssignLocal(emb: DataFrame, vecCol: String,
+  private[graft] def ivfAssignLocal(emb: DataFrame, vecCol: String,
       cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val codebook = typedLit(cents) // array<struct<_1:bigint,_2:array<double>>>
     val v = asDouble(col(vecCol))

@@ -304,6 +304,34 @@ object Vector {
         .orderBy("vec_id")
     }),
 
+    // q135's two-epoch ingest through the NO-FULL-VECTOR streaming
+    // twin: epoch 0 ingests the 90% corpus (everything keeps; only
+    // (id, pq_code, cell) rows land, batch-keyed), epoch 1 flags the
+    // 10% batch by ADC top-1 against the accumulated code tree via the
+    // same `_batch < 1` time-travel read and combined IVF+PQ stamp the
+    // stream uses. Shares q133's oracle verbatim: with this split the
+    // epoch-1 flags are exactly the batch-vs-corpus PQ semantic-dedup
+    // pure function (id spaces disjoint, so excludeSelf is moot).
+    "q138_semantic_ingest_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = fixturePqCodebook(emb)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val isBatch = col("vec_id") % 10 === 9
+      val root = QueryTmp.dir("q138", s, d)
+      def ingest(df: DataFrame, b: Long): Unit =
+        graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+          s"$root/idx", s"$root/flags", "vec_id", "embedding",
+          centroids, "cid", "cvec", cb, tauDist = 1.2, nProbe = 2)(df, b)
+      ingest(emb.filter(!isBatch), 0L)
+      ingest(emb.filter(isBatch), 1L)
+      s.read.parquet(s"$root/flags")
+        .filter(col("_batch").cast("long") === 1L)
+        .select(col("vec_id"), col("neighbor_id"), col("adc_dist"),
+          col("keep"))
+        .orderBy("vec_id")
+    }),
+
     // One Lloyd iteration over the 8-centroid codebook: the offline
     // k-means step that builds the IVF index.
     "q90_kmeans_step" -> ((s, d) => {
@@ -393,7 +421,14 @@ object Vector {
       | CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
       | CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)""".stripMargin
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = oracleBase +
+    // identical SQL to q133 on purpose: the PQ ingest's epoch-1 flags
+    // are the batch-vs-(pq_code corpus) pure function — the oracle
+    // asserts the streaming tree's time-travel read, combined-stamp
+    // check, and batch-keyed code write change nothing
+    ("q138_semantic_ingest_pq" -> oracleBase("q133_semantic_dedup_pq"))
+
+  private def oracleBase: Map[String, String] = Map(
     "q90_kmeans_step" ->
       """WITH ax AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

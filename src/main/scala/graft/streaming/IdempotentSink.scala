@@ -341,7 +341,11 @@ object IdempotentSink {
     def prior(dir: String, shape: DataFrame): DataFrame = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p))
+      // hasDataFiles, not fs.exists: an EMPTY first micro-batch (normal
+      // in structured streaming) leaves the tree with only _SUCCESS,
+      // and reading it would throw "Unable to infer schema" on every
+      // later batch — wedging the stream permanently (r16 ADVICE)
+      if (graft.io.FsUtil.hasDataFiles(fs, p))
         spark.read.parquet(dir)
           .filter(col("_batch").cast("long") < batchId).drop("_batch")
       else shape.filter(lit(false))
@@ -410,12 +414,11 @@ object IdempotentSink {
     import graft.ops.Similarity
     val spark = df.sparkSession
     val vecDir = s"$indexRoot/vec"
-    if (foldEvery > 0 && batchId >= 2 && batchId % foldEvery == 0) {
-      val from =
-        if (foldTail) math.max(0L, batchId - foldEvery - 1) else 0L
-      compactBatches(spark, vecDir, "cell", batchId - 2,
-        fromBatch = from): Unit
-    }
+    // drift check BEFORE the fold: the fold rewrites/deletes _batch
+    // subtrees, and the documented contract is that a drifted codebook
+    // is refused before ANY tree mutation — a fold-due batch with a
+    // drifted codebook must not compact the tree it is about to refuse
+    // to write into (r16 ADVICE)
     val stamp = Similarity.codebookStamp(Similarity.collectCodebook(
       centroids, centroidIdCol, centroidVecCol))
     val sidecar = Similarity.readStampSidecar(spark, vecDir)
@@ -428,9 +431,17 @@ object IdempotentSink {
             "would mis-route the probe. Re-clustering requires a new " +
             "index root.")
     }
+    if (foldEvery > 0 && batchId >= 2 && batchId % foldEvery == 0) {
+      val from =
+        if (foldTail) math.max(0L, batchId - foldEvery - 1) else 0L
+      compactBatches(spark, vecDir, "cell", batchId - 2,
+        fromBatch = from): Unit
+    }
     val p = new org.apache.hadoop.fs.Path(vecDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val flags = (if (fs.exists(p)) {
+    // hasDataFiles, not fs.exists — the empty-first-batch wedge, see
+    // dedupIngestByBatch's prior()
+    val flags = (if (graft.io.FsUtil.hasDataFiles(fs, p)) {
       val prior = spark.read.parquet(vecDir)
         .filter(col("_batch").cast("long") < batchId).drop("_batch")
       Similarity.semanticDedupFlags(df, idCol, vecCol, prior, idCol,
@@ -460,6 +471,113 @@ object IdempotentSink {
     // crashed pre-write batch; a replay re-stamps identically
     if (sidecar.isEmpty)
       Similarity.writeStampSidecar(spark, vecDir, stamp)
+  }
+
+  /** The NO-FULL-VECTOR regime of [[semanticIngestByBatch]] — the
+    * streaming twin of [[graft.ops.Pq.semanticDedupFlagsPq]], closing
+    * the 100 TB streaming gap the plain ingest leaves open: its vec
+    * tree stores the FULL vector per kept row (~0.5 TB at 10⁹ 64-dim
+    * vectors — the payload the IVF-PQ index exists to avoid), and its
+    * in-stream folds REWRITE that payload every due point. Here each
+    * micro-batch is flagged by ADC top-1 against the earlier batches'
+    * accumulated (id, pq_code, cell) tree — the probe reads m bytes
+    * per candidate, never a vector — and appends only its KEPT rows'
+    * codes, so the tree the stream grows (and the folds rewrite) is
+    * ~(8·dim)/m× smaller than the plain ingest's (64× at dim=64, m=8;
+    * measured in SEMINGEST_PQ_1m_r16).
+    *
+    * Same exactly-once protocol as the plain ingest, point for point:
+    * `_batch=<id>/cell=<c>` dynamic-partition-overwrite keying, the
+    * `_batch < id` time-travel prior read (a replayed batch can never
+    * self-match; replays rewrite byte-identically), `batchId − 2` as
+    * the derived replay-safe fold bound, and the same full-vs-tail
+    * fold policy trade ([[foldIfDue]]). The stream invariant widens to
+    * BOTH codebooks: the sidecar carries the combined IVF+PQ stamp
+    * ([[graft.ops.Pq.combinedStamp]]), and a drift in EITHER refuses
+    * before any tree mutation — a drifted IVF codebook mis-routes the
+    * probe, a drifted PQ codebook mis-SCORES it (silently, which is
+    * worse). Re-clustering or re-training requires a new index root;
+    * [[graft.ops.Similarity.rebuildUnderCodebook]]-family migration
+    * ops are the managed path out.
+    *
+    * Flag semantics are [[graft.ops.Pq.semanticDedupFlagsPq]]'s:
+    * `keep = no indexed neighbor within tauDist` (ADC L2 on near-unit
+    * vectors: tauDist ≈ 2 − 2·cosThreshold), probed-cell misses
+    * surface as NULL neighbors ⇒ keep. The trade vs the plain ingest
+    * is quantization error in the SCORE — a true near-dup straddling
+    * tauDist by less than the ADC error can flip (the recall/τ study
+    * in SEMDEDUP artifacts); the protocol (time-travel, kept-only
+    * indexing, replay surface) is identical and spec'd in
+    * StreamingSpec. Flags are (id, neighbor_id, adc_dist, keep),
+    * batch-keyed under `flagsOut`.
+    *
+    * Downstream of this tree: probes/dedup read codes only; when exact
+    * re-rank is wanted, fetch candidates' vectors BY ID from the
+    * stream's source table (candidate-sized join) — the ingest
+    * deliberately does not persist a vector twin, that regime is the
+    * plain [[semanticIngestByBatch]].
+    */
+  def semanticIngestPqByBatch(indexRoot: String, flagsOut: String,
+      idCol: String, vecCol: String, centroids: DataFrame,
+      centroidIdCol: String, centroidVecCol: String,
+      cb: graft.ops.Pq.Codebook, tauDist: Double, nProbe: Int = 2,
+      excludeSelf: Boolean = false, foldEvery: Int = 0,
+      foldTail: Boolean = false)(df: DataFrame, batchId: Long): Unit = {
+    import graft.ops.{Pq, Similarity}
+    val spark = df.sparkSession
+    val codeDir = s"$indexRoot/code"
+    // drift (either codebook) refused BEFORE any tree mutation,
+    // including a due fold — same ordering contract as the plain ingest
+    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
+      centroidVecCol)
+    val stamp = Pq.combinedStamp(Similarity.codebookStamp(cents), cb)
+    val sidecar = Similarity.readStampSidecar(spark, codeDir)
+    sidecar.foreach { s =>
+      if (s != stamp)
+        throw new IllegalStateException(
+          "semanticIngestPqByBatch: this call's codebooks (combined " +
+            s"stamp $stamp) are not the ones the code tree at $codeDir " +
+            s"was built under ($s) — a drifted IVF codebook mis-routes " +
+            "the probe, a drifted PQ codebook mis-scores it. " +
+            "Re-clustering/re-training requires a new index root.")
+    }
+    if (foldEvery > 0 && batchId >= 2 && batchId % foldEvery == 0) {
+      val from =
+        if (foldTail) math.max(0L, batchId - foldEvery - 1) else 0L
+      compactBatches(spark, codeDir, "cell", batchId - 2,
+        fromBatch = from): Unit
+    }
+    val p = new org.apache.hadoop.fs.Path(codeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // hasDataFiles, not fs.exists — the empty-first-batch wedge, see
+    // dedupIngestByBatch's prior()
+    val flags = (if (graft.io.FsUtil.hasDataFiles(fs, p)) {
+      val prior = spark.read.parquet(codeDir)
+        .filter(col("_batch").cast("long") < batchId).drop("_batch")
+      Pq.semanticDedupFlagsPq(df, idCol, vecCol, prior, idCol,
+        centroids, centroidIdCol, centroidVecCol, cb, tauDist, nProbe,
+        excludeSelf)
+    } else
+      // first batch with data: no prior — everything keeps, no search
+      df.select(col(idCol),
+        lit(null).cast(df.schema(idCol).dataType).as("neighbor_id"),
+        lit(null).cast("double").as("adc_dist"), lit(true).as("keep")))
+      .localCheckpoint(false) // batch-sized; feeds the flags write + kept
+    parquetByBatch(flagsOut)(flags, batchId)
+    val kept = df.join(flags.filter(col("keep")).select(idCol), Seq(idCol))
+    // assign + encode in one batch-sized scan; repartition by cell for
+    // one file per TOUCHED cell per batch (same listing math as the
+    // plain ingest — the shuffle is batch-sized)
+    val keptCodes = Pq.encode(
+      Similarity.ivfAssignLocal(kept.select(col(idCol), col(vecCol)),
+        vecCol, cents), vecCol, cb)
+      .select(col(idCol), col("pq_code"), col("cell"))
+      .repartition(col("cell"))
+    indexByBatch(codeDir, "cell")(keptCodes, batchId)
+    // stamp AFTER the first write so the sidecar never outlives a
+    // crashed pre-write batch; a replay re-stamps identically
+    if (sidecar.isEmpty)
+      Similarity.writeStampSidecar(spark, codeDir, stamp)
   }
 
   /** The resumable-swap commit record: its presence inside a temp tree

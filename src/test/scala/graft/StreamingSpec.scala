@@ -1550,4 +1550,257 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 4.0)
     } finally q.stop()
   }
+
+  // ---- PQ-coded streaming semantic ingest (the no-full-vector regime)
+
+  // test vectors shared by the PQ-ingest cases: 4-dim, m=2/k=8, with
+  // EVERY distinct half-vector a sub-centroid, so encode is lossless
+  // and ADC distance == exact squared distance — the cases then assert
+  // sharp flag values instead of quantization-blurred ones. Unused
+  // sub-centroid slots are parked far away (never nearest).
+  private val pqV1 = Seq(1.0, 0.1, 0.0, 0.0)
+  private val pqV2 = Seq(0.0, 1.0, 0.1, 0.0)
+  private val pqV3 = Seq(1.0, 0.11, 0.0, 0.0) // near-copy of v1
+  private val pqV4 = Seq(0.5, -0.5, 0.7, 0.0) // novel direction
+  private val pqV5 = Seq(1.0, 0.12, 0.0, 0.0) // re-sends v3's DROPPED dir
+  private val pqV6 = Seq(0.5, -0.5, 0.69, 0.0) // near-copy of the kept v4
+  private def pqTestCodebook: graft.ops.Pq.Codebook = {
+    val halves1 = Seq(Seq(1.0, 0.1), Seq(0.0, 1.0), Seq(1.0, 0.11),
+      Seq(0.5, -0.5), Seq(1.0, 0.12), Seq(9.0, 9.0), Seq(9.0, 8.0),
+      Seq(9.0, 7.0))
+    val halves2 = Seq(Seq(0.0, 0.0), Seq(0.1, 0.0), Seq(0.7, 0.0),
+      Seq(0.69, 0.0), Seq(9.0, 9.0), Seq(9.0, 8.0), Seq(9.0, 7.0),
+      Seq(9.0, 6.0))
+    graft.ops.Pq.Codebook(
+      (halves1.flatten ++ halves2.flatten).toIndexedSeq, m = 2, k = 8)
+  }
+
+  test("self-growing streaming PQ semantic dedup ingest is " +
+    "exactly-once: time-travel keeps a replayed batch from " +
+    "self-matching, later batches dedup against KEPT codes only, " +
+    "crash+replay trees match the uninterrupted run, and drift in " +
+    "EITHER codebook is refused before any write") {
+    import spark.implicits._
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", "long").add("vec", "array<double>")
+    def writeVec(src: java.nio.file.Path, id: Long,
+        v: Seq[Double]): Unit =
+      Files.write(src.resolve(s"vec_$id.json"),
+        s"""{"vec_id":$id,"vec":[${v.mkString(",")}]}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "cvec")
+    val cb = pqTestCodebook
+    // exact-ADC geometry: d²(v3,v1)=1e-4, d²(v5,v1)=4e-4, d²(v6,v4)=
+    // 1e-4, all cross-direction distances ≥ 1 — tauDist 0.01 splits
+    def ingest(root: String, flagsOut: String)(
+        df: org.apache.spark.sql.DataFrame, b: Long): Unit =
+      graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+        s"$root/idx", flagsOut, "vec_id", "vec", cents, "cid", "cvec",
+        cb, tauDist = 0.01, nProbe = 2)(df, b)
+    def runOnce(src: java.nio.file.Path, ckpt: String, root: String,
+        flagsOut: String): Unit = {
+      val q = spark.readStream.schema(schema).json(src.toString)
+        .writeStream.outputMode("append")
+        .foreachBatch(ingest(root, flagsOut) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "stream did not finish within 60 s")
+    }
+    def flagTree(out: String): Map[Long, Set[(Long, Boolean)]] =
+      spark.read.parquet(out)
+        .select(col("_batch").cast("long"), col("vec_id"), col("keep"))
+        .as[(Long, Long, Boolean)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    def codeTree(root: String): Map[Long, Set[Long]] =
+      spark.read.parquet(s"$root/idx/code")
+        .select(col("_batch").cast("long"), col("vec_id"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def schedule(src: java.nio.file.Path, ckpt: String, root: String,
+        flagsOut: String, replayBatch0: Boolean): Unit = {
+      writeVec(src, 1L, pqV1); writeVec(src, 2L, pqV2)
+      runOnce(src, ckpt, root, flagsOut)
+      if (replayBatch0)
+        // foreachBatch at-least-once recovery: batch 0 replays with
+        // its own code rows already in the tree — `_batch < 0` must
+        // keep it from matching itself
+        ingest(root, flagsOut)(
+          Seq((1L, pqV1), (2L, pqV2)).toDF("vec_id", "vec"), 0L)
+      writeVec(src, 3L, pqV3); writeVec(src, 4L, pqV4)
+      runOnce(src, ckpt, root, flagsOut)
+      writeVec(src, 5L, pqV5); writeVec(src, 6L, pqV6)
+      runOnce(src, ckpt, root, flagsOut)
+    }
+
+    val srcA = TestDirs.tmp("pq_ingest_src_a")
+    val rootA = TestDirs.tmp("pq_ingest_idx_a").toString
+    val flagsA = TestDirs.tmp("pq_ingest_flags_a").toString
+    schedule(srcA, TestDirs.tmp("pq_ingest_ckpt_a").toString,
+      rootA, flagsA, replayBatch0 = false)
+    val srcB = TestDirs.tmp("pq_ingest_src_b")
+    val rootB = TestDirs.tmp("pq_ingest_idx_b").toString
+    val flagsB = TestDirs.tmp("pq_ingest_flags_b").toString
+    schedule(srcB, TestDirs.tmp("pq_ingest_ckpt_b").toString,
+      rootB, flagsB, replayBatch0 = true)
+
+    val a = flagTree(flagsA)
+    assert(a === flagTree(flagsB),
+      "crash+replay flags diverged from the uninterrupted run")
+    assert(codeTree(rootA) === codeTree(rootB),
+      "crash+replay code tree diverged from the uninterrupted run")
+    // batch 0: empty prior keeps both (a self-matching replay in run B
+    // would have flipped them)
+    assert(a(0L) === Set((1L, true), (2L, true)))
+    // batch 1: v3 is within tauDist of the kept v1 (drop); v4 novel
+    assert(a(1L) === Set((3L, false), (4L, true)))
+    // batch 2: v5 matches v1 — NOT the dropped v3 (its code never
+    // entered the tree); v6 matches the batch-1-kept v4
+    assert(a(2L) === Set((5L, false), (6L, false)))
+    // the tree accumulated exactly the kept CODES, batch-keyed
+    assert(codeTree(rootA) === Map(0L -> Set(1L, 2L), 1L -> Set(4L)))
+    // the tree really is code-only: no vector column anywhere
+    val treeCols = spark.read.parquet(s"$rootA/idx/code").columns.toSet
+    assert(treeCols === Set("vec_id", "pq_code", "cell", "_batch"),
+      s"code tree carries unexpected columns: $treeCols")
+    // v5's neighbor attribution, with the exact-ADC distance
+    val n5 = spark.read.parquet(flagsA)
+      .filter(col("vec_id") === 5L)
+      .select(col("neighbor_id"), col("adc_dist"))
+      .as[(Long, Double)].head()
+    assert(n5 === ((1L, 4.0e-4)), s"v5 matched $n5, expected (1, 4e-4)")
+
+    // drift in the IVF codebook: refused before any write
+    val driftedIvf = Seq((0L, Seq(0.9, 0.0, 0.1, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "cvec")
+    val e1 = intercept[IllegalStateException] {
+      graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+        s"$rootA/idx", flagsA, "vec_id", "vec", driftedIvf, "cid",
+        "cvec", cb, tauDist = 0.01, nProbe = 2)(
+        Seq((9L, pqV1)).toDF("vec_id", "vec"), 3L)
+    }
+    assert(e1.getMessage.contains("codebook"))
+    // drift in the PQ codebook alone: same refusal (combined stamp)
+    val driftedPq = graft.ops.Pq.Codebook(
+      cb.flat.updated(0, cb.flat(0) + 0.5), cb.m, cb.k)
+    val e2 = intercept[IllegalStateException] {
+      graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+        s"$rootA/idx", flagsA, "vec_id", "vec", cents, "cid", "cvec",
+        driftedPq, tauDist = 0.01, nProbe = 2)(
+        Seq((9L, pqV1)).toDF("vec_id", "vec"), 3L)
+    }
+    assert(e2.getMessage.contains("codebook"))
+    assert(!flagTree(flagsA).contains(3L) &&
+      !codeTree(rootA).contains(3L),
+      "a refused batch must not have written flags or code rows")
+  }
+
+  test("semanticIngestPqByBatch foldEvery: the in-stream code-tree " +
+    "fold fires at the cadence, flags match the unfolded run, and the " +
+    "folded tree answers the same probe") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "cvec")
+    val cb = pqTestCodebook
+    // 6 novel vectors, one per batch (pairwise far at tauDist 0.01
+    // even after quantization — each half is its own sub-centroid);
+    // 6 batches so the foldEvery=2 cadence actually fires (batch 4
+    // folds _batch ≤ 2; at 4 batches uptoBatch=0 has one subtree and
+    // the fold no-ops)
+    val vecs = Seq((1L, pqV1), (2L, pqV2), (3L, pqV4),
+      (4L, Seq(9.0, 9.0, 9.0, 9.0)), (5L, Seq(9.0, 8.0, 9.0, 8.0)),
+      (6L, Seq(9.0, 7.0, 9.0, 7.0)))
+    def drive(root: String, flags: String, foldEvery: Int): Unit =
+      vecs.zipWithIndex.foreach { case ((id, v), b) =>
+        graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+          s"$root/idx", flags, "vec_id", "vec", cents, "cid", "cvec",
+          cb, tauDist = 0.01, nProbe = 2, foldEvery = foldEvery)(
+          Seq((id, v)).toDF("vec_id", "vec"), b.toLong)
+      }
+    val rootU = TestDirs.tmp("pq_fold_u").toString
+    val flagsU = TestDirs.tmp("pq_fold_u_flags").toString
+    drive(rootU, flagsU, foldEvery = 0)
+    val rootF = TestDirs.tmp("pq_fold_f").toString
+    val flagsF = TestDirs.tmp("pq_fold_f_flags").toString
+    drive(rootF, flagsF, foldEvery = 2)
+    def allFlags(out: String) = spark.read.parquet(out)
+      .select(col("_batch").cast("long"), col("vec_id"), col("keep"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(allFlags(flagsU) === allFlags(flagsF),
+      "in-stream code-tree folds changed the flags")
+    def batchDirs(root: String) =
+      Option(new java.io.File(s"$root/idx/code").listFiles()).toSeq
+        .flatten.filter(f => f.isDirectory &&
+          f.getName.startsWith("_batch=")).map(_.getName).toSet
+    assert(batchDirs(rootU).size === 6)
+    assert(batchDirs(rootF).size < 6,
+      s"no fold happened: ${batchDirs(rootF)}")
+    // the folded tree still answers the flags probe identically
+    val prior = spark.read.parquet(s"$rootF/idx/code").drop("_batch")
+    val probe = Seq((99L, pqV3)).toDF("vec_id", "vec")
+    val got = graft.ops.Pq.semanticDedupFlagsPq(probe, "vec_id", "vec",
+      prior, "vec_id", cents, "cid", "cvec", cb, tauDist = 0.01,
+      nProbe = 2, excludeSelf = false)
+      .select(col("neighbor_id")).as[Long].head()
+    assert(got === 1L, "post-fold probe lost the planted neighbor")
+  }
+
+  test("an EMPTY first micro-batch does not wedge any streaming " +
+    "ingest: the next batch reads 'no prior' instead of throwing on a " +
+    "data-file-less tree (r16 ADVICE)") {
+    import spark.implicits._
+    // text ingest
+    val rootT = TestDirs.tmp("empty0_text_idx").toString
+    val flagsT = TestDirs.tmp("empty0_text_flags").toString
+    def ingestText(df: org.apache.spark.sql.DataFrame, b: Long): Unit =
+      graft.streaming.IdempotentSink.dedupIngestByBatch(
+        rootT, flagsT, "text", "id")(df, b)
+    ingestText(Seq.empty[(Long, String)].toDF("id", "text"), 0L)
+    ingestText(Seq((1L, "aleph bet gimel dalet he vav zayin het tet"))
+      .toDF("id", "text"), 1L)
+    ingestText(Seq((2L, "aleph bet gimel dalet he vav zayin het tet"))
+      .toDF("id", "text"), 2L)
+    val textFlags = spark.read.parquet(flagsT)
+      .select(col("id"), col("exact_dup")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(textFlags === Map(1L -> false, 2L -> true),
+      "batch 2 must still dedup against batch 1 across the empty batch 0")
+
+    // plain semantic ingest
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    val rootS = TestDirs.tmp("empty0_sem").toString
+    val flagsS = TestDirs.tmp("empty0_sem_flags").toString
+    def ingestSem(df: org.apache.spark.sql.DataFrame, b: Long): Unit =
+      graft.streaming.IdempotentSink.semanticIngestByBatch(
+        s"$rootS/idx", flagsS, "vec_id", "vec", cents, "cid", "cvec",
+        tau = 0.99, nProbe = 2)(df, b)
+    ingestSem(Seq.empty[(Long, Seq[Double])].toDF("vec_id", "vec"), 0L)
+    ingestSem(Seq((1L, Seq(1.0, 0.05))).toDF("vec_id", "vec"), 1L)
+    ingestSem(Seq((2L, Seq(1.0, 0.06))).toDF("vec_id", "vec"), 2L)
+    val semFlags = spark.read.parquet(flagsS)
+      .select(col("vec_id"), col("keep")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(semFlags === Map(1L -> true, 2L -> false),
+      "batch 2 must still dedup against batch 1 across the empty batch 0")
+
+    // PQ semantic ingest (4-dim shared fixture)
+    val cents4 = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "cvec")
+    val rootP = TestDirs.tmp("empty0_pq").toString
+    val flagsP = TestDirs.tmp("empty0_pq_flags").toString
+    def ingestPq(df: org.apache.spark.sql.DataFrame, b: Long): Unit =
+      graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+        s"$rootP/idx", flagsP, "vec_id", "vec", cents4, "cid", "cvec",
+        pqTestCodebook, tauDist = 0.01, nProbe = 2)(df, b)
+    ingestPq(Seq.empty[(Long, Seq[Double])].toDF("vec_id", "vec"), 0L)
+    ingestPq(Seq((1L, pqV1)).toDF("vec_id", "vec"), 1L)
+    ingestPq(Seq((2L, pqV3)).toDF("vec_id", "vec"), 2L)
+    val pqFlags = spark.read.parquet(flagsP)
+      .select(col("vec_id"), col("keep")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(pqFlags === Map(1L -> true, 2L -> false),
+      "batch 2 must still dedup against batch 1 across the empty batch 0")
+  }
 }
