@@ -358,6 +358,80 @@ object Pq {
     Similarity.writeStampSidecar(spark, indexDir, stamp)
   }
 
+  /** [[Similarity.rebuildUnderCodebook]] for an IVF-PQ refine PAIR:
+    * one pass over the old FULL-VECTOR tree re-assigning and
+    * re-encoding under the new IVF codebook AND new PQ codebook, out
+    * to a fresh pair via [[ivfPqIndexWritePair]] (vector tree written
+    * first, code tree derived from the persisted vectors — the trees
+    * agree row-for-row by construction). The managed path out of the
+    * combined-stamp refusal: re-clustering OR re-training invalidates
+    * the pair, and both are the same migration.
+    *
+    * The source must be the pair's VECTOR tree (or any tree carrying
+    * `idCol`+`vecCol`): codes cannot re-encode — quantization already
+    * destroyed the residual a new codebook would need; the vector twin
+    * is exactly the "decode side" this migration exists to read. Its
+    * own stamp is irrelevant (re-assignment reads vectors only).
+    *
+    * Same crash contract as the scalar variant, pairwise: both
+    * sidecars are written after their data, both writes are
+    * overwrite-mode, so a crash anywhere re-runs to convergence; a
+    * finished migration (both sidecars matching) no-ops; a COMPLETE
+    * foreign layout at either new root refuses. Cut readers over only
+    * after this returns. A pending compaction swap at the old root
+    * refuses for the same drop-their-rows reason. Returns the
+    * combined stamp.
+    */
+  def rebuildPairUnderCodebooks(spark: SparkSession,
+      oldVectorsRoot: String, idCol: String, vecCol: String,
+      newCentroids: DataFrame, centroidIdCol: String,
+      centroidVecCol: String, cb: Codebook,
+      newIndexDir: String, newVectorsDir: String): String = {
+    require(newIndexDir != oldVectorsRoot &&
+      newVectorsDir != oldVectorsRoot && newIndexDir != newVectorsDir,
+      "rebuildPairUnderCodebooks: the three roots must be distinct — " +
+        "in-place migration is impossible by design")
+    val cents = Similarity.collectCodebook(newCentroids, centroidIdCol,
+      centroidVecCol)
+    val ivfStamp = Similarity.codebookStamp(cents)
+    val pairStamp = combinedStamp(ivfStamp, cb)
+    val root = new org.apache.hadoop.fs.Path(oldVectorsRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val pendingManifest = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(
+        root.getParent, root.getName + "_compact_tmp"),
+      graft.streaming.IdempotentSink.FoldManifest)
+    if (fs.exists(pendingManifest))
+      throw new IllegalStateException(
+        s"rebuildPairUnderCodebooks: $oldVectorsRoot has a pending " +
+          "compaction swap — finish it first (some cells' only copy " +
+          "is in the temp tree; rebuilding now would drop their rows)")
+    require(graft.io.FsUtil.hasDataFiles(fs, root),
+      s"rebuildPairUnderCodebooks: no data files under $oldVectorsRoot")
+    val sidecars = (Similarity.readStampSidecar(spark, newVectorsDir),
+      Similarity.readStampSidecar(spark, newIndexDir))
+    if (sidecars == ((Some(ivfStamp), Some(pairStamp)))) {
+      System.err.println("[graft] rebuildPairUnderCodebooks: both new " +
+        s"roots already carry this migration's stamps ($pairStamp) — " +
+        "nothing to do")
+      return pairStamp
+    }
+    Seq(newVectorsDir -> sidecars._1 -> ivfStamp,
+      newIndexDir -> sidecars._2 -> pairStamp).foreach {
+      case ((dir, Some(s)), expect) if s != expect =>
+        throw new IllegalStateException(
+          s"rebuildPairUnderCodebooks: $dir already holds a COMPLETE " +
+            s"layout under different codebooks (sidecar $s, this " +
+            s"migration targets $expect) — refusing to overwrite it")
+      case _ => // absent (fresh or crashed-partial: overwrite) or match
+    }
+    ivfPqIndexWritePair(
+      spark.read.parquet(oldVectorsRoot).select(col(idCol), col(vecCol)),
+      idCol, vecCol, newCentroids, centroidIdCol, centroidVecCol, cb,
+      newIndexDir, newVectorsDir)
+    pairStamp
+  }
+
   /** Incremental append to a persisted [[ivfPqIndexWrite]] layout —
     * the micro-batch ingest path of the memory tier, mirroring
     * [[Similarity.ivfIndexAppend]]: new vectors are assigned AND

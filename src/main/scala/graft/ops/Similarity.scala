@@ -497,6 +497,94 @@ object Similarity {
     writeStampSidecar(emb.sparkSession, indexDir, codebookStamp(cents))
   }
 
+  /** Managed codebook MIGRATION — the path out of the refusal every
+    * probe/append/ingest correctly gives a drifted codebook: one corpus
+    * pass re-assigning the old layout's vectors under `newCentroids`,
+    * written to a NEW root ([[ivfIndexWrite]]'s layout: cell-partitioned
+    * + `_params` + sidecar). Completes the index lifecycle: build →
+    * append → compact → REBUILD-UNDER-NEW-CODEBOOK → cut over. In-place
+    * re-clustering is impossible by design (the accumulated cell
+    * layout is meaningless under new centroids — every row moves), so
+    * migration = rebuild + caller cutover; the old root stays live and
+    * untouched until the caller swaps readers.
+    *
+    * Input tolerance: the old tree only needs (`idCol`, `vecCol`) —
+    * its own stamp/codebook is irrelevant (re-assignment never reads
+    * cells), so this migrates a plain [[ivfIndexWrite]] layout, a
+    * hand-built stampless tree, or a STREAMING `_batch=`-keyed vec
+    * tree ([[graft.streaming.IdempotentSink.semanticIngestByBatch]]'s)
+    * — the stream-graduation path. The output is always a BATCH
+    * layout: a continuing stream starts a fresh ingest root (its
+    * batch-0 write stamps the new codebook) rather than adopting this
+    * one, because adopted rows without honest `_batch` ids would break
+    * the time-travel replay contract.
+    *
+    * CRASH CONTRACT (resumable by re-run): the sidecar is written LAST,
+    * so `newRoot`'s sidecar is the completion marker — present+matching
+    * means the migration finished (a re-run then no-ops: idempotent);
+    * absent over data files means a crashed prior attempt, which the
+    * re-run's overwrite-mode write replaces wholesale. Present with a
+    * DIFFERENT stamp refuses — that is a complete foreign layout, not
+    * a resume. Don't cut readers over to `newRoot` before this call
+    * returns (equivalently: before the sidecar exists) — a partial
+    * no-sidecar tree would pass [[verifyStamp]]'s `_params` fallback
+    * while holding a fraction of the corpus. A PENDING COMPACTION swap
+    * at the old root refuses: mid-swap, some cells' only copy lives in
+    * the temp tree, and rebuilding from the main tree alone would
+    * silently drop them — finish it ([[compactCells]] /
+    * `compactBatches` re-run) first.
+    *
+    * Cost: one full read of the old tree's (id, vec) + the zero-shuffle
+    * broadcast assignment fold + one cell-partitioned write — the same
+    * shape as the original build; at 10⁹ rows this is the unavoidable
+    * re-assignment pass, and nothing else. Returns the new stamp.
+    */
+  def rebuildUnderCodebook(spark: SparkSession, oldRoot: String,
+      newRoot: String, idCol: String, vecCol: String,
+      newCentroids: DataFrame, centroidIdCol: String,
+      centroidVecCol: String): String = {
+    require(newRoot != oldRoot,
+      "rebuildUnderCodebook: in-place migration is impossible by " +
+        "design (every row changes cell) — pass a fresh newRoot and " +
+        "cut over after this returns")
+    val stamp = codebookStamp(
+      collectCodebook(newCentroids, centroidIdCol, centroidVecCol))
+    val (fs, oldPath) = fsOf(spark, oldRoot)
+    val pendingManifest = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(
+        oldPath.getParent, oldPath.getName + "_compact_tmp"),
+      graft.streaming.IdempotentSink.FoldManifest)
+    if (fs.exists(pendingManifest))
+      throw new IllegalStateException(
+        s"rebuildUnderCodebook: $oldRoot has a pending compaction swap " +
+          s"($pendingManifest) — some cells' only copy is in the temp " +
+          "tree, and rebuilding from the main tree alone would silently " +
+          "drop their rows. Finish the swap (re-run the compaction), " +
+          "then migrate.")
+    require(graft.io.FsUtil.hasDataFiles(fs, oldPath),
+      s"rebuildUnderCodebook: no data files under $oldRoot — migrating " +
+        "a never-built or truncated layout must fail, not produce an " +
+        "empty index that answers every probe with nothing")
+    readStampSidecar(spark, newRoot).foreach { s =>
+      if (s == stamp) {
+        // a finished migration to this codebook — idempotent resume
+        System.err.println(s"[graft] rebuildUnderCodebook: $newRoot " +
+          s"already carries stamp $stamp — nothing to do")
+        return stamp
+      }
+      throw new IllegalStateException(
+        s"rebuildUnderCodebook: $newRoot already holds a COMPLETE " +
+          s"layout under a different codebook (sidecar $s, this " +
+          s"migration targets $stamp) — refusing to overwrite it; pick " +
+          "a fresh root")
+    }
+    ivfIndexWrite(
+      spark.read.parquet(oldRoot).select(col(idCol), col(vecCol)),
+      idCol, vecCol, newCentroids, centroidIdCol, centroidVecCol,
+      newRoot)
+    stamp
+  }
+
   /** Compact an [[ivfIndex]] layout's fragmented cells: every
     * [[ivfIndexAppend]] adds one file set per cell it touches, so a
     * per-micro-batch ingest loop grows unbounded small files (and with

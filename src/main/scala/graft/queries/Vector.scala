@@ -110,6 +110,31 @@ object Vector {
         qVec, k = 5, nProbe = 2, excludeId = Some(0L))
     }),
 
+    // Managed codebook MIGRATION under the gate: build the index under
+    // a DIFFERENT (wider) codebook, rebuildUnderCodebook it to q114's
+    // 8-centroid codebook, and run q114's exact probe against the
+    // MIGRATED root. Shares q114's oracle verbatim: migration must be
+    // equivalent to a fresh build under the target codebook — the old
+    // layout's cells are irrelevant after re-assignment.
+    "q139_ivf_migrated" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val oldCentroids = emb.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val out = QueryTmp.dir("q139", s, d)
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+        oldCentroids, "cid", "cvec", s"$out/old")
+      Similarity.rebuildUnderCodebook(s, s"$out/old", s"$out/new",
+        "vec_id", "embedding", centroids, "cid", "cvec")
+      val qVec = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .collect()(0).getSeq[Double](0)
+      Similarity.ivfSearchIndexed(s.read.parquet(s"$out/new"),
+        "vec_id", "embedding", centroids, "cid", "cvec",
+        qVec, k = 5, nProbe = 2, excludeId = Some(0L))
+    }),
+
     // Batch ANN: both query vectors probed against the persisted index
     // in ONE job — static probe-cell pruning + broadcast cell join,
     // exact cosine, top-5 per query. The whole-batch production form of
@@ -453,6 +478,9 @@ object Vector {
     // Same oracle as q88 by construction: the persisted index changes
     // WHERE the assignment lives, not what the probe computes.
     "q114_ivf_indexed" -> ivfSearchSql,
+    // identical SQL to q114 on purpose: a migrated index must answer
+    // exactly as one freshly built under the target codebook
+    "q139_ivf_migrated" -> ivfSearchSql,
 
     // Same oracle again: an append-built layout (90% build + 10%
     // append under the same stamped codebook) must answer exactly like
