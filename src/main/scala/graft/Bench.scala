@@ -53,30 +53,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** 1-minute load average from /proc/loadavg; -1 if unreadable. */
-  private def load1(): Double =
-    try {
-      val src = scala.io.Source.fromFile("/proc/loadavg")
-      try src.mkString.split("\\s+")(0).toDouble finally src.close()
-    } catch { case _: Throwable => -1.0 }
-
-  /** Fixed-work host sentinel: 2×10⁸ xorshift64 steps on one thread,
-    * in seconds. The work is identical every call and every round, so
-    * the ratio of two calib readings is a pure host-speed ratio —
-    * CPU steal, thermal throttle, or a loaded core all inflate it.
-    */
-  private def calibSec(): Double = {
-    val t0 = System.nanoTime()
-    var x = 0x9E3779B97F4A7C15L
-    var i = 0
-    while (i < 200000000) {
-      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-      i += 1
-    }
-    // keep the loop's result observable so JIT cannot delete it
-    if (x == 42L) System.err.print("")
-    (System.nanoTime() - t0) / 1e9
-  }
+  // host-window evidence — shared with the other bench mains so every
+  // artifact's load1/calib fields adjudicate identically
+  private def load1(): Double = BenchProto.load1()
+  private def calibSec(): Double = BenchProto.calibSec()
 
   /** Headline set: one per operator family (scan/agg, broadcast join,
     * fact join, banded range join, windows, sessionization, dedup

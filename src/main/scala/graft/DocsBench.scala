@@ -17,8 +17,13 @@ import org.apache.spark.sql.SparkSession
   *  - q113_simhash64_neighbors — the banded 64-bit SimHash pair family;
   *  - q104_incremental_dedup — batch-vs-corpus flags, inline path.
   *
-  * Protocol: warm (one discarded run) then timed, noop-sink
-  * materialization, one JSON line + per-corpus file (SCALE_r13 style).
+  * Protocol: SELF-ADJUDICATING like [[Bench]] (the r15 DOCS_4m
+  * artifact carried a host-contaminated single sample that needed
+  * prose forensics to re-adjudicate — this closes that): warm (one
+  * discarded run) then THREE timed noop-materialized samples per
+  * query, each with its /proc/loadavg reading, min/median/samples all
+  * persisted, and a fixed-work calib sentinel per query group — a
+  * loaded window is machine-detectable from the artifact alone.
   *
   * Usage: DocsBench <documentsDir> [outDir] [names...]
   */
@@ -51,35 +56,49 @@ object DocsBench {
     // a per-query failure is a RECORDED boundary (e.g. q104's broadcast
     // contract ending where the batch outgrows the driver), not a
     // reason to lose the other measurements
-    val timings: Seq[(String, Either[String, Double])] = names.map { name =>
-      val q = SparkEntry.queries(name)
-      try {
-        q(spark, dir).write.format("noop").mode("overwrite").save() // warm
-        val t0 = System.nanoTime()
-        q(spark, dir).write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"$name: $sec%.1f s")
-        name -> Right(sec)
-      } catch {
-        case e: Exception =>
-          // message may be null (bare NPE) or empty — never let the
-          // recorder itself throw and lose the measured queries
-          val msg = Option(e.getMessage).filter(_.nonEmpty)
-            .flatMap(_.linesIterator.find(_.nonEmpty))
-            .getOrElse(e.getClass.getName).take(160)
-          println(s"$name FAILED: $msg")
-          name -> Left(msg)
+    val calibs = scala.collection.mutable.ListBuffer[Double]()
+    val timings: Seq[(String, Either[String, Seq[(Double, Double)]])] =
+      names.map { name =>
+        val q = SparkEntry.queries(name)
+        try {
+          q(spark, dir).write.format("noop").mode("overwrite").save() // warm
+          calibs += BenchProto.calibSec()
+          val samples = (1 to 3).map { _ =>
+            val l = BenchProto.load1()
+            val t0 = System.nanoTime()
+            q(spark, dir).write.format("noop").mode("overwrite").save()
+            ((System.nanoTime() - t0) / 1e9, l)
+          }
+          println(f"$name: ${samples.map(_._1).min}%.1f s (min of " +
+            samples.map(s => f"${s._1}%.1f").mkString("[", ",", "]") + ")")
+          name -> Right(samples)
+        } catch {
+          case e: Exception =>
+            // message may be null (bare NPE) or empty — never let the
+            // recorder itself throw and lose the measured queries
+            val msg = Option(e.getMessage).filter(_.nonEmpty)
+              .flatMap(_.linesIterator.find(_.nonEmpty))
+              .getOrElse(e.getClass.getName).take(160)
+            println(s"$name FAILED: $msg")
+            name -> Left(msg)
+        }
       }
-    }
     def jsonStr(m: String): String = m.flatMap {
       case '\\' => "\\\\"
       case '"' => "\\\""
       case c if c < ' ' => " " // control chars (Spark plans embed tabs)
       case c => c.toString
     }
-    val json = s"""{"metric":"docs_bench","docs":$nDocs,"queries":{""" +
+    def seq(xs: Seq[Double]) =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val json = s"""{"metric":"docs_bench","docs":$nDocs,""" +
+      s""""stat":"min_of_3","calib":${seq(calibs.toSeq)},"queries":{""" +
       timings.map {
-        case (n, Right(s)) => f""""$n":$s%.3f"""
+        case (n, Right(ss)) =>
+          val ts = ss.map(_._1)
+          f""""$n":{"sec":${ts.min}%.3f,""" +
+            f""""median":${ts.sorted.apply(ts.size / 2)}%.3f,""" +
+            s""""samples":${seq(ts)},"load1":${seq(ss.map(_._2))}}"""
         case (n, Left(m)) => s""""$n":{"failed":"${jsonStr(m)}"}"""
       }.mkString(",") + "}}"
     println(json)

@@ -33,8 +33,20 @@ import graft.streaming.IdempotentSink
   * re-times, and post-fold flags are asserted identical (distributed
   * compare).
   *
+  * `mode=pq` swaps in [[IdempotentSink.semanticIngestPqByBatch]] — the
+  * NO-FULL-VECTOR regime: the grown tree holds (id, pq_code, cell)
+  * only, so the artifact's `tree_bytes_*` fields carry the payload
+  * contrast this variant exists for (the plain vec tree stores
+  * 8·dim = 512 bytes of vector per row; m=8 codes are ~(8·dim)/m× =
+  * 64× smaller before parquet encoding) and `fold_sec` shows the fold
+  * rewriting codes instead of vectors. tauDist = 2 − 2·tau maps the
+  * cosine threshold onto ADC squared distance for the near-unit
+  * corpus; flags are the PQ variant's own (quantization can flip a
+  * straddler — the recall/τ study is SemDedupBench's), so the
+  * cross-policy comparisons stay within-mode.
+  *
   * Usage: SemIngestBench [n=200000] [nBatches=50] [outDir]
-  *        [foldEvery=0] [foldMode=all|tail]
+  *        [foldEvery=0] [foldMode=all|tail] [mode=plain|pq]
   */
 object SemIngestBench {
 
@@ -45,8 +57,11 @@ object SemIngestBench {
     val outDir = args.lift(2).getOrElse("/tmp/semingest_bench")
     val foldEvery = args.lift(3).map(_.toInt).getOrElse(0)
     val foldMode = args.lift(4).getOrElse("all")
+    val mode = args.lift(5).getOrElse("plain")
     require(foldMode == "all" || foldMode == "tail",
       s"foldMode must be all|tail (got $foldMode)")
+    require(mode == "plain" || mode == "pq",
+      s"mode must be plain|pq (got $mode)")
     val dim = 64
     val kCells = math.sqrt(n.toDouble).toInt
     val tau = 0.95
@@ -67,7 +82,9 @@ object SemIngestBench {
       .delete(workPath, true): Unit
     val arrivals = s"$work/arrivals"
     val root = s"$work/idx"
-    val vecDir = s"$root/vec"
+    // the tree the ingest grows (and the fold rewrites): full vectors
+    // under plain, (id, pq_code, cell) under pq
+    val treeDir = if (mode == "pq") s"$root/code" else s"$root/vec"
     val flagsOut = s"$work/flags"
 
     // mostly-unique corpus: vec(id) is a pure function — ids ≡ 9 (mod
@@ -114,6 +131,37 @@ object SemIngestBench {
       .write.mode("overwrite").parquet(s"$work/codebook")
     val cb = spark.read.parquet(s"$work/codebook")
     val nCells = cb.count().toInt
+    // PQ codebook trained on the same pre-stream sample (m=8 over
+    // dim=64 → 8-double subspaces, k=256 — the documented standard
+    // point, 64× raw payload shrink)
+    val (pqM, pqK) = (8, 256)
+    lazy val pqCb = graft.ops.Pq.train(
+      spark.read.parquet(arrivals).filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", m = pqM, k = pqK, sampleN = 20000, iters = 5)
+    // τ CALIBRATION — the step a PQ-thresholded dedup cannot skip: ADC
+    // distance is biased UP by the quantization error (E[ADC(q,x)] =
+    // ‖q−x‖² + E‖x−c(x)‖² for near-orthogonal error), and on random
+    // unit vectors — PQ's worst case, no correlation structure to
+    // exploit — that bias (~0.25 here) dwarfs the raw cosine threshold
+    // (2−2·0.95 = 0.1): uncalibrated, every planted near-copy ranks
+    // past tauDist and NOTHING dedups (measured, first cut of this
+    // mode). ADC(x,x) = ‖x−c(x)‖² exactly, so the mean self-distance
+    // over the training sample IS the bias; fold it into the
+    // threshold. The operator stays untouched — calibration is the
+    // caller's τ-mapping job, recorded in the artifact.
+    lazy val quantBias: Double = {
+      import graft.functions.GraftFunctions
+      val cbLit = typedLit(pqCb.flat)
+      spark.read.parquet(arrivals).filter(col("vec_id") % 10 === 0)
+        .limit(20000)
+        .select(GraftFunctions.pq_adc(
+          GraftFunctions.pq_lut(col("embedding").cast("array<double>"),
+            cbLit, pqM, pqK),
+          GraftFunctions.pq_encode(col("embedding").cast("array<double>"),
+            cbLit, pqM, pqK)).as("d"))
+        .agg(avg(col("d"))).head.getDouble(0)
+    }
+    lazy val tauDist = 2.0 - 2.0 * tau + quantBias
 
     def parquetFiles(path: String): Long = {
       def walk(f: java.io.File): Long =
@@ -121,11 +169,24 @@ object SemIngestBench {
         else if (f.getName.endsWith(".parquet")) 1L else 0L
       walk(new java.io.File(path))
     }
+    def parquetBytes(path: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum)
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(path))
+    }
 
-    val ingest = IdempotentSink.semanticIngestByBatch(
-      root, flagsOut, "vec_id", "embedding", cb, "cid", "cvec",
-      tau = tau, nProbe = nProbe, foldEvery = foldEvery,
-      foldTail = foldMode == "tail") _
+    val ingest: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      if (mode == "pq")
+        IdempotentSink.semanticIngestPqByBatch(
+          root, flagsOut, "vec_id", "embedding", cb, "cid", "cvec",
+          pqCb, tauDist = tauDist, nProbe = nProbe,
+          foldEvery = foldEvery, foldTail = foldMode == "tail") _
+      else
+        IdempotentSink.semanticIngestByBatch(
+          root, flagsOut, "vec_id", "embedding", cb, "cid", "cvec",
+          tau = tau, nProbe = nProbe, foldEvery = foldEvery,
+          foldTail = foldMode == "tail") _
     val walls = new scala.collection.mutable.ArrayBuffer[Double](nBatches)
     val checkpoints = scala.collection.mutable.ListBuffer[(Int, Double,
       Long)]()
@@ -137,9 +198,9 @@ object SemIngestBench {
       val sec = (System.nanoTime() - t0) / 1e9
       walls += sec
       if ((b + 1) % every == 0 || b == nBatches - 1) {
-        val files = parquetFiles(vecDir)
+        val files = parquetFiles(treeDir)
         checkpoints += ((b, sec, files))
-        println(f"batch $b: $sec%.2f s, vec_files=$files")
+        println(f"batch $b: $sec%.2f s, tree_files=$files")
       }
     }
 
@@ -148,19 +209,25 @@ object SemIngestBench {
     // derived from the tree (max _batch + 1), never a CLI arg.
     val probe = spark.read.parquet(s"$arrivals/_arr=0")
     val lookupBound: Long = {
-      val ids = Option(new java.io.File(vecDir).listFiles()).toSeq
+      val ids = Option(new java.io.File(treeDir).listFiles()).toSeq
         .flatten.filter(f => f.isDirectory &&
           f.getName.startsWith("_batch="))
         .map(_.getName.stripPrefix("_batch=").toLong)
-      require(ids.nonEmpty, s"no _batch= subtrees under $vecDir")
+      require(ids.nonEmpty, s"no _batch= subtrees under $treeDir")
       ids.max + 1
     }
-    def prior() = spark.read.parquet(vecDir)
+    def prior() = spark.read.parquet(treeDir)
       .filter(col("_batch").cast("long") < lookupBound).drop("_batch")
-    def lookupFlags() = Similarity.semanticDedupFlags(
-      probe, "vec_id", "embedding", prior(), "vec_id", "embedding",
-      cb, "cid", "cvec", tau = tau, nProbe = nProbe,
-      excludeSelf = true)
+    def lookupFlags() =
+      if (mode == "pq")
+        graft.ops.Pq.semanticDedupFlagsPq(
+          probe, "vec_id", "embedding", prior(), "vec_id",
+          cb, "cid", "cvec", pqCb, tauDist = tauDist, nProbe = nProbe,
+          excludeSelf = true)
+      else Similarity.semanticDedupFlags(
+        probe, "vec_id", "embedding", prior(), "vec_id", "embedding",
+        cb, "cid", "cvec", tau = tau, nProbe = nProbe,
+        excludeSelf = true)
     def lookupSamples(): Seq[Double] = {
       lookupFlags().write.format("noop").mode("overwrite").save() // warm
       (1 to 3).map { _ =>
@@ -171,16 +238,18 @@ object SemIngestBench {
     }
     def samplesJson(xs: Seq[Double]): String =
       xs.map(x => f"$x%.2f").mkString("[", ",", "]")
-    val filesPre = parquetFiles(vecDir)
+    val filesPre = parquetFiles(treeDir)
+    val bytesPre = parquetBytes(treeDir)
     val lookupPreSamples = lookupSamples()
     val preFlags = lookupFlags().localCheckpoint(true)
 
     // final manual fold: latest committed batch stays unfolded
     val tFold0 = System.nanoTime()
-    val folded = IdempotentSink.compactBatches(spark, vecDir, "cell",
+    val folded = IdempotentSink.compactBatches(spark, treeDir, "cell",
       nBatches.toLong - 2)
     val foldSec = (System.nanoTime() - tFold0) / 1e9
-    val filesPost = parquetFiles(vecDir)
+    val filesPost = parquetFiles(treeDir)
+    val bytesPost = parquetBytes(treeDir)
     val lookupPostSamples = lookupSamples()
     val postFlags = lookupFlags()
     require(preFlags.exceptAll(postFlags).isEmpty &&
@@ -194,9 +263,13 @@ object SemIngestBench {
       f"""{"batch":$b,"sec":$sec%.2f,"vec_files":$files}"""
     }.mkString("[", ",", "]")
     def meanOf(xs: Seq[Double]) = xs.sum / math.max(1, xs.size)
+    val pqJson = if (mode == "pq")
+      f""""pq_m":$pqM,"pq_k":$pqK,"tau_dist":$tauDist%.3f,""" +
+        f""""quant_bias":$quantBias%.3f,""" else ""
     val json =
       f"""{"metric":"semingest_stream","docs":$n,"batches":$nBatches,""" +
         f""""stat":"min_of_3","dim":$dim,"cells":$nCells,"tau":$tau,""" +
+        f""""mode":"$mode",$pqJson""" +
         f""""n_probe":$nProbe,"fold_every":$foldEvery,""" +
         f""""fold_mode":"$foldMode","lookup_bound":$lookupBound,""" +
         f""""flagged_rows":${dupStats.getLong(0)},""" +
@@ -205,6 +278,8 @@ object SemIngestBench {
         f""""wall_last10_mean":${meanOf(walls.takeRight(10).toSeq)}%.2f,""" +
         f""""checkpoints":$ckJson,""" +
         f""""files_pre":$filesPre,"files_post":$filesPost,""" +
+        f""""tree_mb_pre":${bytesPre / 1048576.0}%.1f,""" +
+        f""""tree_mb_post":${bytesPost / 1048576.0}%.1f,""" +
         f""""folded":${folded.size},"fold_sec":$foldSec%.2f,""" +
         f""""lookup_pre_samples":${samplesJson(lookupPreSamples)},""" +
         f""""lookup_post_samples":${samplesJson(lookupPostSamples)},""" +
@@ -214,7 +289,8 @@ object SemIngestBench {
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(outDir)): Unit
     val suffix = (if (foldEvery > 0) s"_f$foldEvery" else "") +
-      (if (foldEvery > 0 && foldMode == "tail") "t" else "")
+      (if (foldEvery > 0 && foldMode == "tail") "t" else "") +
+      (if (mode == "pq") "_pq" else "")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outDir,
         s"semingest_${n}_b$nBatches$suffix.json"),
