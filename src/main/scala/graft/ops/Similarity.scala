@@ -833,6 +833,12 @@ object Similarity {
         GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d")),
       nProbe)
       .localCheckpoint(true) // probe side computed once: cells collect + join
+    // the one driver-side collect on this path is BOUNDED BY THE
+    // CODEBOOK, not the batch: it collects DISTINCT probed cell ids
+    // (≤ |codebook|, a driver-sized quantity by the same argument as
+    // the codebook literal itself) to build the static partition-
+    // pruning IN-list — unlike a qid collect, it cannot grow with the
+    // query batch
     val probedCells = qcells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     val cand = checked.filter(col("cell").isin(probedCells: _*))
