@@ -158,6 +158,52 @@ object PqKernels {
     new GenericArrayData(out)
   }
 
+  /** SDC distance (symmetric: BOTH sides quantized):
+    * Σ_j table[(j·k + qcodes[j])·k + codes[j]] over the SHARED
+    * code-to-code table (`table[(j·k + a)·k + b] = ‖c_{j,a} − c_{j,b}‖²`,
+    * m·k² doubles — [[graft.ops.Pq.sdcTable]]). k inferred as
+    * √(table.len/m); a non-square length throws (corrupt table).
+    *
+    * Why it exists next to ADC: the ADC LUT is PER-QUERY m·k doubles —
+    * at m=8/k=256 that is 2048 doubles (16 KB), 32× a dim-64 query
+    * vector, so a 10⁴-query batch ships a ~160 MB broadcast and every
+    * candidate row hash-probes into it (measured 1.5–2× the plain
+    * full-vector probe per batch, SEMINGEST_PQ_1m_r16). SDC's table is
+    * ONE plan constant shared by every query; the per-query payload is
+    * the m-byte code — the batch side shrinks by the same 64× the
+    * corpus side did. The price is the second quantization: error
+    * E‖q−c(q)‖² adds on top of the candidate's, roughly DOUBLING the
+    * calibration bias (both are measurable as the mean self-distance;
+    * the caller's τ-mapping handles it the same way).
+    */
+  def sdc(table: ArrayData, qcodes: ArrayData, codes: ArrayData)
+  : java.lang.Double = {
+    val m = codes.numElements()
+    require(qcodes.numElements() == m,
+      s"pq_sdc: query code length ${qcodes.numElements()} != " +
+        s"candidate code length $m")
+    val tl = table.numElements()
+    require(m > 0 && tl % m == 0,
+      s"pq_sdc: table length $tl is not a multiple of code length $m")
+    val k2 = tl / m
+    val k = math.sqrt(k2.toDouble).toInt
+    require(k * k == k2,
+      s"pq_sdc: table length $tl / m=$m is not a square (k²)")
+    if (anyNull(table, tl) || anyNull(qcodes, m) || anyNull(codes, m))
+      return null
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val a = qcodes.getInt(j)
+      val b = codes.getInt(j)
+      require(a >= 0 && a < k && b >= 0 && b < k,
+        s"pq_sdc: code ($a, $b) out of range [0, $k) at subspace $j")
+      s += table.getDouble((j * k + a) * k + b)
+      j += 1
+    }
+    s
+  }
+
   /** ADC distance: Σ_j lut[j·k + codes[j]], k inferred as lut.len/m. */
   def adc(lut: ArrayData, codes: ArrayData): java.lang.Double = {
     val m = codes.numElements()
@@ -240,6 +286,34 @@ case class PqLutIp(left: Expression, right: Expression, m: Int, k: Int)
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(left = l, right = r)
   override def prettyName: String = "pq_lut_ip"
+}
+
+/** `pq_sdc(table, qcodes, codes)` → double: the SYMMETRIC approximate
+  * squared distance — both sides quantized, scored through the shared
+  * m·k² code-to-code table (see [[PqKernels.sdc]] for the regime).
+  */
+case class PqSdc(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def nullSafeEval(t: Any, q: Any, c: Any): Any =
+    PqKernels.sdc(t.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, q, c) =>
+      s"""java.lang.Double ${ev.value}_r =
+         |  graft.functions.PqKernels.sdc($t, $q, $c);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+         |""".stripMargin)
+  override protected def withNewChildrenInternal(t: Expression,
+      q: Expression, c: Expression): Expression =
+    copy(first = t, second = q, third = c)
+  override def prettyName: String = "pq_sdc"
 }
 
 /** `pq_adc(lut, codes)` → double: the ADC approximate squared distance. */

@@ -595,6 +595,126 @@ object Pq {
       k, cellCol = Some("cell"))
   }
 
+  /** The SDC code-to-code distance table for `cb`, flattened
+    * subspace-major: `table[(j·k + a)·k + b] = ‖c_{j,a} − c_{j,b}‖²`
+    * (m·k² doubles — m=8, k=256 ⇒ 4 MB, a PLAN CONSTANT shared by
+    * every query in every batch, vs ADC's per-query m·k-double LUT).
+    * Driver-side m·k²·dsub flops, trivial at codebook scale.
+    */
+  def sdcTable(cb: Codebook): IndexedSeq[Double] = {
+    val (m, k, dsub) = (cb.m, cb.k, cb.dsub)
+    val out = new Array[Double](m * k * k)
+    var j = 0
+    while (j < m) {
+      var a = 0
+      while (a < k) {
+        var b = 0
+        while (b < k) {
+          var s = 0.0
+          var t = 0
+          while (t < dsub) {
+            val d0 = cb.flat((j * k + a) * dsub + t) -
+              cb.flat((j * k + b) * dsub + t)
+            s += d0 * d0
+            t += 1
+          }
+          out((j * k + a) * k + b) = s
+          b += 1
+        }
+        a += 1
+      }
+      j += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** [[ivfPqSearchBatch]] with SYMMETRIC distance (SDC): the query
+    * side is ENCODED too, and candidates score through the shared
+    * m·k² [[sdcTable]] instead of per-query LUTs. Same probe-cell
+    * selection (L2 against the IVF centroids — exact query vectors,
+    * cells are unaffected), same window-free rank stage, same
+    * determinism (rounded score, id tie-break), same null contract
+    * (a corrupt vector encodes to a null code and is excluded, never
+    * ranked). Returns (qid, `idCol`, cell, sdc_dist) — ascending.
+    *
+    * REGIME (measured, SEMINGEST_PQ_1m_r16 + PQSDC bench): ADC ships
+    * m·k doubles PER QUERY (16 KB at m=8/k=256 — 32× a dim-64 vector;
+    * a 10⁴-query batch is a ~160 MB broadcast whose per-candidate
+    * hash-probes dominate the probe wall). SDC ships m BYTES per query
+    * plus one 4 MB table for the whole plan — use it when the query
+    * batch is large relative to the probed candidates (the streaming-
+    * ingest shape). The price is the SECOND quantization: the error
+    * term gains E‖q−c(q)‖² on top of ADC's E‖x−c(x)‖², roughly
+    * doubling the τ-calibration bias and widening the straddler band —
+    * both measurable as mean self-distances, handled by the caller's
+    * τ-mapping exactly like ADC's (PqSpec pins SDC == ADC == exact on
+    * a lossless codebook, so the difference IS the quantization, not
+    * the plumbing).
+    */
+  def ivfPqSearchBatchSdc(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, index: DataFrame, idCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      cb: Codebook, k: Int, nProbe: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
+      centroidVecCol)
+    val checked = Similarity.verifyStamp(index,
+      combinedStamp(Similarity.codebookStamp(cents), cb),
+      "ivfPqSearchBatchSdc")
+    val codebook = typedLit(cents)
+    val table = typedLit(sdcTable(cb))
+    val q = queries.select(col(queryIdCol).as("qid"),
+      col(queryVecCol).cast("array<double>").as("qvec"))
+    // probe pairs from the EXACT query (cell selection must not pay
+    // the second quantization); query codes ride a separate tiny frame
+    val qcells = Similarity.probeTopCells(q
+      .select(col("qid"), col("qvec"), explode(codebook).as("c"))
+      .select(col("qid"), col("c._1").as("cell"),
+        GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d")),
+      nProbe)
+      .localCheckpoint(true) // probe side computed once: collect + join
+    val qcodes = q.select(col("qid"),
+      GraftFunctions.pq_encode(col("qvec"), cbLit(cb), cb.m, cb.k)
+        .as("_qcode"))
+    val probedCells = qcells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val cand = checked.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(qcells), Seq("cell"))
+      .join(broadcast(qcodes), Seq("qid"))
+    val scoped =
+      if (excludeSelf) cand.filter(col(idCol) =!= col("qid")) else cand
+    val scored = scoped
+      .select(col("qid"), col(idCol), col("cell"),
+        round(GraftFunctions.pq_sdc(table, col("_qcode"), col("pq_code")),
+          5).as("sdc_dist"))
+      .filter(col("sdc_dist").isNotNull)
+    rankTopK(scored, idCol, "sdc_dist", biggerIsBetter = false,
+      k, cellCol = Some("cell"))
+  }
+
+  /** [[semanticDedupFlagsPq]] through the SYMMETRIC probe — the
+    * LARGE-BATCH dedup regime: the batch side ships codes, not LUTs,
+    * so a corpus-refresh batch of 10⁸ rows probes without the ADC
+    * variant's |batch|·m·k-double broadcast. `tauDist` must carry BOTH
+    * quantization biases (≈ 2× ADC's; calibrate via mean
+    * self-distances, same recipe). Returns
+    * (batchIdCol, neighbor_id, sdc_dist, keep).
+    */
+  def semanticDedupFlagsPqSdc(batch: DataFrame, batchIdCol: String,
+      batchVecCol: String, index: DataFrame, idCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      cb: Codebook, tauDist: Double, nProbe: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    val top = ivfPqSearchBatchSdc(batch, batchIdCol, batchVecCol,
+      index, idCol, centroids, centroidIdCol, centroidVecCol, cb,
+      k = 1, nProbe = nProbe, excludeSelf = excludeSelf)
+      .select(col("qid"), col(idCol).as("neighbor_id"), col("sdc_dist"))
+    batch.select(col(batchIdCol))
+      .join(top, col(batchIdCol) === col("qid"), "left")
+      .select(col(batchIdCol), col("neighbor_id"), col("sdc_dist"),
+        (col("sdc_dist").isNull || col("sdc_dist") > tauDist).as("keep"))
+  }
+
   /** [[graft.ops.Similarity.semanticDedupFlags]] over an IVF-PQ index
     * — the NO-FULL-VECTOR dedup regime: the probed cells' scan reads
     * (id, pq_code) only, so flagging a batch against a 10⁹-vector

@@ -329,6 +329,35 @@ object Vector {
         .orderBy("vec_id")
     }),
 
+    // q133's split through the SYMMETRIC probe (SDC): the batch ships
+    // CODES, not per-query LUTs — the large-batch dedup regime where
+    // the ADC variant's |batch|·m·k-double broadcast is the bound.
+    // Scored via the shared m·k² code-to-code table; tauDist carries
+    // both quantization biases (the fixture codebook is coarse, so the
+    // threshold sits wider than q133's — the oracle computes the same
+    // symmetric distance, so the flag is hash-gated at any τ).
+    "q140_semantic_dedup_sdc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      // k=16 (256 code points) over a 10% corpus subset: with the k=4
+      // fixture codebook every one of its 16 codes is occupied at gate
+      // scale and every SDC top-1 is an exact code collision (distance
+      // 0 — measured, first cut) — the sparser regime keeps most batch
+      // codes unoccupied so the distances and the flag actually split
+      val cb = fixturePqCodebookK(emb, 16)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val isCorpus = col("vec_id") % 10 === 0
+      val isBatch = col("vec_id") % 10 === 9
+      val out = QueryTmp.dir("q140", s, d)
+      graft.ops.Pq.ivfPqIndexWrite(emb.filter(isCorpus), "vec_id",
+        "embedding", centroids, "cid", "cvec", cb, s"$out/ivfpq")
+      graft.ops.Pq.semanticDedupFlagsPqSdc(
+        emb.filter(isBatch), "vec_id", "embedding",
+        s.read.parquet(s"$out/ivfpq"), "vec_id",
+        centroids, "cid", "cvec", cb, tauDist = 0.8, nProbe = 2)
+        .orderBy("vec_id")
+    }),
+
     // q135's two-epoch ingest through the NO-FULL-VECTOR streaming
     // twin: epoch 0 ingests the 90% corpus (everything keeps; only
     // (id, pq_code, cell) rows land, batch-keyed), epoch 1 flags the
@@ -369,21 +398,25 @@ object Vector {
     })
   )
 
-  /** m=2 × k=4 PQ codebook whose sub-centroid c in subspace j is the
-    * j-th HALF of fixture vector c (vec_id < 4) — data-derived, like
+  /** m=2 × k PQ codebook whose sub-centroid c in subspace j is the
+    * j-th HALF of fixture vector c (vec_id < k) — data-derived, like
     * q59's centroids, so the DuckDB oracle reconstructs the identical
     * codebook from the table (subspace j of index i = (i−1)//32).
     */
-  private def fixturePqCodebook(emb: DataFrame): graft.ops.Pq.Codebook = {
-    val rows = emb.filter(col("vec_id") < 4)
+  private def fixturePqCodebookK(emb: DataFrame, k: Int)
+  : graft.ops.Pq.Codebook = {
+    val rows = emb.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1))
-    require(rows.length == 4, "PQ fixture codebook needs vec_id 0..3")
+    require(rows.length == k, s"PQ fixture codebook needs vec_id 0..${k - 1}")
     val dsub = rows(0).length / 2
-    val flat = (0 until 2).flatMap(j => (0 until 4).flatMap(c =>
+    val flat = (0 until 2).flatMap(j => (0 until k).flatMap(c =>
       rows(c).slice(j * dsub, (j + 1) * dsub))).toIndexedSeq
-    graft.ops.Pq.Codebook(flat, 2, 4)
+    graft.ops.Pq.Codebook(flat, 2, k)
   }
+
+  private def fixturePqCodebook(emb: DataFrame): graft.ops.Pq.Codebook =
+    fixturePqCodebookK(emb, 4)
 
   /** Shared oracle prefix for the PQ family: re-derive the m=2 × k=4
     * data-derived codebook and every vector's code in SQL. `//` is
@@ -798,6 +831,70 @@ object Vector {
         |  FROM dots d JOIN nq ON nq.qid = d.qid)
         |SELECT qid, vec_id, cos_sim FROM rr WHERE rn <= 5
         |ORDER BY qid, cos_sim DESC, vec_id""".stripMargin),
+
+    // q133's oracle with SYMMETRIC scoring: the sdct CTE is the m·k²
+    // code-to-code table (pairwise sub-centroid distances), and each
+    // candidate scores as Σ_j sdct[j, qcode_j, ccode_j] — both sides
+    // quantized, exactly what Pq.sdcTable + pq_sdc compute.
+    "q140_semantic_dedup_sdc" -> (
+      """WITH ax AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, (i - 1) // 32 AS j, (i - 1) % 32 AS t, x FROM ax),
+        |pcent AS (SELECT vec_id AS c, j, t, x FROM sub WHERE vec_id < 16),
+        |pqd AS (
+        |  SELECT s.vec_id, s.j, p.c, sum((s.x - p.x) * (s.x - p.x)) AS d
+        |  FROM sub s JOIN pcent p ON p.j = s.j AND p.t = s.t
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, j, c AS code FROM (
+        |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j
+        |      ORDER BY d ASC, c ASC) AS rn FROM pqd) WHERE rn = 1)""".stripMargin +
+      """,
+        |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
+        |cdists AS (
+        |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
+        |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d ASC, cid ASC) AS rn
+        |    FROM cdists WHERE vec_id % 10 = 0) WHERE rn = 1),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 10 = 9),
+        |probe AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, d.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY d.d ASC, d.cid ASC) AS rn
+        |    FROM qids q JOIN cdists d ON d.vec_id = q.qid)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id
+        |  FROM assigned a JOIN probe p ON a.cell = p.cid
+        |  WHERE a.vec_id <> p.qid),
+        |sdct AS (
+        |  SELECT a.j, a.c AS ca, b.c AS cb,
+        |         sum((a.x - b.x) * (a.x - b.x)) AS d
+        |  FROM pcent a JOIN pcent b ON a.j = b.j AND a.t = b.t
+        |  GROUP BY 1, 2, 3),
+        |sdc AS (
+        |  SELECT cd.qid, cd.vec_id, sum(t.d) AS sdc
+        |  FROM cand cd
+        |  JOIN codes qc ON qc.vec_id = cd.qid
+        |  JOIN codes cc ON cc.vec_id = cd.vec_id AND cc.j = qc.j
+        |  JOIN sdct t ON t.j = qc.j AND t.ca = qc.code AND t.cb = cc.code
+        |  GROUP BY 1, 2),
+        |top1 AS (
+        |  SELECT qid, vec_id AS neighbor_id, sdc_dist FROM (
+        |    SELECT qid, vec_id, ROUND(sdc, 5) AS sdc_dist,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY ROUND(sdc, 5) ASC, vec_id ASC) AS rn
+        |    FROM sdc) WHERE rn = 1)
+        |SELECT q.qid AS vec_id, t.neighbor_id, t.sdc_dist,
+        |  (t.sdc_dist IS NULL OR t.sdc_dist > 0.8) AS keep
+        |FROM qids q LEFT JOIN top1 t ON t.qid = q.qid
+        |ORDER BY vec_id""".stripMargin),
 
     // q126's ADC probe specialized to k = 1 over the 90% corpus, with
     // the batch LEFT-joined back so probed-cell misses surface as NULL

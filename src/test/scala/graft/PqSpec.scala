@@ -505,4 +505,107 @@ class PqSpec extends AnyFunSuite {
       spark.read.parquet(vecDir2).count() == rowsVec,
       "refused pair append still wrote rows")
   }
+
+  // ---- SDC (symmetric distance: both sides quantized)
+
+  test("pq_sdc kernel == driver reference (table lookup over encoded " +
+    "pairs), and a null element nulls the score") {
+    import spark.implicits._
+    val m = 2; val k = 4; val dim = 8
+    val vecs = randVecs(24, dim, 211)
+    val cb = Pq.train(vecs.toDF("id", "vec"), "id", "vec", m, k,
+      sampleN = 24)
+    val table = Pq.sdcTable(cb)
+    // reference: SDC(q, x) = Σ_j table[(j·k + enc(q)_j)·k + enc(x)_j]
+    def refSdc(q: Seq[Double], x: Seq[Double]): Double = {
+      val (qc, xc) = (refEncode(q, cb.flat, m, k),
+        refEncode(x, cb.flat, m, k))
+      (0 until m).map(j => table((j * k + qc(j)) * k + xc(j))).sum
+    }
+    val pairs = for (a <- vecs.take(6); b <- vecs.take(6)) yield (a, b)
+    val got = pairs.map { case ((_, qa), (_, xb)) => (qa, xb) }
+      .toDF("q", "x")
+      .select(GraftFunctions.pq_sdc(typedLit(table),
+        GraftFunctions.pq_encode(col("q"), typedLit(cb.flat), m, k),
+        GraftFunctions.pq_encode(col("x"), typedLit(cb.flat), m, k))
+        .as("d"))
+      .collect().map(_.getDouble(0))
+    val want = pairs.map { case ((_, qa), (_, xb)) => refSdc(qa, xb) }
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(math.abs(g - w) < 1e-12, s"pair $i: kernel $g != ref $w")
+    }
+    // SDC table symmetry + zero diagonal (a sanity the layout math
+    // must preserve)
+    for (j <- 0 until m; a <- 0 until k; b <- 0 until k) {
+      assert(math.abs(table((j * k + a) * k + b) -
+        table((j * k + b) * k + a)) < 1e-12)
+      if (a == b) assert(table((j * k + a) * k + b) == 0.0)
+    }
+    // null element in either code → null score (corrupt row is not a
+    // rankable result)
+    val nullRow = Seq((
+      Seq[Option[Double]](Some(1.0), None, Some(0.0), Some(0.0),
+        Some(0.0), Some(0.0), Some(0.0), Some(0.0)),
+      vecs.head._2))
+      .toDF("q", "x")
+      .select(GraftFunctions.pq_sdc(typedLit(table),
+        GraftFunctions.pq_encode(col("q"), typedLit(cb.flat), m, k),
+        GraftFunctions.pq_encode(col("x"), typedLit(cb.flat), m, k))
+        .as("d"))
+      .collect()(0)
+    assert(nullRow.isNullAt(0), "corrupt query must score null")
+  }
+
+  test("ivfPqSearchBatchSdc == ivfPqSearchBatch == exact squared " +
+    "distance on a LOSSLESS codebook (every half a sub-centroid): the " +
+    "difference between the two probes IS the quantization, not the " +
+    "plumbing") {
+    import spark.implicits._
+    // 8 vectors in 4-dim whose halves enumerate 8 distinct values per
+    // subspace — k=8 sub-centroids hold them exactly, so encode is
+    // lossless and ADC == SDC == exact
+    val halves = (0 until 8).map(i => Seq(i * 1.0, (7 - i) * 0.5))
+    val vecs: Seq[(Long, Seq[Double])] = (0L until 8L).map(i =>
+      (i, halves(i.toInt) ++ halves(7 - i.toInt)))
+    val cb = Pq.Codebook(
+      (halves.flatten ++ halves.flatten).toIndexedSeq, m = 2, k = 8)
+    val cents = Seq((0L, vecs(0)._2), (1L, vecs(7)._2)).toDF("cid", "cvec")
+    val dir = TestDirs.tmp("ivfpq_sdc").toFile.getAbsolutePath
+    val df = vecs.toDF("id", "vec")
+    Pq.ivfPqIndexWrite(df, "id", "vec", cents, "cid", "cvec", cb, dir)
+    val index = spark.read.parquet(dir)
+    val queries = vecs.take(3).toDF("id", "vec")
+    def rowsOf(d: org.apache.spark.sql.DataFrame, score: String) =
+      d.select(col("qid"), col("id"), col(score))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._3, t._2)).toSeq
+    val adc = rowsOf(Pq.ivfPqSearchBatch(queries, "id", "vec", index,
+      "id", cents, "cid", "cvec", cb, k = 4, nProbe = 2), "adc_dist")
+    val sdc = rowsOf(Pq.ivfPqSearchBatchSdc(queries, "id", "vec", index,
+      "id", cents, "cid", "cvec", cb, k = 4, nProbe = 2), "sdc_dist")
+    assert(sdc === adc,
+      "SDC diverged from ADC on a lossless codebook")
+    // both equal the exact squared distance
+    def sq(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    sdc.foreach { case (q, i, d) =>
+      assert(math.abs(d - sq(vecs(q.toInt)._2, vecs(i.toInt)._2)) < 1e-9,
+        s"($q, $i): $d != exact")
+    }
+    // the dedup wrapper agrees with the ADC one on flags
+    val batch = vecs.slice(3, 6).map { case (i, v) => (i + 100L, v) }
+      .toDF("id", "vec")
+    def flagsOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"), col("neighbor_id"), col("keep"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val fAdc = flagsOf(Pq.semanticDedupFlagsPq(batch, "id", "vec",
+      index, "id", cents, "cid", "cvec", cb, tauDist = 3.0, nProbe = 2,
+      excludeSelf = false))
+    val fSdc = flagsOf(Pq.semanticDedupFlagsPqSdc(batch, "id", "vec",
+      index, "id", cents, "cid", "cvec", cb, tauDist = 3.0, nProbe = 2,
+      excludeSelf = false))
+    assert(fSdc === fAdc,
+      "SDC dedup flags diverged from ADC on a lossless codebook")
+  }
 }
