@@ -115,10 +115,11 @@ object GraftFunctions {
   def pq_adc(lut: Column, codes: Column): Column =
     column(PqAdc(vd(lut),
       expression(codes.cast("array<int>"))))
-  def pq_sdc(table: Column, qcodes: Column, codes: Column): Column =
-    column(PqSdc(vd(table),
-      expression(qcodes.cast("array<int>")),
-      expression(codes.cast("array<int>"))))
+  def pq_sdc(qcodes: Column, codes: Column, table: IndexedSeq[Double],
+      k: Int): Column =
+    column(PqSdc(expression(qcodes.cast("array<int>")),
+      expression(codes.cast("array<int>")), new SdcTable(table.toArray),
+      k))
 
   private def castD(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(e,

@@ -176,21 +176,21 @@ object PqKernels {
     * calibration bias (both are measurable as the mean self-distance;
     * the caller's τ-mapping handles it the same way).
     */
-  def sdc(table: ArrayData, qcodes: ArrayData, codes: ArrayData)
-  : java.lang.Double = {
+  def sdc(table: Array[Double], k: Int, qcodes: ArrayData,
+      codes: ArrayData): java.lang.Double = {
     val m = codes.numElements()
     require(qcodes.numElements() == m,
       s"pq_sdc: query code length ${qcodes.numElements()} != " +
         s"candidate code length $m")
-    val tl = table.numElements()
-    require(m > 0 && tl % m == 0,
-      s"pq_sdc: table length $tl is not a multiple of code length $m")
-    val k2 = tl / m
-    val k = math.sqrt(k2.toDouble).toInt
-    require(k * k == k2,
-      s"pq_sdc: table length $tl / m=$m is not a square (k²)")
-    if (anyNull(table, tl) || anyNull(qcodes, m) || anyNull(codes, m))
-      return null
+    require(m > 0 && table.length == m * k * k,
+      s"pq_sdc: table length ${table.length} != m·k² = ${m * k * k}")
+    if (anyNull(qcodes, m) || anyNull(codes, m)) return null
+    // the table is a PRIMITIVE double[] constructor constant, not a
+    // child ArrayData: as a typedLit child it converted to a
+    // GenericArrayData of BOXED doubles, and 10M candidate rows ×
+    // m pointer-chasing unbox reads measured 6× the whole ADC scoring
+    // pass — as a flat primitive array the scattered reads stay in L3
+    // (4 MB at m=8/k=256) with no indirection
     var s = 0.0
     var j = 0
     while (j < m) {
@@ -198,7 +198,7 @@ object PqKernels {
       val b = codes.getInt(j)
       require(a >= 0 && a < k && b >= 0 && b < k,
         s"pq_sdc: code ($a, $b) out of range [0, $k) at subspace $j")
-      s += table.getDouble((j * k + a) * k + b)
+      s += table((j * k + a) * k + b)
       j += 1
     }
     s
@@ -211,14 +211,21 @@ object PqKernels {
     require(m > 0 && lk % m == 0,
       s"pq_adc: LUT length $lk is not a multiple of code length $m")
     val k = lk / m
-    if (anyNull(lut, lk) || anyNull(codes, m)) return null
+    if (anyNull(codes, m)) return null
+    // null-check only the m LUT slots read (same argument as pq_sdc:
+    // the kernel-built LUT is all-or-nothing NULL — pq_lut returns a
+    // NULL ARRAY for a corrupt query, never a null element — so the
+    // per-element scan of all m·k entries per candidate row bought
+    // nothing and cost ~k× the lookup itself)
     var s = 0.0
     var j = 0
     while (j < m) {
       val c = codes.getInt(j)
       require(c >= 0 && c < k,
         s"pq_adc: code $c out of range [0, $k) at subspace $j")
-      s += lut.getDouble(j * k + c)
+      val idx = j * k + c
+      if (lut.isNullAt(idx)) return null
+      s += lut.getDouble(idx)
       j += 1
     }
     s
@@ -288,31 +295,60 @@ case class PqLutIp(left: Expression, right: Expression, m: Int, k: Int)
   override def prettyName: String = "pq_lut_ip"
 }
 
-/** `pq_sdc(table, qcodes, codes)` → double: the SYMMETRIC approximate
-  * squared distance — both sides quantized, scored through the shared
-  * m·k² code-to-code table (see [[PqKernels.sdc]] for the regime).
+/** Plan-constant wrapper for the SDC table: a case-class field that
+  * was a bare IndexedSeq[Double] made EVERY tree-node hashCode/equals
+  * during Catalyst's transform passes an O(524k) boxed-element walk
+  * (plan time measured in whole seconds per probe at m=8/k=256). The
+  * wrapper caches the hash once and compares by reference first, then
+  * primitive-array equality — copies made by tree transforms share the
+  * reference, so the common case is O(1).
   */
-case class PqSdc(first: Expression, second: Expression,
-    third: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
-    with Serializable {
+final class SdcTable(val values: Array[Double]) extends Serializable {
+  private val cachedHash: Int = java.util.Arrays.hashCode(values)
+  override def hashCode: Int = cachedHash
+  override def equals(o: Any): Boolean = o match {
+    case t: SdcTable => (t eq this) ||
+      (t.cachedHash == cachedHash &&
+        java.util.Arrays.equals(t.values, values))
+    case _ => false
+  }
+  override def toString: String = s"SdcTable(len=${values.length})"
+}
+
+/** `pq_sdc(qcodes, codes)` with the m·k² code-to-code table and k as
+  * CONSTRUCTOR CONSTANTS (the same class as every kernel's m/k ints:
+  * the table is codebook-derived plan configuration, not data) —
+  * double: the SYMMETRIC approximate squared distance, both sides
+  * quantized (see [[PqKernels.sdc]] for the regime and why the table
+  * must be a primitive array). The table ships once per task binary
+  * (Spark auto-broadcasts large ones) and codegen references it as a
+  * flat double[].
+  */
+case class PqSdc(left: Expression, right: Expression,
+    table: SdcTable, k: Int)
+    extends BinaryExpression with Serializable {
+  require(k > 0 && table.values.nonEmpty &&
+    table.values.length % (k * k) == 0,
+    s"pq_sdc: table length ${table.values.length} is not m·k² for k=$k")
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true
-  override def nullSafeEval(t: Any, q: Any, c: Any): Any =
-    PqKernels.sdc(t.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData],
+  override def nullSafeEval(q: Any, c: Any): Any =
+    PqKernels.sdc(table.values, k, q.asInstanceOf[ArrayData],
       c.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (t, q, c) =>
+      ev: ExprCode): ExprCode = {
+    val tableRef =
+      ctx.addReferenceObj("sdcTable", table.values, "double[]")
+    nullSafeCodeGen(ctx, ev, (q, c) =>
       s"""java.lang.Double ${ev.value}_r =
-         |  graft.functions.PqKernels.sdc($t, $q, $c);
+         |  graft.functions.PqKernels.sdc($tableRef, $k, $q, $c);
          |if (${ev.value}_r == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
          |""".stripMargin)
-  override protected def withNewChildrenInternal(t: Expression,
-      q: Expression, c: Expression): Expression =
-    copy(first = t, second = q, third = c)
+  }
+  override protected def withNewChildrenInternal(q: Expression,
+      c: Expression): Expression = copy(left = q, right = c)
   override def prettyName: String = "pq_sdc"
 }
 

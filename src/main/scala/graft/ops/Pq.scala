@@ -662,7 +662,11 @@ object Pq {
       combinedStamp(Similarity.codebookStamp(cents), cb),
       "ivfPqSearchBatchSdc")
     val codebook = typedLit(cents)
-    val table = typedLit(sdcTable(cb))
+    // the m·k² table rides INSIDE the pq_sdc expression as a primitive
+    // double[] constructor constant — as a typedLit child it converted
+    // to boxed ArrayData and the per-row pointer chases measured 6×
+    // the whole ADC scoring pass (see PqKernels.sdc)
+    val table = sdcTable(cb)
     val q = queries.select(col(queryIdCol).as("qid"),
       col(queryVecCol).cast("array<double>").as("qvec"))
     // probe pairs from the EXACT query (cell selection must not pay
@@ -685,8 +689,8 @@ object Pq {
       if (excludeSelf) cand.filter(col(idCol) =!= col("qid")) else cand
     val scored = scoped
       .select(col("qid"), col(idCol), col("cell"),
-        round(GraftFunctions.pq_sdc(table, col("_qcode"), col("pq_code")),
-          5).as("sdc_dist"))
+        round(GraftFunctions.pq_sdc(col("_qcode"), col("pq_code"),
+          table, cb.k), 5).as("sdc_dist"))
       .filter(col("sdc_dist").isNotNull)
     rankTopK(scored, idCol, "sdc_dist", biggerIsBetter = false,
       k, cellCol = Some("cell"))

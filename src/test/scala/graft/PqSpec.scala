@@ -525,9 +525,10 @@ class PqSpec extends AnyFunSuite {
     val pairs = for (a <- vecs.take(6); b <- vecs.take(6)) yield (a, b)
     val got = pairs.map { case ((_, qa), (_, xb)) => (qa, xb) }
       .toDF("q", "x")
-      .select(GraftFunctions.pq_sdc(typedLit(table),
+      .select(GraftFunctions.pq_sdc(
         GraftFunctions.pq_encode(col("q"), typedLit(cb.flat), m, k),
-        GraftFunctions.pq_encode(col("x"), typedLit(cb.flat), m, k))
+        GraftFunctions.pq_encode(col("x"), typedLit(cb.flat), m, k),
+        table, k)
         .as("d"))
       .collect().map(_.getDouble(0))
     val want = pairs.map { case ((_, qa), (_, xb)) => refSdc(qa, xb) }
@@ -548,9 +549,10 @@ class PqSpec extends AnyFunSuite {
         Some(0.0), Some(0.0), Some(0.0), Some(0.0)),
       vecs.head._2))
       .toDF("q", "x")
-      .select(GraftFunctions.pq_sdc(typedLit(table),
+      .select(GraftFunctions.pq_sdc(
         GraftFunctions.pq_encode(col("q"), typedLit(cb.flat), m, k),
-        GraftFunctions.pq_encode(col("x"), typedLit(cb.flat), m, k))
+        GraftFunctions.pq_encode(col("x"), typedLit(cb.flat), m, k),
+        table, k)
         .as("d"))
       .collect()(0)
     assert(nullRow.isNullAt(0), "corrupt query must score null")
