@@ -100,7 +100,9 @@ object Bench {
     "q134_decontaminate_auto", // estimator-picked broadcast-vs-bloom
     "q136_bucketed_revenue", // bucketed write + zero-exchange join/agg
     "q137_dup_components_auto", // auto plain-vs-doubling components
-    "q138_semantic_ingest_pq") // streaming PQ ingest, two-epoch path
+    "q138_semantic_ingest_pq", // streaming PQ ingest, two-epoch path
+    "q139_ivf_migrated", // managed codebook migration + probe
+    "q140_semantic_dedup_sdc") // symmetric-distance (SDC) PQ dedup
 
   def main(args: Array[String]): Unit = {
     // the f interpolator renders %f under the JVM default locale; a

@@ -55,14 +55,18 @@ object DocsBench {
         SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
     // a per-query failure is a RECORDED boundary (e.g. q104's broadcast
     // contract ending where the batch outgrows the driver), not a
-    // reason to lose the other measurements
-    val calibs = scala.collection.mutable.ListBuffer[Double]()
-    val timings: Seq[(String, Either[String, Seq[(Double, Double)]])] =
+    // reason to lose the other measurements. The calib sentinel lives
+    // INSIDE each query's own record (r17 ADVICE): the old global
+    // calib array skipped warm-failed queries, silently shifting the
+    // positional query↔calib attribution the artifact exists to make
+    // machine-decidable.
+    val timings: Seq[(String, Either[String,
+        (Double, Seq[(Double, Double)])])] =
       names.map { name =>
         val q = SparkEntry.queries(name)
         try {
           q(spark, dir).write.format("noop").mode("overwrite").save() // warm
-          calibs += BenchProto.calibSec()
+          val calib = BenchProto.calibSec()
           val samples = (1 to 3).map { _ =>
             val l = BenchProto.load1()
             val t0 = System.nanoTime()
@@ -71,7 +75,7 @@ object DocsBench {
           }
           println(f"$name: ${samples.map(_._1).min}%.1f s (min of " +
             samples.map(s => f"${s._1}%.1f").mkString("[", ",", "]") + ")")
-          name -> Right(samples)
+          name -> Right((calib, samples))
         } catch {
           case e: Exception =>
             // message may be null (bare NPE) or empty — never let the
@@ -92,12 +96,13 @@ object DocsBench {
     def seq(xs: Seq[Double]) =
       xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val json = s"""{"metric":"docs_bench","docs":$nDocs,""" +
-      s""""stat":"min_of_3","calib":${seq(calibs.toSeq)},"queries":{""" +
+      s""""stat":"min_of_3","queries":{""" +
       timings.map {
-        case (n, Right(ss)) =>
+        case (n, Right((calib, ss))) =>
           val ts = ss.map(_._1)
           f""""$n":{"sec":${ts.min}%.3f,""" +
             f""""median":${ts.sorted.apply(ts.size / 2)}%.3f,""" +
+            f""""calib":$calib%.3f,""" +
             s""""samples":${seq(ts)},"load1":${seq(ss.map(_._2))}}"""
         case (n, Left(m)) => s""""$n":{"failed":"${jsonStr(m)}"}"""
       }.mkString(",") + "}}"

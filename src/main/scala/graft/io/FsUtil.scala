@@ -36,16 +36,31 @@ object FsUtil {
     * batch then fails identically and the stream wedges with no
     * recovery (r16 ADVICE). Short-circuits on the first data file, so
     * on a populated tree this is one directory listing deep.
+    *
+    * Visibility matches Spark's InMemoryFileIndex filter EXACTLY
+    * (r17 ADVICE): a `.`-prefixed name is hidden UNCONDITIONALLY —
+    * Spark filters it even when it contains `=`, so counting a
+    * `.x=1/` subtree as data here would report "data exists" for a
+    * tree `spark.read.parquet` still refuses, the exact wedge this
+    * probe prevents; a `_`-prefixed name is hidden only WITHOUT `=`
+    * (partition dirs like `_batch=0` are data-visible). A concurrent
+    * fold deleting a `_batch=` subtree mid-walk surfaces as
+    * FileNotFoundException from listStatus — treated as "that subtree
+    * holds no data" rather than crashing the probe (the fold only ever
+    * removes batches whose rows its consolidated subtree re-hosts, so
+    * a sibling still answers the existence question).
     */
   def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Boolean = {
-    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def visible(n: String) =
+      !n.startsWith(".") && (!n.startsWith("_") || n.contains("="))
     def walk(p: org.apache.hadoop.fs.Path): Boolean =
-      fs.listStatus(p).exists { s =>
-        val n = s.getPath.getName
-        if (s.isDirectory) (n.contains("=") || !hidden(n)) && walk(s.getPath)
-        else !hidden(n)
+      try fs.listStatus(p).exists { s =>
+        visible(s.getPath.getName) && (!s.isDirectory || walk(s.getPath))
+      } catch {
+        case _: java.io.FileNotFoundException => false
       }
-    fs.exists(root) && fs.getFileStatus(root).isDirectory && walk(root)
+    try fs.exists(root) && fs.getFileStatus(root).isDirectory && walk(root)
+    catch { case _: java.io.FileNotFoundException => false }
   }
 }

@@ -138,6 +138,31 @@ class PqSpec extends AnyFunSuite {
     assert(e2.getMessage != null)
   }
 
+  test("pq_adc null contract on HAND-BUILT LUTs: a null READ slot " +
+    "nulls the score, a null UNREAD slot does not") {
+    import spark.implicits._
+    // DELIBERATE semantics pin (r17 ADVICE): pq_adc checks only the m
+    // LUT slots it reads. Kernel-built LUTs are all-or-nothing null
+    // (pq_lut returns a NULL ARRAY for a corrupt query), so this only
+    // matters for hand-built LUTs — where "the slots you rank by are
+    // intact" is the honest contract, and scanning all m·k entries per
+    // candidate row cost ~k× the lookup itself (the r16 relaxation).
+    // m=2, k=2; codes [0, 1] read slots 0 (j·k+c = 0) and 3 (1·2+1).
+    val readSlotNull = Seq(
+      (Seq[Option[Double]](None, Some(9.0), Some(9.0), Some(2.0)),
+        Seq(0, 1))).toDF("lut", "code")
+      .select(GraftFunctions.pq_adc(col("lut"), col("code"))).head
+    assert(readSlotNull.isNullAt(0),
+      "a null in a READ slot must null the score")
+    val unreadSlotNull = Seq(
+      (Seq[Option[Double]](Some(1.0), None, None, Some(2.0)),
+        Seq(0, 1))).toDF("lut", "code")
+      .select(GraftFunctions.pq_adc(col("lut"), col("code"))).head
+    assert(!unreadSlotNull.isNullAt(0) &&
+      unreadSlotNull.getDouble(0) == 3.0,
+      "nulls confined to UNREAD slots must not affect the score")
+  }
+
   test("train is deterministic and codes cover the centroid range") {
     import spark.implicits._
     val df = randVecs(500, 16, 21).toDF("id", "vec")
