@@ -39,14 +39,23 @@ import graft.streaming.IdempotentSink
   * contrast this variant exists for (the plain vec tree stores
   * 8·dim = 512 bytes of vector per row; m=8 codes are ~(8·dim)/m× =
   * 64× smaller before parquet encoding) and `fold_sec` shows the fold
-  * rewriting codes instead of vectors. tauDist = 2 − 2·tau maps the
-  * cosine threshold onto ADC squared distance for the near-unit
-  * corpus; flags are the PQ variant's own (quantization can flip a
-  * straddler — the recall/τ study is SemDedupBench's), so the
-  * cross-policy comparisons stay within-mode.
+  * rewriting codes instead of vectors. tauDist comes from the managed
+  * [[graft.ops.Pq.calibrateTauDist]] (boundary-pair measurement on the
+  * training sample, mode-matched — the operator that replaced this
+  * bench's hand-derived self-distance fold-in); flags are the PQ
+  * variant's own (quantization can flip a straddler — the recall/τ
+  * study is SemDedupBench's), so the cross-policy comparisons stay
+  * within-mode.
+  *
+  * `probe=sdc` (pq mode only) probes via the symmetric kernel —
+  * m-byte query codes + one shared table instead of per-query
+  * m·k-double LUTs: the A/B against `probe=adc` at the same n/batches
+  * is the ingest-shaped measurement behind the SDC regime claim
+  * (SEMINGEST_PQ_SDC artifacts).
   *
   * Usage: SemIngestBench [n=200000] [nBatches=50] [outDir]
   *        [foldEvery=0] [foldMode=all|tail] [mode=plain|pq]
+  *        [probe=adc|sdc]
   */
 object SemIngestBench {
 
@@ -58,10 +67,15 @@ object SemIngestBench {
     val foldEvery = args.lift(3).map(_.toInt).getOrElse(0)
     val foldMode = args.lift(4).getOrElse("all")
     val mode = args.lift(5).getOrElse("plain")
+    val probe0 = args.lift(6).getOrElse("adc")
     require(foldMode == "all" || foldMode == "tail",
       s"foldMode must be all|tail (got $foldMode)")
     require(mode == "plain" || mode == "pq",
       s"mode must be plain|pq (got $mode)")
+    require(probe0 == "adc" || probe0 == "sdc",
+      s"probe must be adc|sdc (got $probe0)")
+    require(mode == "pq" || probe0 == "adc",
+      "probe=sdc only applies to mode=pq")
     val dim = 64
     val kCells = math.sqrt(n.toDouble).toInt
     val tau = 0.95
@@ -138,30 +152,22 @@ object SemIngestBench {
     lazy val pqCb = graft.ops.Pq.train(
       spark.read.parquet(arrivals).filter(col("vec_id") % 10 === 0),
       "vec_id", "embedding", m = pqM, k = pqK, sampleN = 20000, iters = 5)
-    // τ CALIBRATION — the step a PQ-thresholded dedup cannot skip: ADC
-    // distance is biased UP by the quantization error (E[ADC(q,x)] =
-    // ‖q−x‖² + E‖x−c(x)‖² for near-orthogonal error), and on random
-    // unit vectors — PQ's worst case, no correlation structure to
-    // exploit — that bias (~0.25 here) dwarfs the raw cosine threshold
-    // (2−2·0.95 = 0.1): uncalibrated, every planted near-copy ranks
-    // past tauDist and NOTHING dedups (measured, first cut of this
-    // mode). ADC(x,x) = ‖x−c(x)‖² exactly, so the mean self-distance
-    // over the training sample IS the bias; fold it into the
-    // threshold. The operator stays untouched — calibration is the
-    // caller's τ-mapping job, recorded in the artifact.
-    lazy val quantBias: Double = {
-      import graft.functions.GraftFunctions
-      val cbLit = typedLit(pqCb.flat)
-      spark.read.parquet(arrivals).filter(col("vec_id") % 10 === 0)
-        .limit(20000)
-        .select(GraftFunctions.pq_adc(
-          GraftFunctions.pq_lut(col("embedding").cast("array<double>"),
-            cbLit, pqM, pqK),
-          GraftFunctions.pq_encode(col("embedding").cast("array<double>"),
-            cbLit, pqM, pqK)).as("d"))
-        .agg(avg(col("d"))).head.getDouble(0)
-    }
-    lazy val tauDist = 2.0 - 2.0 * tau + quantBias
+    // τ CALIBRATION — the step a PQ-thresholded dedup cannot skip: on
+    // random unit vectors (PQ's worst case) the quantization bias
+    // (~0.25–0.33 here) dwarfs the raw cosine threshold (2−2·0.95 =
+    // 0.1): uncalibrated, every planted near-copy ranks past tauDist
+    // and NOTHING dedups (measured, first cut of the pq mode). Since
+    // r17 this is the managed operator — mode-matched boundary-pair
+    // measurement on the training sample — instead of the
+    // self-distance fold-in this bench used to hand-derive (which is
+    // ~right for ADC but over-corrects SDC: straddler pairs share
+    // codes; see calibrateTauDist's scaladoc).
+    lazy val tauDist = graft.ops.Pq.calibrateTauDist(
+      spark.read.parquet(arrivals).filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", pqCb, cosThreshold = tau, mode = probe0,
+      sampleN = 20000)
+    // recorded alongside: how far calibration moved τ off the raw map
+    lazy val tauMargin = tauDist - (2.0 - 2.0 * tau)
 
     def parquetFiles(path: String): Long = {
       def walk(f: java.io.File): Long =
@@ -181,7 +187,8 @@ object SemIngestBench {
         IdempotentSink.semanticIngestPqByBatch(
           root, flagsOut, "vec_id", "embedding", cb, "cid", "cvec",
           pqCb, tauDist = tauDist, nProbe = nProbe,
-          foldEvery = foldEvery, foldTail = foldMode == "tail") _
+          foldEvery = foldEvery, foldTail = foldMode == "tail",
+          probeMode = probe0) _
       else
         IdempotentSink.semanticIngestByBatch(
           root, flagsOut, "vec_id", "embedding", cb, "cid", "cvec",
@@ -219,7 +226,12 @@ object SemIngestBench {
     def prior() = spark.read.parquet(treeDir)
       .filter(col("_batch").cast("long") < lookupBound).drop("_batch")
     def lookupFlags() =
-      if (mode == "pq")
+      if (mode == "pq" && probe0 == "sdc")
+        graft.ops.Pq.semanticDedupFlagsPqSdc(
+          probe, "vec_id", "embedding", prior(), "vec_id",
+          cb, "cid", "cvec", pqCb, tauDist = tauDist, nProbe = nProbe,
+          excludeSelf = true)
+      else if (mode == "pq")
         graft.ops.Pq.semanticDedupFlagsPq(
           probe, "vec_id", "embedding", prior(), "vec_id",
           cb, "cid", "cvec", pqCb, tauDist = tauDist, nProbe = nProbe,
@@ -264,8 +276,8 @@ object SemIngestBench {
     }.mkString("[", ",", "]")
     def meanOf(xs: Seq[Double]) = xs.sum / math.max(1, xs.size)
     val pqJson = if (mode == "pq")
-      f""""pq_m":$pqM,"pq_k":$pqK,"tau_dist":$tauDist%.3f,""" +
-        f""""quant_bias":$quantBias%.3f,""" else ""
+      f""""pq_m":$pqM,"pq_k":$pqK,"probe":"$probe0",""" +
+        f""""tau_dist":$tauDist%.3f,"tau_margin":$tauMargin%.3f,""" else ""
     val json =
       f"""{"metric":"semingest_stream","docs":$n,"batches":$nBatches,""" +
         f""""stat":"min_of_3","dim":$dim,"cells":$nCells,"tau":$tau,""" +
@@ -290,7 +302,8 @@ object SemIngestBench {
       java.nio.file.Paths.get(outDir)): Unit
     val suffix = (if (foldEvery > 0) s"_f$foldEvery" else "") +
       (if (foldEvery > 0 && foldMode == "tail") "t" else "") +
-      (if (mode == "pq") "_pq" else "")
+      (if (mode == "pq") "_pq" else "") +
+      (if (mode == "pq" && probe0 == "sdc") "_sdc" else "")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outDir,
         s"semingest_${n}_b$nBatches$suffix.json"),

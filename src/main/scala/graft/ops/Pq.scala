@@ -136,6 +136,120 @@ object Pq {
 
   private def cbLit(cb: Codebook): Column = typedLit(cb.flat)
 
+  /** τ-CALIBRATION as an operator — the executable form of the recipe
+    * every PQ-thresholded dedup docstring points at, which until r17
+    * lived only in bench code (SemIngestBench) and had to be re-derived
+    * from artifacts by every caller. Returns the DISTANCE threshold to
+    * pass as `tauDist` to [[semanticDedupFlagsPq]] (mode "adc") /
+    * [[semanticDedupFlagsPqSdc]] (mode "sdc") so the flags match an
+    * exact-cosine dedup at `cosThreshold` as closely as the
+    * quantization allows.
+    *
+    * METHOD — measured BOUNDARY PAIRS, not a bias formula: for each
+    * sample vector x a partner x' is synthesized at EXACTLY
+    * cos(x, x') = cosThreshold (rotate x toward a deterministic
+    * orthogonal direction — the Gram-Schmidt residual of x's
+    * coordinate rotation — by arccos(cosThreshold), same norm), and τ
+    * is the mean probe-distance the chosen kernel actually reports for
+    * those pairs: ADC scores pq_adc(lut(x), encode(x')), SDC scores
+    * the shared-table code pair. That is the decision boundary by
+    * construction — whatever lands below it is closer than the
+    * threshold pair, in the metric the dedup will really use.
+    *
+    * Why not the self-distance bias fold-in (τ₀ + E‖x−c(x)‖², the r16
+    * bench recipe; τ₀ = 2 − 2·cosThreshold for near-unit vectors)? It
+    * models quantization error as orthogonal AND independent across
+    * the pair. For ADC that holds well (the candidate is the only
+    * quantized side) and the boundary measurement reproduces ~τ₀+bias.
+    * For SDC it fails in exactly the regime dedup cares about:
+    * STRADDLER pairs are near-identical, their sub-vectors mostly
+    * quantize to the SAME codes, the two errors correlate, and the
+    * code-to-code distance collapses far below the "both biases" model
+    * — the ×2 fold-in over-dedups massively (measured in PqSpec's
+    * seeded case: τ₀+2·bias kept 110 where the exact regime kept 200;
+    * the boundary-measured τ recovers the exact count on both modes).
+    * Error correlation is a property of the pair geometry; only
+    * measuring AT the boundary captures it.
+    *
+    * The sample must be codebook-representative (the natural choice is
+    * the codebook's own training sample); it is bounded to the first
+    * `sampleN` rows by `idCol` — deterministic TakeOrdered collect,
+    * the same driver-bounded class as [[train]]'s sample (the partner
+    * construction is per-row arithmetic; scoring runs distributed
+    * through the kernels). Zero-norm vectors and vectors with no
+    * orthogonal residual (constant vectors) are skipped; null scores
+    * (corrupt rows, per the kernel null contract) are excluded from
+    * the mean.
+    *
+    * Spec'd in PqSpec: a LOSSLESS codebook (every sub-vector its own
+    * sub-centroid) reproduces the pure cos→L2 map exactly — τ =
+    * 2 − 2·cosThreshold for unit vectors — and on a seeded near-dup
+    * corpus the calibrated τ recovers the exact-regime kept-count in
+    * BOTH modes (the agreement class the r16 ingest artifact measured
+    * at 1M rows).
+    */
+  def calibrateTauDist(sample: DataFrame, idCol: String, vecCol: String,
+      cb: Codebook, cosThreshold: Double, mode: String = "adc",
+      sampleN: Int = 20000): Double = {
+    require(mode == "adc" || mode == "sdc",
+      s"""calibrateTauDist: mode must be "adc" or "sdc" (got "$mode")""")
+    require(sampleN > 0, "calibrateTauDist: sampleN must be positive")
+    require(cosThreshold > -1.0 && cosThreshold <= 1.0,
+      s"calibrateTauDist: cosThreshold must be in (-1, 1] " +
+        s"(got $cosThreshold)")
+    val spark = sample.sparkSession
+    val rows = sample.orderBy(col(idCol))
+      .select(col(vecCol).cast("array<double>"))
+      .limit(sampleN).collect()
+      .flatMap(r => Option(r.getSeq[Double](0)))
+      .filter(v => v.forall(x => !x.isNaN))
+    require(rows.nonEmpty, "calibrateTauDist: empty calibration sample")
+    val cosT = cosThreshold
+    val sinT = math.sqrt(math.max(0.0, 1.0 - cosT * cosT))
+    def norm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val pairs = rows.toSeq.flatMap { x =>
+      val n = norm(x)
+      if (n < 1e-12) None
+      else {
+        val xh = x.map(_ / n)
+        // deterministic direction "unrelated" to x: its own coordinate
+        // rotation, Gram-Schmidt'ed orthogonal to x
+        val shifted = xh.last +: xh.init
+        val proj = shifted.zip(xh).map { case (s, h) => s * h }.sum
+        val resid = shifted.zip(xh).map { case (s, h) => s - proj * h }
+        val rn = norm(resid)
+        if (rn < 1e-9) None // constant vector: no orthogonal residual
+        else {
+          val u = resid.map(_ / rn)
+          // same-norm partner at exactly cos = cosT
+          Some((x, xh.zip(u).map { case (h, uu) =>
+            n * (cosT * h + sinT * uu) }))
+        }
+      }
+    }
+    require(pairs.nonEmpty,
+      "calibrateTauDist: no usable vectors in the sample (all " +
+        "zero-norm or constant) — cannot calibrate a threshold")
+    import spark.implicits._
+    val df = pairs.toDF("x", "xp")
+    val lit = cbLit(cb)
+    val score =
+      if (mode == "adc")
+        GraftFunctions.pq_adc(
+          GraftFunctions.pq_lut(col("x"), lit, cb.m, cb.k),
+          GraftFunctions.pq_encode(col("xp"), lit, cb.m, cb.k))
+      else
+        GraftFunctions.pq_sdc(
+          GraftFunctions.pq_encode(col("x"), lit, cb.m, cb.k),
+          GraftFunctions.pq_encode(col("xp"), lit, cb.m, cb.k),
+          sdcTable(cb), cb.k)
+    val row = df.select(score.as("d")).agg(avg(col("d"))).head
+    require(!row.isNullAt(0),
+      "calibrateTauDist: no non-null boundary distances in the sample " +
+        "— an all-corrupt sample cannot calibrate a threshold")
+    row.getDouble(0)
+  }
+
   /** Per-metric pieces: LUT builder, output score column, rank order.
     * "l2" ranks ascending squared distance (column `adc_dist`); "ip"
     * ranks DESCENDING inner product (column `adc_ip`). MEASURED
@@ -637,19 +751,27 @@ object Pq {
     * (a corrupt vector encodes to a null code and is excluded, never
     * ranked). Returns (qid, `idCol`, cell, sdc_dist) — ascending.
     *
-    * REGIME (measured, SEMINGEST_PQ_1m_r16 + PQSDC bench): ADC ships
-    * m·k doubles PER QUERY (16 KB at m=8/k=256 — 32× a dim-64 vector;
-    * a 10⁴-query batch is a ~160 MB broadcast whose per-candidate
-    * hash-probes dominate the probe wall). SDC ships m BYTES per query
-    * plus one 4 MB table for the whole plan — use it when the query
-    * batch is large relative to the probed candidates (the streaming-
-    * ingest shape). The price is the SECOND quantization: the error
-    * term gains E‖q−c(q)‖² on top of ADC's E‖x−c(x)‖², roughly
-    * doubling the τ-calibration bias and widening the straddler band —
-    * both measurable as mean self-distances, handled by the caller's
-    * τ-mapping exactly like ADC's (PqSpec pins SDC == ADC == exact on
-    * a lossless codebook, so the difference IS the quantization, not
-    * the plumbing).
+    * REGIME (measured, SDC_1m_r17.json): ADC ships m·k doubles PER
+    * QUERY (16 KB at m=8/k=256 — 32× a dim-64 vector; a 10⁴-query
+    * batch is a ~160 MB broadcast whose per-candidate hash-probes
+    * dominate the probe wall). SDC ships the m-byte query code plus
+    * one 4 MB table for the whole plan — use it when the query batch
+    * is large relative to the probed candidates (the streaming-ingest
+    * shape). The price is the SECOND quantization: the error term
+    * gains E‖q−c(q)‖² on top of ADC's E‖x−c(x)‖², roughly doubling
+    * the τ-calibration bias and widening the straddler band — both
+    * measurable as mean self-distances, executable via
+    * [[calibrateTauDist]] (mode "sdc") (PqSpec pins SDC == ADC ==
+    * exact on a lossless codebook, so the difference IS the
+    * quantization, not the plumbing).
+    *
+    * BATCH-SIZE CONTRACT: the qcells (|batch|·nProbe rows) and qcodes
+    * (|batch| rows) frames still BROADCAST — ~100 bytes per query at
+    * m=8/nProbe=2, so the practical ceiling sits around ~10⁶–10⁷
+    * queries (vs ADC's ~10⁴): two orders of magnitude more headroom,
+    * but NOT unbounded. A corpus-refresh batch past that (the 10⁸-row
+    * shape) must go through [[ivfPqSearchBatchSdcChunked]], whose
+    * hash chunks bound both broadcasts — same result by construction.
     */
   def ivfPqSearchBatchSdc(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, index: DataFrame, idCol: String,
@@ -698,10 +820,13 @@ object Pq {
 
   /** [[semanticDedupFlagsPq]] through the SYMMETRIC probe — the
     * LARGE-BATCH dedup regime: the batch side ships codes, not LUTs,
-    * so a corpus-refresh batch of 10⁸ rows probes without the ADC
-    * variant's |batch|·m·k-double broadcast. `tauDist` must carry BOTH
-    * quantization biases (≈ 2× ADC's; calibrate via mean
-    * self-distances, same recipe). Returns
+    * so a corpus-refresh batch probes without the ADC variant's
+    * |batch|·m·k-double broadcast; the probe goes through
+    * [[ivfPqSearchBatchSdcChunked]], so batches past the single-shot
+    * broadcast ceiling (the 10⁸-row corpus-refresh shape) split into
+    * bounded hash chunks automatically. `tauDist` must carry BOTH
+    * quantization biases (≈ 2× ADC's — [[calibrateTauDist]] with mode
+    * "sdc" computes it). Returns
     * (batchIdCol, neighbor_id, sdc_dist, keep).
     */
   def semanticDedupFlagsPqSdc(batch: DataFrame, batchIdCol: String,
@@ -709,7 +834,7 @@ object Pq {
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, tauDist: Double, nProbe: Int = 2,
       excludeSelf: Boolean = true): DataFrame = {
-    val top = ivfPqSearchBatchSdc(batch, batchIdCol, batchVecCol,
+    val top = ivfPqSearchBatchSdcChunked(batch, batchIdCol, batchVecCol,
       index, idCol, centroids, centroidIdCol, centroidVecCol, cb,
       k = 1, nProbe = nProbe, excludeSelf = excludeSelf)
       .select(col("qid"), col(idCol).as("neighbor_id"), col("sdc_dist"))
@@ -717,6 +842,42 @@ object Pq {
       .join(top, col(batchIdCol) === col("qid"), "left")
       .select(col(batchIdCol), col("neighbor_id"), col("sdc_dist"),
         (col("sdc_dist").isNull || col("sdc_dist") > tauDist).as("keep"))
+  }
+
+  /** [[ivfPqSearchBatchSdc]] for query batches past ITS broadcast-size
+    * contract — the SDC twin of [[ivfPqSearchBatchChunked]], with the
+    * default chunk sized 64× larger: an SDC chunk ships ~100 bytes per
+    * query (the m-byte code + the (qid, cell) probe pairs) where an
+    * ADC chunk ships the m·k-double LUT (16 KB at m=8/k=256), so the
+    * same ~50 MB broadcast budget admits 64× the queries. Hash chunks
+    * (`pmod(xxhash64(qid), nChunks)`), one scalar count to size them,
+    * per-query top-k independent of every other query ⇒ the union is
+    * result-identical to the single-shot probe (PqSpec asserts it);
+    * the shared m·k² table is a plan constant either way.
+    */
+  def ivfPqSearchBatchSdcChunked(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, index: DataFrame, idCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      cb: Codebook, k: Int, nProbe: Int = 2,
+      excludeSelf: Boolean = true,
+      maxCodeBatch: Int = 524288): DataFrame = {
+    require(maxCodeBatch >= 1, "maxCodeBatch must be ≥ 1")
+    val nQueries = queries.count()
+    val nChunks =
+      math.max(1L, (nQueries + maxCodeBatch - 1) / maxCodeBatch).toInt
+    if (nChunks <= 1)
+      ivfPqSearchBatchSdc(queries, queryIdCol, queryVecCol, index, idCol,
+        centroids, centroidIdCol, centroidVecCol, cb, k, nProbe,
+        excludeSelf)
+    else (0 until nChunks).map { chunk =>
+      // an unlucky-empty chunk probes nothing and unions empty — safe
+      ivfPqSearchBatchSdc(
+        queries.filter(
+          pmod(xxhash64(col(queryIdCol)), lit(nChunks)) === lit(chunk)),
+        queryIdCol, queryVecCol, index, idCol,
+        centroids, centroidIdCol, centroidVecCol, cb, k, nProbe,
+        excludeSelf)
+    }.reduce(_ union _)
   }
 
   /** [[graft.ops.Similarity.semanticDedupFlags]] over an IVF-PQ index

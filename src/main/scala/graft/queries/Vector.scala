@@ -332,10 +332,10 @@ object Vector {
     // q133's split through the SYMMETRIC probe (SDC): the batch ships
     // CODES, not per-query LUTs — the large-batch dedup regime where
     // the ADC variant's |batch|·m·k-double broadcast is the bound.
-    // Scored via the shared m·k² code-to-code table; tauDist carries
-    // both quantization biases (the fixture codebook is coarse, so the
-    // threshold sits wider than q133's — the oracle computes the same
-    // symmetric distance, so the flag is hash-gated at any τ).
+    // Scored via the shared m·k² code-to-code table; tauDist comes
+    // from the managed calibration (boundary pairs at cos 0.8 over the
+    // corpus subset, mode "sdc") — the oracle re-derives the identical
+    // τ in SQL, so the calibration recipe is hash-gated too.
     "q140_semantic_dedup_sdc" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // k=16 (256 code points) over a 10% corpus subset: with the k=4
@@ -348,13 +348,37 @@ object Vector {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val isCorpus = col("vec_id") % 10 === 0
       val isBatch = col("vec_id") % 10 === 9
+      val tau = graft.ops.Pq.calibrateTauDist(emb.filter(isCorpus),
+        "vec_id", "embedding", cb, cosThreshold = 0.8, mode = "sdc")
       val out = QueryTmp.dir("q140", s, d)
       graft.ops.Pq.ivfPqIndexWrite(emb.filter(isCorpus), "vec_id",
         "embedding", centroids, "cid", "cvec", cb, s"$out/ivfpq")
       graft.ops.Pq.semanticDedupFlagsPqSdc(
         emb.filter(isBatch), "vec_id", "embedding",
         s.read.parquet(s"$out/ivfpq"), "vec_id",
-        centroids, "cid", "cvec", cb, tauDist = 0.8, nProbe = 2)
+        centroids, "cid", "cvec", cb, tauDist = tau, nProbe = 2)
+        .orderBy("vec_id")
+    }),
+
+    // q144: q133's ADC dedup with the threshold CALIBRATED by
+    // Pq.calibrateTauDist (boundary pairs at cos 0.9 over the corpus
+    // subset) instead of a hand-picked literal — the operator-ized
+    // τ-recipe under the oracle gate (the SQL derives the same τ).
+    "q144_semantic_dedup_pq_calibrated" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = fixturePqCodebook(emb)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val isBatch = col("vec_id") % 10 === 9
+      val tau = graft.ops.Pq.calibrateTauDist(emb.filter(!isBatch),
+        "vec_id", "embedding", cb, cosThreshold = 0.9, mode = "adc")
+      val out = QueryTmp.dir("q144", s, d)
+      graft.ops.Pq.ivfPqIndexWrite(emb.filter(!isBatch), "vec_id",
+        "embedding", centroids, "cid", "cvec", cb, s"$out/ivfpq")
+      graft.ops.Pq.semanticDedupFlagsPq(
+        emb.filter(isBatch), "vec_id", "embedding",
+        s.read.parquet(s"$out/ivfpq"), "vec_id",
+        centroids, "cid", "cvec", cb, tauDist = tau, nProbe = 2)
         .orderBy("vec_id")
     }),
 
@@ -372,16 +396,52 @@ object Vector {
       val centroids = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val isBatch = col("vec_id") % 10 === 9
+      val tau = graft.ops.Pq.calibrateTauDist(emb.filter(!isBatch),
+        "vec_id", "embedding", cb, cosThreshold = 0.9, mode = "adc")
       val root = QueryTmp.dir("q138", s, d)
       def ingest(df: DataFrame, b: Long): Unit =
         graft.streaming.IdempotentSink.semanticIngestPqByBatch(
           s"$root/idx", s"$root/flags", "vec_id", "embedding",
-          centroids, "cid", "cvec", cb, tauDist = 1.2, nProbe = 2)(df, b)
+          centroids, "cid", "cvec", cb, tauDist = tau, nProbe = 2)(df, b)
       ingest(emb.filter(!isBatch), 0L)
       ingest(emb.filter(isBatch), 1L)
       s.read.parquet(s"$root/flags")
         .filter(col("_batch").cast("long") === 1L)
         .select(col("vec_id"), col("neighbor_id"), col("adc_dist"),
+          col("keep"))
+        .orderBy("vec_id")
+    }),
+
+    // q140's SDC dedup through the STREAMING ingest's sdc probe mode —
+    // the wiring the large-batch regime exists for (a micro-batch IS a
+    // large query batch): epoch 0 ingests the 10% corpus subset
+    // (everything keeps; (id, pq_code, cell) rows land batch-keyed
+    // under the combined IVF+PQ stamp), epoch 1 flags the batch via
+    // the SYMMETRIC kernel — m-byte query codes against the shared
+    // m·k² table, chunked automatically past the broadcast ceiling —
+    // through the same `_batch < 1` time-travel read as q138. Shares
+    // q140's oracle verbatim: with this split the epoch-1 flags are
+    // exactly the batch-vs-corpus SDC pure function.
+    "q141_semantic_ingest_pq_sdc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = fixturePqCodebookK(emb, 16)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val isCorpus = col("vec_id") % 10 === 0
+      val isBatch = col("vec_id") % 10 === 9
+      val tau = graft.ops.Pq.calibrateTauDist(emb.filter(isCorpus),
+        "vec_id", "embedding", cb, cosThreshold = 0.8, mode = "sdc")
+      val root = QueryTmp.dir("q141", s, d)
+      def ingest(df: DataFrame, b: Long): Unit =
+        graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+          s"$root/idx", s"$root/flags", "vec_id", "embedding",
+          centroids, "cid", "cvec", cb, tauDist = tau, nProbe = 2,
+          probeMode = "sdc")(df, b)
+      ingest(emb.filter(isCorpus), 0L)
+      ingest(emb.filter(isBatch), 1L)
+      s.read.parquet(s"$root/flags")
+        .filter(col("_batch").cast("long") === 1L)
+        .select(col("vec_id"), col("neighbor_id"), col("sdc_dist"),
           col("keep"))
         .orderBy("vec_id")
     }),
@@ -418,26 +478,204 @@ object Vector {
   private def fixturePqCodebook(emb: DataFrame): graft.ops.Pq.Codebook =
     fixturePqCodebookK(emb, 4)
 
-  /** Shared oracle prefix for the PQ family: re-derive the m=2 × k=4
+  /** Shared oracle prefix for the PQ family: re-derive the m=2 × k
     * data-derived codebook and every vector's code in SQL. `//` is
     * DuckDB integer division (= Spark `div`); subscripts are 1-based.
     */
-  private val pqPrefix =
-    """WITH ax AS (
-      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-      |         unnest(embedding)::DOUBLE AS x
-      |  FROM embeddings),
-      |sub AS (
-      |  SELECT vec_id, (i - 1) // 32 AS j, (i - 1) % 32 AS t, x FROM ax),
-      |pcent AS (SELECT vec_id AS c, j, t, x FROM sub WHERE vec_id < 4),
-      |pqd AS (
-      |  SELECT s.vec_id, s.j, p.c, sum((s.x - p.x) * (s.x - p.x)) AS d
-      |  FROM sub s JOIN pcent p ON p.j = s.j AND p.t = s.t
-      |  GROUP BY 1, 2, 3),
-      |codes AS (
-      |  SELECT vec_id, j, c AS code FROM (
-      |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j
-      |      ORDER BY d ASC, c ASC) AS rn FROM pqd) WHERE rn = 1)""".stripMargin
+  private def pqPrefixK(k: Int): String =
+    s"""WITH ax AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         unnest(embedding)::DOUBLE AS x
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, (i - 1) // 32 AS j, (i - 1) % 32 AS t, x FROM ax),
+       |pcent AS (SELECT vec_id AS c, j, t, x FROM sub WHERE vec_id < $k),
+       |pqd AS (
+       |  SELECT s.vec_id, s.j, p.c, sum((s.x - p.x) * (s.x - p.x)) AS d
+       |  FROM sub s JOIN pcent p ON p.j = s.j AND p.t = s.t
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, j, c AS code FROM (
+       |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j
+       |      ORDER BY d ASC, c ASC) AS rn FROM pqd) WHERE rn = 1)""".stripMargin
+
+  private val pqPrefix = pqPrefixK(4)
+
+  /** [[graft.ops.Pq.calibrateTauDist]]'s boundary-pair construction in
+    * SQL — CTEs to splice after a [[pqPrefixK]] prefix (`ax`, `pcent`,
+    * `pqd`, `codes` in scope; for mode "sdc" also `sdct`): for each
+    * calibration-sample vector, its same-norm partner at exactly
+    * cos = `cosT` (rotate toward the Gram-Schmidt residual of the
+    * vector's own circular coordinate shift), the partner's codes, and
+    * `tau` = the mean pair distance under the chosen kernel. The skip
+    * guards (zero-norm ≥ 1e-12, no-residual ≥ 1e-9) mirror the
+    * operator's exactly.
+    */
+  private def calibCtes(mode: String, cosT: Double,
+      samplePred: String): String = {
+    val sinT = s"sqrt(1 - $cosT*$cosT)"
+    val pair = if (mode == "adc")
+      """cal_pair AS (
+        |  SELECT dx.vec_id, sum(dx.d) AS dist
+        |  FROM pqd dx JOIN cal_codesp cp
+        |    ON cp.vec_id = dx.vec_id AND cp.j = dx.j AND cp.code = dx.c
+        |  GROUP BY dx.vec_id)""".stripMargin
+    else
+      """cal_pair AS (
+        |  SELECT cx.vec_id, sum(t.d) AS dist
+        |  FROM codes cx
+        |  JOIN cal_codesp cp ON cp.vec_id = cx.vec_id AND cp.j = cx.j
+        |  JOIN sdct t ON t.j = cx.j AND t.ca = cx.code AND t.cb = cp.code
+        |  WHERE cx.vec_id IN (SELECT vec_id FROM cal_samp)
+        |  GROUP BY cx.vec_id)""".stripMargin
+    s""",
+       |cal_samp AS (
+       |  SELECT vec_id, i, x FROM ax WHERE $samplePred),
+       |cal_nrm AS (
+       |  SELECT vec_id, sqrt(sum(x*x)) AS n FROM cal_samp GROUP BY 1),
+       |cal_xh AS (
+       |  SELECT s.vec_id, s.i, s.x / n.n AS h
+       |  FROM cal_samp s JOIN cal_nrm n USING (vec_id)
+       |  WHERE n.n >= 1e-12),
+       |cal_dim AS (SELECT vec_id, max(i) AS d FROM cal_xh GROUP BY 1),
+       |cal_sh AS (
+       |  SELECT a.vec_id, a.i, b.h AS s
+       |  FROM cal_xh a JOIN cal_dim USING (vec_id)
+       |  JOIN cal_xh b ON b.vec_id = a.vec_id
+       |    AND b.i = CASE WHEN a.i = 1 THEN cal_dim.d ELSE a.i - 1 END),
+       |cal_proj AS (
+       |  SELECT s.vec_id, sum(s.s * h.h) AS p
+       |  FROM cal_sh s JOIN cal_xh h
+       |    ON h.vec_id = s.vec_id AND h.i = s.i
+       |  GROUP BY s.vec_id),
+       |cal_resid AS (
+       |  SELECT s.vec_id, s.i, s.s - p.p * h.h AS r
+       |  FROM cal_sh s JOIN cal_proj p USING (vec_id)
+       |  JOIN cal_xh h ON h.vec_id = s.vec_id AND h.i = s.i),
+       |cal_rn AS (
+       |  SELECT vec_id, sqrt(sum(r*r)) AS rn FROM cal_resid GROUP BY 1),
+       |cal_xp AS (
+       |  SELECT r.vec_id, r.i,
+       |    n.n * ($cosT * h.h + $sinT * r.r / rr.rn) AS x
+       |  FROM cal_resid r JOIN cal_rn rr USING (vec_id)
+       |  JOIN cal_nrm n USING (vec_id)
+       |  JOIN cal_xh h ON h.vec_id = r.vec_id AND h.i = r.i
+       |  WHERE rr.rn >= 1e-9),
+       |cal_subp AS (
+       |  SELECT vec_id, (i - 1) // 32 AS j, (i - 1) % 32 AS t, x
+       |  FROM cal_xp),
+       |cal_pqdp AS (
+       |  SELECT s.vec_id, s.j, p.c, sum((s.x - p.x) * (s.x - p.x)) AS d
+       |  FROM cal_subp s JOIN pcent p ON p.j = s.j AND p.t = s.t
+       |  GROUP BY 1, 2, 3),
+       |cal_codesp AS (
+       |  SELECT vec_id, j, c AS code FROM (
+       |    SELECT vec_id, j, c, row_number() OVER (
+       |      PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+       |    FROM cal_pqdp) WHERE rn = 1),
+       |$pair,
+       |tau AS (SELECT avg(dist) AS t FROM cal_pair)""".stripMargin
+  }
+
+  /** The ADC semantic-dedup oracle TAIL (splice after [[pqPrefixK]] —
+    * and optionally [[calibCtes]] — so the threshold expression can be
+    * a literal or the calibrated `(SELECT t FROM tau)`): q126's ADC
+    * probe specialized to k = 1 over the 90% corpus, batch LEFT-joined
+    * back so probed-cell misses surface as NULL neighbors (keep).
+    */
+  private def pqDedupAdcTail(tauExpr: String): String =
+    s""",
+       |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
+       |cdists AS (
+       |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
+       |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d ASC, cid ASC) AS rn
+       |    FROM cdists WHERE vec_id % 10 <> 9) WHERE rn = 1),
+       |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 10 = 9),
+       |probe AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, d.cid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY d.d ASC, d.cid ASC) AS rn
+       |    FROM qids q JOIN cdists d ON d.vec_id = q.qid)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id
+       |  FROM assigned a JOIN probe p ON a.cell = p.cid
+       |  WHERE a.vec_id <> p.qid),
+       |qlut AS (SELECT vec_id AS qid, j, c, d FROM pqd
+       |  WHERE vec_id % 10 = 9),
+       |adc AS (
+       |  SELECT cd.qid, cd.vec_id, sum(q.d) AS adc
+       |  FROM cand cd
+       |  JOIN codes co ON co.vec_id = cd.vec_id
+       |  JOIN qlut q ON q.qid = cd.qid AND q.j = co.j AND q.c = co.code
+       |  GROUP BY 1, 2),
+       |top1 AS (
+       |  SELECT qid, vec_id AS neighbor_id, adc_dist FROM (
+       |    SELECT qid, vec_id, ROUND(adc, 5) AS adc_dist,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY ROUND(adc, 5) ASC, vec_id ASC) AS rn
+       |    FROM adc) WHERE rn = 1)
+       |SELECT q.qid AS vec_id, t.neighbor_id, t.adc_dist,
+       |  (t.adc_dist IS NULL OR t.adc_dist > $tauExpr) AS keep
+       |FROM qids q LEFT JOIN top1 t ON t.qid = q.qid
+       |ORDER BY vec_id""".stripMargin
+
+  /** The SDC semantic-dedup oracle TAIL (after [[pqPrefixK]](16) + the
+    * `sdct` CTE — and optionally [[calibCtes]]): each candidate scores
+    * Σ_j sdct[j, qcode_j, ccode_j], both sides quantized — exactly
+    * what Pq.sdcTable + pq_sdc compute. Corpus = vec_id % 10 = 0.
+    */
+  private def pqDedupSdcTail(tauExpr: String): String =
+    s""",
+       |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
+       |cdists AS (
+       |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
+       |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d ASC, cid ASC) AS rn
+       |    FROM cdists WHERE vec_id % 10 = 0) WHERE rn = 1),
+       |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 10 = 9),
+       |probe AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, d.cid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY d.d ASC, d.cid ASC) AS rn
+       |    FROM qids q JOIN cdists d ON d.vec_id = q.qid)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id
+       |  FROM assigned a JOIN probe p ON a.cell = p.cid
+       |  WHERE a.vec_id <> p.qid),
+       |sdc AS (
+       |  SELECT cd.qid, cd.vec_id, sum(t.d) AS sdc
+       |  FROM cand cd
+       |  JOIN codes qc ON qc.vec_id = cd.qid
+       |  JOIN codes cc ON cc.vec_id = cd.vec_id AND cc.j = qc.j
+       |  JOIN sdct t ON t.j = qc.j AND t.ca = qc.code AND t.cb = cc.code
+       |  GROUP BY 1, 2),
+       |top1 AS (
+       |  SELECT qid, vec_id AS neighbor_id, sdc_dist FROM (
+       |    SELECT qid, vec_id, ROUND(sdc, 5) AS sdc_dist,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY ROUND(sdc, 5) ASC, vec_id ASC) AS rn
+       |    FROM sdc) WHERE rn = 1)
+       |SELECT q.qid AS vec_id, t.neighbor_id, t.sdc_dist,
+       |  (t.sdc_dist IS NULL OR t.sdc_dist > $tauExpr) AS keep
+       |FROM qids q LEFT JOIN top1 t ON t.qid = q.qid
+       |ORDER BY vec_id""".stripMargin
+
+  private val sdctCte =
+    """,
+      |sdct AS (
+      |  SELECT a.j, a.c AS ca, b.c AS cb,
+      |         sum((a.x - b.x) * (a.x - b.x)) AS d
+      |  FROM pcent a JOIN pcent b ON a.j = b.j AND a.t = b.t
+      |  GROUP BY 1, 2, 3)""".stripMargin
 
   /** The IVF probe-search oracle, shared verbatim by q88 (inline
     * assignment) and q114 (persisted index): the index changes where
@@ -480,11 +718,17 @@ object Vector {
       | CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)""".stripMargin
 
   def oracle: Map[String, String] = oracleBase +
-    // identical SQL to q133 on purpose: the PQ ingest's epoch-1 flags
-    // are the batch-vs-(pq_code corpus) pure function — the oracle
-    // asserts the streaming tree's time-travel read, combined-stamp
-    // check, and batch-keyed code write change nothing
-    ("q138_semantic_ingest_pq" -> oracleBase("q133_semantic_dedup_pq"))
+    // identical SQL to q144 on purpose (q133's dedup + the calibrated
+    // τ the ingest now derives): the PQ ingest's epoch-1 flags are the
+    // batch-vs-(pq_code corpus) pure function — the oracle asserts the
+    // streaming tree's time-travel read, combined-stamp check, and
+    // batch-keyed code write change nothing
+    ("q138_semantic_ingest_pq" ->
+      oracleBase("q144_semantic_dedup_pq_calibrated")) +
+    // identical SQL to q140 on purpose: the SDC probe mode changes the
+    // kernel the stream flags with, not the flags' meaning
+    ("q141_semantic_ingest_pq_sdc" ->
+      oracleBase("q140_semantic_dedup_sdc"))
 
   private def oracleBase: Map[String, String] = Map(
     "q90_kmeans_step" ->
@@ -833,113 +1077,30 @@ object Vector {
         |ORDER BY qid, cos_sim DESC, vec_id""".stripMargin),
 
     // q133's oracle with SYMMETRIC scoring: the sdct CTE is the m·k²
-    // code-to-code table (pairwise sub-centroid distances), and each
-    // candidate scores as Σ_j sdct[j, qcode_j, ccode_j] — both sides
-    // quantized, exactly what Pq.sdcTable + pq_sdc compute.
-    "q140_semantic_dedup_sdc" -> (
-      """WITH ax AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |         unnest(embedding)::DOUBLE AS x
-        |  FROM embeddings),
-        |sub AS (
-        |  SELECT vec_id, (i - 1) // 32 AS j, (i - 1) % 32 AS t, x FROM ax),
-        |pcent AS (SELECT vec_id AS c, j, t, x FROM sub WHERE vec_id < 16),
-        |pqd AS (
-        |  SELECT s.vec_id, s.j, p.c, sum((s.x - p.x) * (s.x - p.x)) AS d
-        |  FROM sub s JOIN pcent p ON p.j = s.j AND p.t = s.t
-        |  GROUP BY 1, 2, 3),
-        |codes AS (
-        |  SELECT vec_id, j, c AS code FROM (
-        |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j
-        |      ORDER BY d ASC, c ASC) AS rn FROM pqd) WHERE rn = 1)""".stripMargin +
-      """,
-        |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
-        |cdists AS (
-        |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
-        |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
-        |assigned AS (
-        |  SELECT vec_id, cid AS cell FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY d ASC, cid ASC) AS rn
-        |    FROM cdists WHERE vec_id % 10 = 0) WHERE rn = 1),
-        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 10 = 9),
-        |probe AS (
-        |  SELECT qid, cid FROM (
-        |    SELECT q.qid, d.cid, row_number() OVER (PARTITION BY q.qid
-        |      ORDER BY d.d ASC, d.cid ASC) AS rn
-        |    FROM qids q JOIN cdists d ON d.vec_id = q.qid)
-        |  WHERE rn <= 2),
-        |cand AS (
-        |  SELECT p.qid, a.vec_id
-        |  FROM assigned a JOIN probe p ON a.cell = p.cid
-        |  WHERE a.vec_id <> p.qid),
-        |sdct AS (
-        |  SELECT a.j, a.c AS ca, b.c AS cb,
-        |         sum((a.x - b.x) * (a.x - b.x)) AS d
-        |  FROM pcent a JOIN pcent b ON a.j = b.j AND a.t = b.t
-        |  GROUP BY 1, 2, 3),
-        |sdc AS (
-        |  SELECT cd.qid, cd.vec_id, sum(t.d) AS sdc
-        |  FROM cand cd
-        |  JOIN codes qc ON qc.vec_id = cd.qid
-        |  JOIN codes cc ON cc.vec_id = cd.vec_id AND cc.j = qc.j
-        |  JOIN sdct t ON t.j = qc.j AND t.ca = qc.code AND t.cb = cc.code
-        |  GROUP BY 1, 2),
-        |top1 AS (
-        |  SELECT qid, vec_id AS neighbor_id, sdc_dist FROM (
-        |    SELECT qid, vec_id, ROUND(sdc, 5) AS sdc_dist,
-        |      row_number() OVER (PARTITION BY qid
-        |        ORDER BY ROUND(sdc, 5) ASC, vec_id ASC) AS rn
-        |    FROM sdc) WHERE rn = 1)
-        |SELECT q.qid AS vec_id, t.neighbor_id, t.sdc_dist,
-        |  (t.sdc_dist IS NULL OR t.sdc_dist > 0.8) AS keep
-        |FROM qids q LEFT JOIN top1 t ON t.qid = q.qid
-        |ORDER BY vec_id""".stripMargin),
+    // code-to-code table (pairwise sub-centroid distances), each
+    // candidate scores Σ_j sdct[j, qcode_j, ccode_j] — both sides
+    // quantized, exactly what Pq.sdcTable + pq_sdc compute — and the
+    // threshold is CALIBRATED by the same boundary-pair construction
+    // the Spark side runs (Pq.calibrateTauDist, mode "sdc", over the
+    // corpus subset), so the recipe is under the gate end-to-end.
+    "q140_semantic_dedup_sdc" -> (pqPrefixK(16) + sdctCte +
+      calibCtes("sdc", 0.8, "vec_id % 10 = 0") +
+      pqDedupSdcTail("(SELECT t FROM tau)")),
 
     // q126's ADC probe specialized to k = 1 over the 90% corpus, with
     // the batch LEFT-joined back so probed-cell misses surface as NULL
     // neighbors (keep = true) — q120's oracle shape with ADC distance
     // in place of exact cosine.
-    "q133_semantic_dedup_pq" -> (pqPrefix +
-      """,
-        |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
-        |cdists AS (
-        |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
-        |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
-        |assigned AS (
-        |  SELECT vec_id, cid AS cell FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY d ASC, cid ASC) AS rn
-        |    FROM cdists WHERE vec_id % 10 <> 9) WHERE rn = 1),
-        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 10 = 9),
-        |probe AS (
-        |  SELECT qid, cid FROM (
-        |    SELECT q.qid, d.cid, row_number() OVER (PARTITION BY q.qid
-        |      ORDER BY d.d ASC, d.cid ASC) AS rn
-        |    FROM qids q JOIN cdists d ON d.vec_id = q.qid)
-        |  WHERE rn <= 2),
-        |cand AS (
-        |  SELECT p.qid, a.vec_id
-        |  FROM assigned a JOIN probe p ON a.cell = p.cid
-        |  WHERE a.vec_id <> p.qid),
-        |qlut AS (SELECT vec_id AS qid, j, c, d FROM pqd
-        |  WHERE vec_id % 10 = 9),
-        |adc AS (
-        |  SELECT cd.qid, cd.vec_id, sum(q.d) AS adc
-        |  FROM cand cd
-        |  JOIN codes co ON co.vec_id = cd.vec_id
-        |  JOIN qlut q ON q.qid = cd.qid AND q.j = co.j AND q.c = co.code
-        |  GROUP BY 1, 2),
-        |top1 AS (
-        |  SELECT qid, vec_id AS neighbor_id, adc_dist FROM (
-        |    SELECT qid, vec_id, ROUND(adc, 5) AS adc_dist,
-        |      row_number() OVER (PARTITION BY qid
-        |        ORDER BY ROUND(adc, 5) ASC, vec_id ASC) AS rn
-        |    FROM adc) WHERE rn = 1)
-        |SELECT q.qid AS vec_id, t.neighbor_id, t.adc_dist,
-        |  (t.adc_dist IS NULL OR t.adc_dist > 1.2) AS keep
-        |FROM qids q LEFT JOIN top1 t ON t.qid = q.qid
-        |ORDER BY vec_id""".stripMargin),
+    "q133_semantic_dedup_pq" -> (pqPrefix + pqDedupAdcTail("1.2")),
+
+    // q133's dedup with the threshold CALIBRATED instead of literal:
+    // both engines derive τ from the same boundary-pair construction
+    // (Pq.calibrateTauDist ↔ calibCtes) over the corpus subset, so the
+    // oracle gates the calibration RECIPE end-to-end, not just the
+    // flags at a hand-picked τ.
+    "q144_semantic_dedup_pq_calibrated" -> (pqPrefix +
+      calibCtes("adc", 0.9, "vec_id % 10 <> 9") +
+      pqDedupAdcTail("(SELECT t FROM tau)")),
 
     "q55_embedding_norms" ->
       """SELECT vec_id, ROUND(sqrt(sum(x * x)), 5) AS l2_norm

@@ -501,15 +501,39 @@ object IdempotentSink {
     * ops are the managed path out.
     *
     * Flag semantics are [[graft.ops.Pq.semanticDedupFlagsPq]]'s:
-    * `keep = no indexed neighbor within tauDist` (ADC L2 on near-unit
-    * vectors: tauDist ≈ 2 − 2·cosThreshold), probed-cell misses
-    * surface as NULL neighbors ⇒ keep. The trade vs the plain ingest
+    * `keep = no indexed neighbor within tauDist` (probed-cell misses
+    * surface as NULL neighbors ⇒ keep). The trade vs the plain ingest
     * is quantization error in the SCORE — a true near-dup straddling
-    * tauDist by less than the ADC error can flip (the recall/τ study
+    * tauDist by less than the probe error can flip (the recall/τ study
     * in SEMDEDUP artifacts); the protocol (time-travel, kept-only
     * indexing, replay surface) is identical and spec'd in
-    * StreamingSpec. Flags are (id, neighbor_id, adc_dist, keep),
+    * StreamingSpec. Flags are (id, neighbor_id, <score>, keep),
     * batch-keyed under `flagsOut`.
+    *
+    * `probeMode` picks the probe kernel — the score column name and
+    * the τ recipe follow it:
+    *  - "adc" (default): per-query m·k-double LUTs, score `adc_dist`.
+    *    The LUT is 32× a dim-64 vector, so at LARGE batch sizes the
+    *    per-batch broadcast+hash-probe cost dominates the ingest wall
+    *    (measured 1.9× the plain ingest's at 20k-row batches,
+    *    SEMINGEST_PQ_1m_f10_r16).
+    *  - "sdc": the batch ships m-byte query CODES against the ONE
+    *    shared m·k² table ([[graft.ops.Pq.semanticDedupFlagsPqSdc]]),
+    *    score `sdc_dist` — the large-batch regime this ingest's shape
+    *    is (a micro-batch IS a large query batch); chunking past the
+    *    broadcast ceiling is automatic. The price is the second
+    *    quantization on the query side.
+    * Either way `tauDist` must be calibrated FOR THE MODE —
+    * [[graft.ops.Pq.calibrateTauDist]] with the matching `mode` is the
+    * executable recipe (boundary-pair measurement; SDC straddler pairs
+    * share codes, so its τ is NOT simply the ADC τ plus a bias).
+    * The two modes flag-agree wherever quantization doesn't straddle
+    * (flag parity on a lossless codebook is spec'd). The CODE tree is
+    * mode-independent (codes under the combined stamp — a mid-stream
+    * switch probes the same tree correctly), but the FLAGS tree's
+    * score column follows the mode: batches written across a switch
+    * carry different score columns, so flags consumers spanning one
+    * need `mergeSchema` (or project (id, keep) only).
     *
     * Downstream of this tree: probes/dedup read codes only; when exact
     * re-rank is wanted, fetch candidates' vectors BY ID from the
@@ -522,7 +546,11 @@ object IdempotentSink {
       centroidIdCol: String, centroidVecCol: String,
       cb: graft.ops.Pq.Codebook, tauDist: Double, nProbe: Int = 2,
       excludeSelf: Boolean = false, foldEvery: Int = 0,
-      foldTail: Boolean = false)(df: DataFrame, batchId: Long): Unit = {
+      foldTail: Boolean = false, probeMode: String = "adc")(
+      df: DataFrame, batchId: Long): Unit = {
+    require(probeMode == "adc" || probeMode == "sdc",
+      "semanticIngestPqByBatch: probeMode must be \"adc\" or \"sdc\" " +
+        s"""(got "$probeMode")""")
     import graft.ops.{Pq, Similarity}
     val spark = df.sparkSession
     val codeDir = s"$indexRoot/code"
@@ -551,17 +579,23 @@ object IdempotentSink {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     // hasDataFiles, not fs.exists — the empty-first-batch wedge, see
     // dedupIngestByBatch's prior()
+    val scoreCol = if (probeMode == "sdc") "sdc_dist" else "adc_dist"
     val flags = (if (graft.io.FsUtil.hasDataFiles(fs, p)) {
       val prior = spark.read.parquet(codeDir)
         .filter(col("_batch").cast("long") < batchId).drop("_batch")
-      Pq.semanticDedupFlagsPq(df, idCol, vecCol, prior, idCol,
-        centroids, centroidIdCol, centroidVecCol, cb, tauDist, nProbe,
-        excludeSelf)
+      if (probeMode == "sdc")
+        Pq.semanticDedupFlagsPqSdc(df, idCol, vecCol, prior, idCol,
+          centroids, centroidIdCol, centroidVecCol, cb, tauDist, nProbe,
+          excludeSelf)
+      else
+        Pq.semanticDedupFlagsPq(df, idCol, vecCol, prior, idCol,
+          centroids, centroidIdCol, centroidVecCol, cb, tauDist, nProbe,
+          excludeSelf)
     } else
       // first batch with data: no prior — everything keeps, no search
       df.select(col(idCol),
         lit(null).cast(df.schema(idCol).dataType).as("neighbor_id"),
-        lit(null).cast("double").as("adc_dist"), lit(true).as("keep")))
+        lit(null).cast("double").as(scoreCol), lit(true).as("keep")))
       .localCheckpoint(false) // batch-sized; feeds the flags write + kept
     parquetByBatch(flagsOut)(flags, batchId)
     val kept = df.join(flags.filter(col("keep")).select(idCol), Seq(idCol))

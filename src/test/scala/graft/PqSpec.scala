@@ -438,6 +438,154 @@ class PqSpec extends AnyFunSuite {
       assert(rowsOf(Pq.ivfPqSearchBatchChunked(queries, "id", "vec",
         index, "id", cents, "cid", "cvec", cb, k = 4, nProbe = 3,
         maxLutBatch = chunk)) == single, s"maxLutBatch=$chunk diverged")
+    // and the SDC escape holds the same parity against ITS single-shot
+    def sdcRowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("qid"), col("id"), col("sdc_dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val sdcSingle = sdcRowsOf(Pq.ivfPqSearchBatchSdc(queries, "id", "vec",
+      index, "id", cents, "cid", "cvec", cb, k = 4, nProbe = 3))
+    for (chunk <- Seq(1, 2, 100))
+      assert(sdcRowsOf(Pq.ivfPqSearchBatchSdcChunked(queries, "id", "vec",
+        index, "id", cents, "cid", "cvec", cb, k = 4, nProbe = 3,
+        maxCodeBatch = chunk)) == sdcSingle,
+        s"maxCodeBatch=$chunk diverged")
+  }
+
+  test("calibrateTauDist: zero bias on a lossless codebook; the " +
+    "calibrated tau recovers the exact regime's kept-count on a " +
+    "seeded near-dup corpus") {
+    import spark.implicits._
+    // LOSSLESS case: a codebook that encodes both the sample vector
+    // AND its documented boundary partner exactly (dsub=1, each
+    // coordinate codebook = {x_i, x'_i}), so the measured boundary
+    // distance has zero quantization error — tau must be the pure
+    // cos→L2 map, 2 − 2·cosThreshold for a unit vector, EXACTLY.
+    val cosT0 = 0.9
+    val x0 = {
+      val r = new scala.util.Random(55)
+      val raw = Seq.fill(4)(r.nextGaussian())
+      val nn = math.sqrt(raw.map(a => a * a).sum)
+      raw.map(_ / nn)
+    }
+    val xp0 = { // the operator's documented partner construction
+      val shifted = x0.last +: x0.init
+      val proj = shifted.zip(x0).map { case (s, h) => s * h }.sum
+      val resid = shifted.zip(x0).map { case (s, h) => s - proj * h }
+      val rn = math.sqrt(resid.map(a => a * a).sum)
+      val sinT0 = math.sqrt(1.0 - cosT0 * cosT0)
+      x0.zip(resid.map(_ / rn)).map { case (h, u) =>
+        cosT0 * h + sinT0 * u }
+    }
+    val cb0 = Pq.Codebook(
+      (0 until 4).flatMap(j => Seq(x0(j), xp0(j))).toIndexedSeq,
+      m = 4, k = 2)
+    val lossless = Seq((0L, x0)).toDF("id", "vec")
+    val tau0 = Pq.calibrateTauDist(lossless, "id", "vec", cb0,
+      cosThreshold = cosT0, mode = "adc")
+    assert(math.abs(tau0 - (2.0 - 2.0 * cosT0)) < 1e-9,
+      s"lossless ADC boundary must be the pure cos→L2 map (got $tau0)")
+    val tau0s = Pq.calibrateTauDist(lossless, "id", "vec", cb0,
+      cosThreshold = cosT0, mode = "sdc")
+    assert(math.abs(tau0s - (2.0 - 2.0 * cosT0)) < 1e-9,
+      s"lossless SDC boundary must be the pure cos→L2 map (got $tau0s)")
+
+    // SEEDED near-dup corpus (the SemIngestBench generator shape):
+    // ids ≡ 9 (mod 10) are noisy copies of base (id/10)·10, everything
+    // else an independent random unit vector — random unit vectors are
+    // PQ's worst case, so the uncalibrated τ keeps everything
+    // (measured: the bias dwarfs 2−2·cos) and only the calibrated one
+    // can match the exact regime.
+    val dim = 16; val n = 4000
+    def unitVec(seed: Long, noiseOf: Long = -1L): Seq[Double] = {
+      val r = new scala.util.Random(seed * 1000003L + 17L)
+      val raw = Array.fill(dim)(r.nextGaussian())
+      if (noiseOf >= 0L) {
+        // σ=0.02 at dim=16 puts copies at cos ≈ 0.997 — clear of the
+        // 0.95 boundary, so the agreement measures CALIBRATION quality
+        // (is τ at the right level?), not straddler recall (how wide
+        // the quantization spread is — SemDedupBench's study)
+        val rn = new scala.util.Random(noiseOf * 999983L + 5L)
+        for (j <- 0 until dim) raw(j) += 0.02 * rn.nextGaussian()
+      }
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / nrm).toSeq
+    }
+    // half the batch rows are planted copies (drop in the exact
+    // regime), half independent uniques (keep) — the fixture must
+    // exercise BOTH flag branches or the kept-count agreement is vacuous
+    val all = (0L until n.toLong).map { id =>
+      if (id % 10 == 9 && (id / 10) % 2 == 0)
+        (id, unitVec((id / 10) * 10, noiseOf = id))
+      else (id, unitVec(id))
+    }
+    val corpus = all.filter(_._1 % 10 != 9).toDF("vec_id", "embedding")
+    val batch = all.filter(_._1 % 10 == 9).toDF("vec_id", "embedding")
+    val cents = all.filter(_._1 % 100 == 0).take(16)
+      .toDF("cid", "cvec")
+    val dirV = TestDirs.tmp("calib_ivf").toFile.getAbsolutePath
+    Similarity.ivfIndexWrite(corpus, "vec_id", "embedding",
+      cents, "cid", "cvec", dirV)
+    val cosT = 0.95
+    def keptOf(flags: org.apache.spark.sql.DataFrame): Long =
+      flags.filter(col("keep")).count()
+    val keptExact = keptOf(Similarity.semanticDedupFlags(
+      batch, "vec_id", "embedding", spark.read.parquet(dirV),
+      "vec_id", "embedding", cents, "cid", "cvec", tau = cosT,
+      nProbe = 2))
+    val nBatch = batch.count()
+    assert(keptExact > 0 && keptExact < nBatch,
+      s"fixture must split in the exact regime (kept $keptExact/$nBatch)")
+    // two codebook granularities: the COARSE one (m=4/k=64) has a bias
+    // that dwarfs τ₀ — the raw cos→L2 τ under-dedups wildly and the
+    // calibrated τ lands within 5% of exact (the residual is
+    // PER-VECTOR error variance, which no single τ can correct for —
+    // ~9% of bases sit in the error tail past any boundary at this
+    // granularity); the FINE one (m=8/k=128, 2-dim subspaces)
+    // concentrates that variance and the calibrated τ recovers the
+    // exact kept-count within 2% in both modes.
+    def keptUnder(cbX: Pq.Codebook, dirX: String, tauD: Double,
+        sdc: Boolean): Long =
+      keptOf(
+        if (sdc) Pq.semanticDedupFlagsPqSdc(
+          batch, "vec_id", "embedding", spark.read.parquet(dirX),
+          "vec_id", cents, "cid", "cvec", cbX, tauDist = tauD, nProbe = 2)
+        else Pq.semanticDedupFlagsPq(
+          batch, "vec_id", "embedding", spark.read.parquet(dirX),
+          "vec_id", cents, "cid", "cvec", cbX, tauDist = tauD,
+          nProbe = 2))
+    val configs = Seq(("coarse", 4, 64, 0.05), ("fine", 8, 128, 0.02))
+    val kept = configs.map { case (label, m, k, tolFrac) =>
+      val cbX = Pq.train(corpus, "vec_id", "embedding", m = m, k = k,
+        sampleN = 2000, iters = 5)
+      val dirX = TestDirs.tmp(s"calib_ivfpq_$label").toFile.getAbsolutePath
+      Pq.ivfPqIndexWrite(corpus, "vec_id", "embedding",
+        cents, "cid", "cvec", cbX, dirX)
+      val tol = math.max(4L, (tolFrac * nBatch).toLong)
+      val tauAdc = Pq.calibrateTauDist(corpus, "vec_id", "embedding",
+        cbX, cosT, mode = "adc", sampleN = 2000)
+      val keptAdc = keptUnder(cbX, dirX, tauAdc, sdc = false)
+      assert(math.abs(keptAdc - keptExact) <= tol,
+        s"$label ADC calibrated kept $keptAdc vs exact $keptExact " +
+          s"(tol $tol)")
+      val tauSdc = Pq.calibrateTauDist(corpus, "vec_id", "embedding",
+        cbX, cosT, mode = "sdc", sampleN = 2000)
+      val keptSdc = keptUnder(cbX, dirX, tauSdc, sdc = true)
+      assert(math.abs(keptSdc - keptExact) <= tol,
+        s"$label SDC calibrated kept $keptSdc vs exact $keptExact " +
+          s"(tol $tol)")
+      (label, cbX, dirX, tol)
+    }
+    // the raw (uncalibrated) τ under the coarse codebook is the
+    // failure mode calibration exists for: it under-dedups far past
+    // the agreement tolerance — without this pin the case is vacuous
+    // (a fine-enough codebook needs no calibration at all)
+    val (_, coarseCb, coarseDir, coarseTol) = kept.head
+    val keptRaw = keptUnder(coarseCb, coarseDir, 2.0 - 2.0 * cosT,
+      sdc = false)
+    assert(keptRaw > keptExact + 4 * coarseTol,
+      s"expected the raw cos→L2 tau to under-dedup far past the " +
+        s"agreement tolerance (raw kept $keptRaw, exact $keptExact)")
   }
 
   test("a refine fetch against a vector tree assigned under a " +

@@ -1746,6 +1746,118 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === 1L, "post-fold probe lost the planted neighbor")
   }
 
+  test("semanticIngestPqByBatch probeMode=sdc: flag parity with the " +
+    "adc mode on the lossless codebook, exactly-once under forced " +
+    "replay (incl. an empty batch 0), drift refused pre-mutation, " +
+    "and in-stream folds flag-invariant") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "cvec")
+    val cb = pqTestCodebook
+    val batches = Seq(
+      Seq((1L, pqV1), (2L, pqV2)),
+      Seq((3L, pqV3), (4L, pqV4)),
+      Seq((5L, pqV5), (6L, pqV6)))
+    def drive(root: String, flags: String, probeMode: String,
+        replay: Boolean = false, emptyFirst: Boolean = false): Unit = {
+      val bs = (if (emptyFirst)
+        Seq(Seq.empty[(Long, Seq[Double])]) else Nil) ++ batches
+      bs.zipWithIndex.foreach { case (rows, b) =>
+        def run(): Unit =
+          graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+            s"$root/idx", flags, "vec_id", "vec", cents, "cid", "cvec",
+            cb, tauDist = 0.01, nProbe = 2, probeMode = probeMode)(
+            rows.toDF("vec_id", "vec"), b.toLong)
+        run()
+        // at-least-once: the same batch id fires again with its own
+        // rows already in the tree — `_batch < id` must keep it from
+        // self-matching, making the rewrite byte-identical
+        if (replay) run()
+      }
+    }
+    def flagRows(out: String, scoreCol: String) =
+      spark.read.parquet(out)
+        .select(col("vec_id"), col("neighbor_id"), col(scoreCol),
+          col("keep"))
+        .as[(Long, Option[Long], Option[Double], Boolean)]
+        .collect().toSet
+    def codeTree(root: String) =
+      spark.read.parquet(s"$root/idx/code")
+        .select(col("_batch").cast("long"), col("vec_id"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val rootA = TestDirs.tmp("sdc_ing_adc").toString
+    val flagsA = TestDirs.tmp("sdc_ing_adc_flags").toString
+    drive(rootA, flagsA, "adc")
+    val rootS = TestDirs.tmp("sdc_ing_sdc").toString
+    val flagsS = TestDirs.tmp("sdc_ing_sdc_flags").toString
+    drive(rootS, flagsS, "sdc")
+    // the fixture codebook is LOSSLESS for these vectors (each half
+    // its own sub-centroid), so SDC == ADC == exact — the modes must
+    // produce identical flags, neighbors, AND distances; the grown
+    // code trees are mode-independent by construction
+    assert(flagRows(flagsS, "sdc_dist") === flagRows(flagsA, "adc_dist"),
+      "sdc-mode flags diverged from adc-mode on a lossless codebook")
+    assert(codeTree(rootS) === codeTree(rootA))
+    assert(codeTree(rootS) === Map(0L -> Set(1L, 2L), 1L -> Set(4L)))
+
+    // exactly-once: a forced replay of EVERY batch (incl. an empty
+    // batch 0) leaves trees and flags identical to the clean sdc run
+    val rootR = TestDirs.tmp("sdc_ing_replay").toString
+    val flagsR = TestDirs.tmp("sdc_ing_replay_flags").toString
+    drive(rootR, flagsR, "sdc", replay = true, emptyFirst = true)
+    def keepsOf(out: String) = spark.read.parquet(out)
+      .select(col("vec_id"), col("keep")).as[(Long, Boolean)]
+      .collect().toSet
+    assert(keepsOf(flagsR) === keepsOf(flagsS),
+      "replayed sdc ingest (with empty batch 0) changed the flags")
+    assert(codeTree(rootR).values.map(_.toSeq.sorted).toSeq.sortBy(_.head)
+      === codeTree(rootS).values.map(_.toSeq.sorted).toSeq.sortBy(_.head),
+      "replayed sdc ingest grew a different code tree")
+
+    // drift (either codebook) refused BEFORE any tree mutation in sdc
+    // mode too — same ordering contract as adc
+    val driftedPq = graft.ops.Pq.Codebook(
+      cb.flat.updated(0, cb.flat(0) + 0.5), cb.m, cb.k)
+    val e = intercept[IllegalStateException] {
+      graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+        s"$rootS/idx", flagsS, "vec_id", "vec", cents, "cid", "cvec",
+        driftedPq, tauDist = 0.01, nProbe = 2, probeMode = "sdc")(
+        Seq((9L, pqV1)).toDF("vec_id", "vec"), 3L)
+    }
+    assert(e.getMessage.contains("codebook"))
+    assert(!codeTree(rootS).contains(3L),
+      "a refused sdc batch must not have written code rows")
+
+    // in-stream folds are flag-invariant under the sdc probe: the fold
+    // touches the mode-independent code tree before the probe reads it
+    val novel = Seq((1L, pqV1), (2L, pqV2), (3L, pqV4),
+      (4L, Seq(9.0, 9.0, 9.0, 9.0)), (5L, Seq(9.0, 8.0, 9.0, 8.0)),
+      (6L, Seq(9.0, 7.0, 9.0, 7.0)))
+    def driveNovel(root: String, flags: String, foldEvery: Int): Unit =
+      novel.zipWithIndex.foreach { case ((id, v), b) =>
+        graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+          s"$root/idx", flags, "vec_id", "vec", cents, "cid", "cvec",
+          cb, tauDist = 0.01, nProbe = 2, foldEvery = foldEvery,
+          probeMode = "sdc")(Seq((id, v)).toDF("vec_id", "vec"), b.toLong)
+      }
+    val rootU = TestDirs.tmp("sdc_fold_u").toString
+    val flagsU = TestDirs.tmp("sdc_fold_u_flags").toString
+    driveNovel(rootU, flagsU, foldEvery = 0)
+    val rootF = TestDirs.tmp("sdc_fold_f").toString
+    val flagsF = TestDirs.tmp("sdc_fold_f_flags").toString
+    driveNovel(rootF, flagsF, foldEvery = 2)
+    assert(keepsOf(flagsU) === keepsOf(flagsF),
+      "in-stream folds changed the sdc-mode flags")
+    def batchDirs(root: String) =
+      Option(new java.io.File(s"$root/idx/code").listFiles()).toSeq
+        .flatten.filter(f => f.isDirectory &&
+          f.getName.startsWith("_batch=")).map(_.getName).toSet
+    assert(batchDirs(rootF).size < batchDirs(rootU).size,
+      s"no fold happened: ${batchDirs(rootF)}")
+  }
+
   test("an EMPTY first micro-batch does not wedge any streaming " +
     "ingest: the next batch reads 'no prior' instead of throwing on a " +
     "data-file-less tree (r16 ADVICE)") {
