@@ -933,6 +933,144 @@ object Dedup {
     tokI.write.mode("append").parquet(s"$dir/tok")
   }
 
+  /** Managed RE-BANDING migration — [[Similarity.rebuildUnderCodebook]]
+    * for the text-dedup index family, completing its lifecycle (build →
+    * append → compact → REBUILD-UNDER-NEW-PARAMS → cut over): the path
+    * out of the refusal [[corpusIndexesAppend]] and
+    * [[crossDedupFlagsFromIndexes]] correctly give mismatched
+    * (numHashes, bands), which until r17 was "new root by hand".
+    *
+    * Source of truth is the old layout's TOK tree: token sets are
+    * banding-INDEPENDENT, so the new band tree re-derives from them in
+    * one staged pass with zero passes over corpus text — the tok tree
+    * is the text index family's "decode side", exactly as the vector
+    * twin is the IVF-PQ pair's. The fp tree copies unchanged
+    * (fingerprints don't band). Consequently the TOKENIZER cannot
+    * change here: the persisted toks were computed under the old
+    * `tokensOf`, and new-shingle token sets simply do not exist in the
+    * layout — a `tokensTag` differing from the old layout's stamp
+    * refuses with the pointer to [[corpusIndexesWrite]] over text (the
+    * unavoidable re-tokenization pass).
+    *
+    * Input tolerance mirrors the vector-side migration: a
+    * [[corpusIndexesWrite]] layout or a STREAMING `_batch=`-keyed
+    * [[graft.streaming.IdempotentSink.dedupIngestByBatch]] root (the
+    * stream-graduation path — extra partition columns are projected
+    * away; the output is always a BATCH layout, a continuing stream
+    * starts a fresh ingest root). The old layout's tag is read from
+    * the band sidecar, falling back to the in-data `_params` distinct
+    * (streaming roots write no sidecar); a stampless layout is flagged
+    * on stderr rather than silently trusted.
+    *
+    * CRASH CONTRACT (resumable by re-run, sidecar-last): the new band
+    * sidecar is the completion marker — present+matching no-ops
+    * (idempotent resume), present+different refuses (complete foreign
+    * layout), absent over data files is a crashed partial that the
+    * overwrite-mode writes replace wholesale. Don't cut readers over
+    * before this returns. A PENDING compaction swap at any of the old
+    * root's trees refuses — mid-swap, some partitions' only copy lives
+    * in the temp tree and the rebuild would silently drop their rows.
+    * Write order: tok first, band DERIVED FROM THE PERSISTED NEW TOK
+    * TREE (the pair-build convention — the two trees agree by
+    * construction), fp, sidecar. Returns the new band stamp.
+    */
+  def rebuildUnderBandParams(spark: org.apache.spark.sql.SparkSession,
+      oldRoot: String, newRoot: String, numHashes: Int = 16,
+      bands: Int = 4, tokensTag: String = "ws3"): String = {
+    require(numHashes > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must split evenly into $bands bands")
+    require(newRoot != oldRoot,
+      "rebuildUnderBandParams: in-place migration is impossible by " +
+        "design (every band row changes) — pass a fresh newRoot and " +
+        "cut over after this returns")
+    val newStamp = bandParams(numHashes, bands, tokensTag)
+    val conf = spark.sessionState.newHadoopConf()
+    // pending compaction swaps at ANY old tree refuse: mid-swap, the
+    // temp tree holds some partitions' only copy
+    Seq("fp", "band", "tok").foreach { tree =>
+      val p = new org.apache.hadoop.fs.Path(s"$oldRoot/$tree")
+      val fs = p.getFileSystem(conf)
+      val pending = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(
+          p.getParent, p.getName + "_compact_tmp"),
+        graft.streaming.IdempotentSink.FoldManifest)
+      if (fs.exists(pending))
+        throw new IllegalStateException(
+          s"rebuildUnderBandParams: $oldRoot/$tree has a pending " +
+            "compaction swap — finish it first (some partitions' only " +
+            "copy is in the temp tree; rebuilding now would drop " +
+            "their rows)")
+      if (tree != "band") // band may legitimately be absent mid-crash
+        require(graft.io.FsUtil.hasDataFiles(fs, p),
+          s"rebuildUnderBandParams: no data files under $oldRoot/$tree " +
+            "— migrating a never-built or truncated layout must fail, " +
+            "not produce an empty index that matches nothing")
+    }
+    // the old layout's tokenizer identity: sidecar, else the in-data
+    // _params distinct (streaming roots write no sidecar)
+    val oldStamp = Similarity.readStampSidecar(spark, s"$oldRoot/band")
+      .orElse {
+        val bandP = new org.apache.hadoop.fs.Path(s"$oldRoot/band")
+        val bandFs = bandP.getFileSystem(conf)
+        if (!graft.io.FsUtil.hasDataFiles(bandFs, bandP)) None
+        else {
+          val old = spark.read.parquet(s"$oldRoot/band")
+          if (!old.columns.contains("_params")) None
+          else {
+            val stamps = old.select(col("_params")).distinct().collect()
+              .map(r => Option(r.getString(0)).getOrElse("<null>"))
+              .toSeq.sorted
+            if (stamps.size > 1) throw new IllegalStateException(
+              "rebuildUnderBandParams: the old band tree mixes stamps " +
+                s"(${stamps.mkString(", ")}) — repair it before " +
+                "migrating")
+            stamps.headOption
+          }
+        }
+      }
+    oldStamp match {
+      case Some(s) =>
+        val oldTag = s.split("/").lift(2).getOrElse("ws3")
+        if (oldTag != tokensTag) throw new IllegalStateException(
+          "rebuildUnderBandParams: the old layout's token sets were " +
+            s"built under tokenizer '$oldTag', this migration targets " +
+            s"'$tokensTag' — re-banding re-derives from PERSISTED token " +
+            "sets, and a tokenizer change invalidates them. Rebuild " +
+            "from corpus text with corpusIndexesWrite.")
+      case None =>
+        System.err.println(
+          "[graft] rebuildUnderBandParams: old layout carries no band " +
+            s"stamp — cannot verify its tokenizer matches '$tokensTag'; " +
+            "a mismatch silently bands foreign token sets.")
+    }
+    Similarity.readStampSidecar(spark, s"$newRoot/band").foreach { s =>
+      if (s == newStamp) {
+        System.err.println(s"[graft] rebuildUnderBandParams: $newRoot " +
+          s"already carries stamp $newStamp — nothing to do")
+        return newStamp
+      }
+      throw new IllegalStateException(
+        s"rebuildUnderBandParams: $newRoot already holds a COMPLETE " +
+          s"layout under different banding params (sidecar $s, this " +
+          s"migration targets $newStamp) — refusing to overwrite it; " +
+          "pick a fresh root")
+    }
+    // tok first (one projected pass over the old tree — `_batch` and
+    // friends dropped), then band from the PERSISTED new tok tree, fp
+    // copy, sidecar last
+    spark.read.parquet(s"$oldRoot/tok").select(col("id"), col("toks"))
+      .write.mode("overwrite").parquet(s"$newRoot/tok")
+    bandRowsOf(spark.read.parquet(s"$newRoot/tok"), col("toks"), "id",
+      numHashes, bands)
+      .withColumn("_params", lit(newStamp))
+      .write.partitionBy("band").mode("overwrite")
+      .parquet(s"$newRoot/band")
+    spark.read.parquet(s"$oldRoot/fp").select(col("id"), col("fp"))
+      .write.mode("overwrite").parquet(s"$newRoot/fp")
+    Similarity.writeStampSidecar(spark, s"$newRoot/band", newStamp)
+    newStamp
+  }
+
   /** The amortized ingest path — [[crossDedupFlags]] with the corpus
     * artifacts read from their persisted [[corpusIndexes]] instead of
     * re-derived per batch: ZERO passes over corpus text (the inline

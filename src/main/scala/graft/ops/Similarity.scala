@@ -820,7 +820,6 @@ object Similarity {
       queryVecCol: String, index: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       k: Int, nProbe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
     val checked = verifyStamp(index, codebookStamp(cents), "ivfSearchBatch")
     val codebook = typedLit(cents)
@@ -833,6 +832,123 @@ object Similarity {
         GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d")),
       nProbe)
       .localCheckpoint(true) // probe side computed once: cells collect + join
+    searchFromProbe(checked, q, qcells, idCol, vecCol, k, excludeSelf)
+  }
+
+  /** [[ivfSearchBatch]] with HIERARCHICAL probe-cell selection — the
+    * coarse-quantizer tier applied to the probe side, for codebooks
+    * past ~10³ cells: the flat probe explodes batch × |codebook|
+    * distance rows (bounded-agg'd, no shuffle — but at a 10⁹-vector
+    * corpus's √n ≈ 3×10⁴ cells, a 10⁴-query batch computes 3×10⁸
+    * sqdists for CELL SELECTION alone, the probe's dominant compute).
+    * Here each query folds over the `superCells` super-centroids
+    * first (the same driver-side codebook clustering
+    * [[ivfAssignHierarchical]] uses — measured 8.3× per-row at 4k
+    * cells, ASSIGN_200k_r11) and explodes only its `superProbe`
+    * nearest groups' members: O(s + superProbe·k/s) distance rows per
+    * query instead of O(k); the measured probe-side point is
+    * PROBE_*_r17.
+    *
+    * APPROXIMATION CONTRACT (mirrors the assignment op's
+    * subset-distance contract): with superProbe < superCells a true
+    * top-nProbe cell whose group the coarse fold missed is not
+    * probed — recall shifts the same way a smaller nProbe would; the
+    * candidate scan and rank stages are untouched, so whatever cells
+    * ARE probed score exactly. `superProbe = superCells` probes every
+    * group — the subset is the whole codebook and the result equals
+    * [[ivfSearchBatch]] by construction (the registered q142 gate
+    * runs that shape against q115's oracle).
+    */
+  def ivfSearchBatchHier(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, index: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      k: Int, nProbe: Int = 2, excludeSelf: Boolean = true,
+      superCells: Int = 0, superProbe: Int = 2): DataFrame = {
+    val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
+    val checked = verifyStamp(index, codebookStamp(cents),
+      "ivfSearchBatchHier")
+    val q = queries.select(col(queryIdCol).as("qid"),
+      asDouble(col(queryVecCol)).as("qvec"))
+      .localCheckpoint(true) // one pass feeds probe ranking + vector join
+    val qcells = probeCellsHierarchical(q, cents, nProbe, superCells,
+      superProbe)
+      .localCheckpoint(true) // probe side computed once: cells collect + join
+    searchFromProbe(checked, q, qcells, idCol, vecCol, k, excludeSelf)
+  }
+
+  /** Probe-cell selection through the coarse tier: two-minima fold
+    * over the super-centroids, then top-`nProbe` cells from ONLY the
+    * probed groups' members via the shared bounded aggregate
+    * ([[probeTopCells]]). Input `q` is (qid, qvec); returns
+    * (qid, cell). `superProbe >= superCells` degenerates to the flat
+    * explode over the whole codebook — exact by construction.
+    */
+  private[graft] def probeCellsHierarchical(q: DataFrame,
+      cents: Seq[(Long, Seq[Double])], nProbe: Int,
+      superCells: Int = 0, superProbe: Int = 2): DataFrame = {
+    val s = if (superCells > 0) superCells
+      else math.ceil(math.sqrt(cents.size.toDouble)).toInt
+    require(superProbe >= 1 && superProbe <= 2 || superProbe >= s,
+      s"superProbe must be 1, 2, or ≥ superCells=$s (got $superProbe); " +
+        "the two-minima fold tracks at most two groups")
+    if (superProbe >= s && s > 2)
+      // degenerate exact form: flat explode, as ivfSearchBatch
+      probeTopCells(q
+        .select(col("qid"), col("qvec"),
+          explode(typedLit(cents)).as("c"))
+        .select(col("qid"), col("c._1").as("cell"),
+          GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d")),
+        nProbe)
+    else {
+      val superMeans = localKmeans(cents.map(_._2).toIndexedSeq, s)
+      def sq(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      // same membership derivation as ivfAssignHierarchical: cid order
+      // preserved within a group, only non-empty groups probe-able
+      val membership = cents.groupBy(c =>
+        superMeans.indices.minBy(j => sq(c._2, superMeans(j))).toLong)
+      val superBook = typedLit(membership.keys.toSeq.sorted.map(sid =>
+        (sid, superMeans(sid.toInt))))
+      val memberMap = typedLit(membership)
+      val init2 = struct(
+        lit(-1L).as("s1"), lit(Double.MaxValue).as("d1"),
+        lit(-1L).as("s2"), lit(Double.MaxValue).as("d2"))
+      val best2 = aggregate(superBook, init2, (acc, c) => {
+        val d = GraftFunctions.vec_sqdist(col("qvec"), c.getField("_2"))
+        val sid = c.getField("_1")
+        when(d < acc.getField("d1"), struct(
+          sid.as("s1"), d.as("d1"),
+          acc.getField("s1").as("s2"), acc.getField("d1").as("d2")))
+          .when(d < acc.getField("d2"), struct(
+            acc.getField("s1").as("s1"), acc.getField("d1").as("d1"),
+            sid.as("s2"), d.as("d2")))
+          .otherwise(acc)
+      })
+      val groups =
+        if (superProbe == 1) element_at(memberMap, col("_sb.s1"))
+        else concat(
+          element_at(memberMap, col("_sb.s1")),
+          coalesce(element_at(memberMap, col("_sb.s2")),
+            typedLit(Seq.empty[(Long, Seq[Double])])))
+      probeTopCells(q
+        .withColumn("_sb", best2)
+        .select(col("qid"), col("qvec"), explode(groups).as("c"))
+        .select(col("qid"), col("c._1").as("cell"),
+          GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d")),
+        nProbe)
+    }
+  }
+
+  /** The shared candidate/score/rank tail of the batch ANN surfaces:
+    * static cell pruning from the collected probe set, broadcast
+    * (qid, cell) + (qid, qvec) joins, exact cosine, window-free top-k.
+    * `qcells` must be checkpointed by the caller (it feeds the cells
+    * collect AND the join).
+    */
+  private def searchFromProbe(checked: DataFrame, q: DataFrame,
+      qcells: DataFrame, idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // the one driver-side collect on this path is BOUNDED BY THE
     // CODEBOOK, not the batch: it collects DISTINCT probed cell ids
     // (≤ |codebook|, a driver-sized quantity by the same argument as

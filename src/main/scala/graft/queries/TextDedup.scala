@@ -423,6 +423,27 @@ object TextDedup {
         .orderBy("doc_id")
     }),
 
+    // Managed RE-BANDING migration under the gate: the corpus indexes
+    // build under DIFFERENT banding (8 hashes × 2 bands), migrate via
+    // rebuildUnderBandParams to the default (16 × 4) at a new root —
+    // one staged pass over the persisted token sets, zero passes over
+    // corpus text — and q112's lookup runs against the MIGRATED root.
+    // Shares q112's oracle verbatim: migration must be equivalent to
+    // a fresh build under the target params.
+    "q143_rebanded_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isBatch = col("doc_id") % 10 === 9
+      val out = queryTmpDir("q143", s, d)
+      Dedup.corpusIndexesWrite(docs.filter(!isBatch), "text", "doc_id",
+        s"$out/old", numHashes = 8, bands = 2)
+      Dedup.rebuildUnderBandParams(s, s"$out/old", s"$out/new",
+        numHashes = 16, bands = 4)
+      val (fpI, bandI, tokI) = Dedup.corpusIndexesRead(s, s"$out/new")
+      Dedup.crossDedupFlagsFromIndexes(docs.filter(isBatch),
+        "text", "doc_id", fpI, bandI, tokI)
+        .orderBy("doc_id")
+    }),
+
     // The streaming dedup ingest's core read/write path under the batch
     // oracle gate (the foreachBatch wiring itself is spec-only —
     // streaming output can't hash-oracle): epoch 0 ingests the 90%
@@ -1160,6 +1181,10 @@ object TextDedup {
       "q104_incremental_dedup" ->
         incrementalDedupOracle(norm, sig16, bandsFrom),
       "q112_indexed_dedup" ->
+        incrementalDedupOracle(norm, sig16, bandsFrom),
+      // the re-banded (8×2 → 16×4 migrated) layout must answer exactly
+      // as one freshly built at 16×4 — q112's pure function again
+      "q143_rebanded_dedup" ->
         incrementalDedupOracle(norm, sig16, bandsFrom),
       // the shuffle-path twin must produce exactly the broadcast
       // path's flags — same pure function, different physical joins

@@ -153,6 +153,30 @@ object Vector {
         .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
     }),
 
+    // q115's batch ANN with HIERARCHICAL probe-cell selection: the 8
+    // fixture centroids cluster into 2 super-groups driver-side and
+    // each query's probe cells come from the two-minima coarse fold +
+    // bounded top-nProbe over the probed groups' members. With BOTH
+    // groups probed the member subset is the whole codebook, so the
+    // result is exact by construction and q115's oracle applies
+    // VERBATIM — the hash pins the two-level probe machinery (the
+    // routing heuristic's cost/agreement trade at real codebook sizes
+    // is PROBE_*_r17's measurement, like q122 vs ASSIGN_200k_r11).
+    "q142_ivf_batch_hier" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val out = QueryTmp.dir("q142", s, d)
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", s"$out/ivf")
+      Similarity.ivfSearchBatchHier(
+        emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+        s.read.parquet(s"$out/ivf"), "vec_id", "embedding",
+        centroids, "cid", "cvec", k = 5, nProbe = 2,
+        superCells = 2, superProbe = 2)
+        .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+    }),
+
     // Incremental index build: 90% of vectors build the persisted IVF
     // layout, the remaining 10% APPEND to it (assignment under the
     // stamped codebook, no rewrite of existing cells), and the q88
@@ -728,7 +752,10 @@ object Vector {
     // identical SQL to q140 on purpose: the SDC probe mode changes the
     // kernel the stream flags with, not the flags' meaning
     ("q141_semantic_ingest_pq_sdc" ->
-      oracleBase("q140_semantic_dedup_sdc"))
+      oracleBase("q140_semantic_dedup_sdc")) +
+    // identical SQL to q115 on purpose: with every super-group probed
+    // the hierarchical probe selection is exact by construction
+    ("q142_ivf_batch_hier" -> oracleBase("q115_ivf_batch_search"))
 
   private def oracleBase: Map[String, String] = Map(
     "q90_kmeans_step" ->

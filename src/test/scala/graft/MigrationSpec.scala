@@ -141,6 +141,152 @@ class MigrationSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no data files"))
   }
 
+  private def docsDf(n: Int) = {
+    import spark.implicits._
+    // every 5th doc a verbatim copy of its predecessor (exact dups),
+    // every 7th a one-word edit (near dups), rest unique
+    val words = Seq("aleph", "bet", "gimel", "dalet", "he", "vav",
+      "zayin", "het", "tet", "yod", "kaf", "lamed")
+    (0L until n.toLong).map { i =>
+      val r = new scala.util.Random(i * 7919L + 3L)
+      val base = Seq.fill(12)(words(r.nextInt(words.size))).mkString(" ")
+      val text =
+        if (i % 5 == 4) {
+          val rp = new scala.util.Random((i - 1) * 7919L + 3L)
+          Seq.fill(12)(words(rp.nextInt(words.size))).mkString(" ")
+        } else if (i % 7 == 6) {
+          val rp = new scala.util.Random((i - 1) * 7919L + 3L)
+          val ws = Seq.fill(12)(words(rp.nextInt(words.size)))
+          (ws.init :+ "edited").mkString(" ")
+        } else base
+      (i, text)
+    }.toDF("doc_id", "text")
+  }
+
+  test("rebuildUnderBandParams == a fresh corpusIndexesWrite at the " +
+    "target params: identical trees, identical flags, old-params " +
+    "lookups refuse the new root; tokenizer change refused; re-run " +
+    "no-ops; foreign-complete layout refused") {
+    import graft.ops.Dedup
+    val docs = docsDf(60)
+    val isBatch = col("doc_id") % 10 === 9
+    val oldRoot = TestDirs.tmp("reband_old").toString + "/idx"
+    Dedup.corpusIndexesWrite(docs.filter(!isBatch), "text", "doc_id",
+      oldRoot, numHashes = 8, bands = 2)
+    val newRoot = TestDirs.tmp("reband_new").toString + "/idx"
+    val stamp = Dedup.rebuildUnderBandParams(spark, oldRoot, newRoot,
+      numHashes = 16, bands = 4)
+    val freshRoot = TestDirs.tmp("reband_fresh").toString + "/idx"
+    Dedup.corpusIndexesWrite(docs.filter(!isBatch), "text", "doc_id",
+      freshRoot, numHashes = 16, bands = 4)
+    // tree-level equivalence: fp, tok, and band rows all match a
+    // fresh 16×4 build; the band sidecar carries the new stamp
+    def fpOf(root: String) = spark.read.parquet(s"$root/fp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def tokOf(root: String) = spark.read.parquet(s"$root/tok")
+      .select(col("id"), col("toks"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toSet
+    def bandOf(root: String) = spark.read.parquet(s"$root/band")
+      .select(col("id"), col("band").cast("long"), col("band_sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(fpOf(newRoot) === fpOf(freshRoot))
+    assert(tokOf(newRoot) === tokOf(freshRoot))
+    assert(bandOf(newRoot) === bandOf(freshRoot),
+      "re-banded band rows diverged from a fresh build")
+    assert(Similarity.readStampSidecar(spark, s"$newRoot/band")
+      === Some(stamp))
+    // flag parity through the production lookup
+    def flagsOf(root: String) = {
+      val (fpI, bandI, tokI) = Dedup.corpusIndexesRead(spark, root)
+      Dedup.crossDedupFlagsFromIndexes(docs.filter(isBatch), "text",
+        "doc_id", fpI, bandI, tokI, numHashes = 16, bands = 4)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          r.getBoolean(2))).toSet
+    }
+    assert(flagsOf(newRoot) === flagsOf(freshRoot),
+      "migrated flags diverged from a fresh build's")
+    // the OLD banding params refuse the migrated root (stamp works)
+    val (fpI, bandI, tokI) = Dedup.corpusIndexesRead(spark, newRoot)
+    val e0 = intercept[IllegalStateException] {
+      Dedup.crossDedupFlagsFromIndexes(docs.filter(isBatch), "text",
+        "doc_id", fpI, bandI, tokI, numHashes = 8, bands = 2).collect()
+    }
+    assert(e0.getMessage.contains("banding params"))
+    // a tokenizer change cannot re-derive from persisted toks
+    val e1 = intercept[IllegalStateException] {
+      Dedup.rebuildUnderBandParams(spark, oldRoot,
+        TestDirs.tmp("reband_tok").toString + "/idx",
+        numHashes = 16, bands = 4, tokensTag = "char5")
+    }
+    assert(e1.getMessage.contains("tokenizer"))
+    // idempotent resume: matching sidecar no-ops
+    assert(Dedup.rebuildUnderBandParams(spark, oldRoot, newRoot,
+      numHashes = 16, bands = 4) === stamp)
+    assert(bandOf(newRoot) === bandOf(freshRoot))
+    // a COMPLETE layout under different params refuses
+    val e2 = intercept[IllegalStateException] {
+      Dedup.rebuildUnderBandParams(spark, oldRoot, newRoot,
+        numHashes = 8, bands = 4)
+    }
+    assert(e2.getMessage.contains("refusing to overwrite"))
+  }
+
+  test("rebuildUnderBandParams: stream-graduation from a _batch= " +
+    "ingest root; pending compaction and never-built roots refuse") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val docs = docsDf(40)
+    val root = TestDirs.tmp("reband_stream").toString
+    def ingest(df: org.apache.spark.sql.DataFrame, b: Long): Unit =
+      graft.streaming.IdempotentSink.dedupIngestByBatch(
+        s"$root/idx", s"$root/flags", "text", "doc_id")(df, b)
+    ingest(docs.filter(col("doc_id") % 2 === 0), 0L)
+    ingest(docs.filter(col("doc_id") % 2 === 1), 1L)
+    // kept docs = those the ingest itself kept (flags tree)
+    val keptIds = spark.read.parquet(s"$root/flags")
+      .filter(!col("exact_dup") && !col("near_dup"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val newRoot = TestDirs.tmp("reband_stream_new").toString + "/idx"
+    Dedup.rebuildUnderBandParams(spark, s"$root/idx", newRoot,
+      numHashes = 16, bands = 4): Unit
+    // batch layout (no _batch), fresh-build-equivalent over kept docs
+    assert(!spark.read.parquet(s"$newRoot/band").columns
+      .contains("_batch"),
+      "the migrated layout must be a plain batch tree")
+    val freshRoot = TestDirs.tmp("reband_stream_fresh").toString + "/idx"
+    Dedup.corpusIndexesWrite(
+      docs.filter(col("doc_id").isin(keptIds.toSeq: _*)),
+      "text", "doc_id", freshRoot, numHashes = 16, bands = 4)
+    def bandOf(r: String) = spark.read.parquet(s"$r/band")
+      .select(col("id"), col("band").cast("long"), col("band_sig"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+      .toSet
+    assert(bandOf(newRoot) === bandOf(freshRoot),
+      "stream-graduated band rows diverged from a fresh build")
+    // pending compaction swap at the old band tree refuses
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/idx/band_compact_tmp")
+    fs.mkdirs(tmp)
+    graft.streaming.IdempotentSink.writeFoldManifest(fs,
+      new org.apache.hadoop.fs.Path(tmp,
+        graft.streaming.IdempotentSink.FoldManifest), 0L, Seq(0L))
+    val e = intercept[IllegalStateException] {
+      Dedup.rebuildUnderBandParams(spark, s"$root/idx",
+        TestDirs.tmp("reband_pend_new").toString + "/idx")
+    }
+    assert(e.getMessage.contains("pending"))
+    fs.delete(tmp, true)
+    // a never-built root refuses instead of writing an empty index
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.rebuildUnderBandParams(spark,
+        TestDirs.tmp("reband_bare").toString,
+        TestDirs.tmp("reband_bare_new").toString + "/idx")
+    }
+    assert(e2.getMessage.contains("no data files"))
+  }
+
   test("rebuildPairUnderCodebooks == a fresh ivfPqIndexWritePair from " +
     "the same rows; the migrated pair serves a refined search; re-run " +
     "no-ops") {

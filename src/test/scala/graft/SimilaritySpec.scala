@@ -455,6 +455,79 @@ class SimilaritySpec extends AnyFunSuite {
     assert(auto.keySet == flat.keySet)
   }
 
+  test("ivfSearchBatchHier: all-groups-probed equals the flat batch " +
+    "probe exactly (general path AND degenerate path); a coarse " +
+    "superProbe=2 probe selects mostly the same cells and never " +
+    "fabricates candidates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    // the structured-codebook fixture shape of the assignment test:
+    // 8 well-separated groups of 8 centroids — a coarse tier's
+    // operating point
+    val groupBase = (0 until 8).map(g =>
+      Seq.tabulate(6)(j => if (j == g % 6) 40.0 * (1 + g / 6) else 0.0))
+    val centVecs = (0L until 64L).map { c =>
+      val g = (c / 8).toInt
+      (c, groupBase(g).map(_ + rnd.nextGaussian()))
+    }
+    val cents = centVecs.toDF("cid", "cvec")
+    val emb = (0L until 500L).map { i =>
+      val near = centVecs(rnd.nextInt(64))._2
+      (i, near.map(_ + rnd.nextGaussian() * 2.0))
+    }.toDF("vec_id", "embedding")
+    val dir = TestDirs.tmp("ivf_hier_batch").toFile.getAbsolutePath
+    Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+      cents, "cid", "cvec", dir)
+    val index = spark.read.parquet(dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("vec_id"), col("cos_sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val flat = rowsOf(Similarity.ivfSearchBatch(queries, "vec_id",
+      "embedding", index, "vec_id", "embedding", cents, "cid", "cvec",
+      k = 5, nProbe = 3))
+    // degenerate (superProbe ≥ superCells ⇒ flat explode) and general
+    // (2 groups, both probed) paths must both be EXACTLY flat
+    assert(rowsOf(Similarity.ivfSearchBatchHier(queries, "vec_id",
+      "embedding", index, "vec_id", "embedding", cents, "cid", "cvec",
+      k = 5, nProbe = 3, superCells = 8, superProbe = 8)) === flat,
+      "degenerate hierarchical batch probe diverged from flat")
+    assert(rowsOf(Similarity.ivfSearchBatchHier(queries, "vec_id",
+      "embedding", index, "vec_id", "embedding", cents, "cid", "cvec",
+      k = 5, nProbe = 3, superCells = 2, superProbe = 2)) === flat,
+      "all-groups-probed hierarchical batch probe diverged from flat")
+    // coarse probe: cells come from the 2 probed groups' members only —
+    // probe sets agree with flat on the overwhelming majority, and the
+    // scored results are always a SUBSET-search of flat's candidate
+    // space (equal scores wherever (qid, id) pairs coincide)
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qvec"))
+    val centsSeq = centVecs.map { case (c, v) => (c, v) }
+    def probeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flatProbe = probeSet(Similarity.probeCellsHierarchical(
+      q, centsSeq, nProbe = 3, superCells = 8, superProbe = 8))
+    val hierProbe = probeSet(Similarity.probeCellsHierarchical(
+      q, centsSeq, nProbe = 3, superCells = 8, superProbe = 2))
+    assert(hierProbe.map(_._1) === flatProbe.map(_._1),
+      "coarse probe lost a query")
+    val shared = hierProbe.intersect(flatProbe)
+    assert(shared.size * 10 >= flatProbe.size * 9,
+      s"coarse probe agrees on only ${shared.size}/${flatProbe.size} " +
+        "cells — super-clustering is routing badly")
+    val hier2 = rowsOf(Similarity.ivfSearchBatchHier(queries, "vec_id",
+      "embedding", index, "vec_id", "embedding", cents, "cid", "cvec",
+      k = 5, nProbe = 3, superCells = 8, superProbe = 2))
+    val flatByKey = flat.map(t => (t._1, t._2) -> t._3).toMap
+    hier2.foreach { case (qid, id, score) =>
+      flatByKey.get((qid, id)).foreach(fs =>
+        assert(fs === score,
+          s"($qid,$id) scored $score hier vs $fs flat — the candidate " +
+            "scan must be untouched by probe selection"))
+    }
+  }
+
   test("kmeansIterate: an empty cell keeps its previous centroid") {
     import spark.implicits._
     val emb = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.2, 0.0)))
