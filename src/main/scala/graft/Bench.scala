@@ -102,7 +102,11 @@ object Bench {
     "q137_dup_components_auto", // auto plain-vs-doubling components
     "q138_semantic_ingest_pq", // streaming PQ ingest, two-epoch path
     "q139_ivf_migrated", // managed codebook migration + probe
-    "q140_semantic_dedup_sdc") // symmetric-distance (SDC) PQ dedup
+    "q140_semantic_dedup_sdc", // symmetric-distance (SDC) PQ dedup
+    "q141_semantic_ingest_pq_sdc", // streaming PQ ingest, sdc probe mode
+    "q142_ivf_batch_hier", // hierarchical probe-cell selection
+    "q143_rebanded_dedup", // text-index re-banding migration + lookup
+    "q144_semantic_dedup_pq_calibrated") // operator-calibrated tau
 
   def main(args: Array[String]): Unit = {
     // the f interpolator renders %f under the JVM default locale; a
