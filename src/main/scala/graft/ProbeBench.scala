@@ -84,7 +84,9 @@ object ProbeBench {
         .mkString("[", ",", "]")},"load1":${ss.map(x => f"${x._2}%.2f")
         .mkString("[", ",", "]")}}"""
 
-    val lines = Seq(1000, 4000, 8000).map { k =>
+    // 32000 ≈ the √n operating point of a 10⁹-vector corpus — the
+    // scale the coarse tier exists for; 1000 ≈ today's 1M-corpus point
+    val lines = Seq(1000, 4000, 8000, 32000).map { k =>
       // codebook: a deterministic k-vector sample of the fixture
       // family (selection cost does not depend on codebook quality;
       // agreement is measured against the SAME codebook both ways)

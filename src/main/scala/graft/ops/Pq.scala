@@ -667,7 +667,8 @@ object Pq {
       queryVecCol: String, index: DataFrame, idCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, k: Int, nProbe: Int = 2,
-      excludeSelf: Boolean = true, metric: String = "l2"): DataFrame = {
+      excludeSelf: Boolean = true, metric: String = "l2",
+      superCells: Int = 0, superProbe: Int = 0): DataFrame = {
     val cents = Similarity.collectCodebook(centroids, centroidIdCol,
       centroidVecCol)
     val checked = Similarity.verifyStamp(index,
@@ -684,12 +685,18 @@ object Pq {
     // (and broadcast) nProbe copies of every query's table — at m=8,
     // k=256, nProbe=8 that is 8×16 KB per query instead of 16 KB.
     // Probe selection itself is the shared window-free bounded-agg
-    // stage (batch × |codebook| rows never cross an exchange whole)
-    val qcells = Similarity.probeTopCells(q
+    // stage (batch × |codebook| rows never cross an exchange whole);
+    // superProbe > 0 opts into the COARSE tier for √n-scale codebooks
+    // (O(s + superProbe·k/s) distance rows per query instead of O(k) —
+    // [[Similarity.probeCellsHierarchical]]'s approximation contract)
+    val qcells = (if (superProbe > 0)
+      Similarity.probeCellsHierarchical(q, cents, nProbe, superCells,
+        superProbe)
+    else Similarity.probeTopCells(q
       .select(col("qid"), col("qvec"), explode(codebook).as("c"))
       .select(col("qid"), col("c._1").as("cell"),
         GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d")),
-      nProbe)
+      nProbe))
       .localCheckpoint(true) // probe side computed once: collect + join
     val qluts = q.select(col("qid"), lut.as("_lut"))
     val probedCells = qcells.select(col("cell")).distinct()
@@ -777,7 +784,8 @@ object Pq {
       queryVecCol: String, index: DataFrame, idCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, k: Int, nProbe: Int = 2,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      superCells: Int = 0, superProbe: Int = 0): DataFrame = {
     val cents = Similarity.collectCodebook(centroids, centroidIdCol,
       centroidVecCol)
     val checked = Similarity.verifyStamp(index,
@@ -792,12 +800,16 @@ object Pq {
     val q = queries.select(col(queryIdCol).as("qid"),
       col(queryVecCol).cast("array<double>").as("qvec"))
     // probe pairs from the EXACT query (cell selection must not pay
-    // the second quantization); query codes ride a separate tiny frame
-    val qcells = Similarity.probeTopCells(q
+    // the second quantization); query codes ride a separate tiny
+    // frame; superProbe > 0 opts into the coarse probe tier
+    val qcells = (if (superProbe > 0)
+      Similarity.probeCellsHierarchical(q, cents, nProbe, superCells,
+        superProbe)
+    else Similarity.probeTopCells(q
       .select(col("qid"), col("qvec"), explode(codebook).as("c"))
       .select(col("qid"), col("c._1").as("cell"),
         GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d")),
-      nProbe)
+      nProbe))
       .localCheckpoint(true) // probe side computed once: collect + join
     val qcodes = q.select(col("qid"),
       GraftFunctions.pq_encode(col("qvec"), cbLit(cb), cb.m, cb.k)

@@ -187,6 +187,45 @@ object Similarity {
     means
   }
 
+  /** The driver-side coarse structure of a codebook: super-centroids
+    * ([[localKmeans]] over the CENTROIDS) plus each centroid's group
+    * membership — a pure function of (codebook, s), MEMOIZED
+    * process-wide because deriving it is O(|codebook|·s·dim·iters)
+    * single-threaded driver work (≈4 s at 32k cells) and the
+    * consumers re-derive per CALL: a streaming ingest probes the same
+    * codebook every micro-batch, and the first ProbeBench cut measured
+    * the per-call re-clustering eating the coarse tier's entire saving
+    * at the 32k-cell operating point. Bounded FIFO (8 codebooks ≈ a
+    * few MB); deep-equality keyed, so a re-collected but identical
+    * codebook hits.
+    */
+  private case class SuperStructure(means: IndexedSeq[Seq[Double]],
+      membership: Map[Long, Seq[(Long, Seq[Double])]])
+  private val superCache = scala.collection.mutable.ArrayDeque[
+    (Seq[(Long, Seq[Double])], Int, SuperStructure)]()
+  private def superStructure(cents: Seq[(Long, Seq[Double])], s: Int)
+  : SuperStructure = superCache.synchronized {
+    superCache.find(e => e._2 == s &&
+      ((e._1 eq cents) || e._1 == cents)) match {
+      case Some((_, _, st)) => st
+      case None =>
+        val means = localKmeans(cents.map(_._2).toIndexedSeq, s)
+        def sq(a: Seq[Double], b: Seq[Double]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+          acc
+        }
+        // cid order preserved within a group, only non-empty groups
+        // probe-able (an empty localKmeans cluster must not be)
+        val membership = cents.groupBy(c =>
+          means.indices.minBy(j => sq(c._2, means(j))).toLong)
+        val st = SuperStructure(means, membership)
+        superCache.append((cents, s, st))
+        if (superCache.size > 8) superCache.removeHead(): Unit
+        st
+    }
+  }
+
   /** Two-level IVF assignment — the coarse-quantizer tier for codebooks
     * past ~10³ cells, where the flat fold's O(|codebook|) sqdists per
     * row dominates (√n sizing at 10⁹ vectors ⇒ ~31k cells ⇒ 31k
@@ -234,14 +273,9 @@ object Similarity {
     require(superProbe >= 1 && superProbe <= 2 || superProbe >= s,
       s"superProbe must be 1, 2, or ≥ superCells=$s (got $superProbe); " +
         "the two-minima fold tracks at most two groups")
-    val superMeans = localKmeans(cents.map(_._2).toIndexedSeq, s)
-    def sq(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-    // each centroid joins its nearest super-centroid's member list
-    // (cid order preserved within a group, so in-group ties keep the
-    // flat fold's smallest-cid behavior)
-    val membership = cents.groupBy(c =>
-      superMeans.indices.minBy(j => sq(c._2, superMeans(j))).toLong)
+    // memoized per (codebook, s): the clustering is per-codebook
+    // preprocessing, not per-call work (see [[superStructure]])
+    val SuperStructure(superMeans, membership) = superStructure(cents, s)
     if (superProbe >= s && s > 2) {
       // degenerate exact form — one fold over everything, as flat
       // (the two-minima fold below cannot track more than 2 groups).
@@ -841,13 +875,14 @@ object Similarity {
     * distance rows (bounded-agg'd, no shuffle — but at a 10⁹-vector
     * corpus's √n ≈ 3×10⁴ cells, a 10⁴-query batch computes 3×10⁸
     * sqdists for CELL SELECTION alone, the probe's dominant compute).
-    * Here each query folds over the `superCells` super-centroids
-    * first (the same driver-side codebook clustering
-    * [[ivfAssignHierarchical]] uses — measured 8.3× per-row at 4k
-    * cells, ASSIGN_200k_r11) and explodes only its `superProbe`
-    * nearest groups' members: O(s + superProbe·k/s) distance rows per
-    * query instead of O(k); the measured probe-side point is
-    * PROBE_*_r17.
+    * Here each query selects its `superProbe` nearest groups first
+    * (the same memoized codebook clustering
+    * [[ivfAssignHierarchical]] uses) and scores only those groups'
+    * members: O(s + superProbe·k/s) distance rows per query instead
+    * of O(k). MEASURED (PROBE_10k_r17.json, selection stage,
+    * min-of-3): 1.2× / 1.9× / 2.9× / 3.4× over flat at 1k / 4k / 8k /
+    * 32k cells, probe-set agreement 98–99.7% (highest at the 32k
+    * operating point — finer groups straddle less).
     *
     * APPROXIMATION CONTRACT (mirrors the assignment op's
     * subset-distance contract): with superProbe < superCells a true
@@ -876,21 +911,38 @@ object Similarity {
     searchFromProbe(checked, q, qcells, idCol, vecCol, k, excludeSelf)
   }
 
-  /** Probe-cell selection through the coarse tier: two-minima fold
-    * over the super-centroids, then top-`nProbe` cells from ONLY the
-    * probed groups' members via the shared bounded aggregate
-    * ([[probeTopCells]]). Input `q` is (qid, qvec); returns
-    * (qid, cell). `superProbe >= superCells` degenerates to the flat
-    * explode over the whole codebook — exact by construction.
+  /** Probe-cell selection through the coarse tier, staged as the SAME
+    * explode + bounded-agg machinery the flat path uses — all
+    * whole-stage codegen, just ~k/(s + superProbe·k/s)× fewer distance
+    * rows: (1) explode the s super-centroids per query and keep each
+    * query's `superProbe` nearest GROUPS (the shared [[probeTopCells]]
+    * aggregate at superProbe); (2) broadcast-join the probed (qid,
+    * group) pairs to the groups' member centroids and keep the
+    * top-`nProbe` CELLS. Input `q` is (qid, qvec); returns
+    * (qid, cell).
+    *
+    * Why not the [[ivfAssignHierarchical]] two-minima `aggregate()`
+    * fold? MEASURED AND REJECTED (PROBE_10k_r17.json first cut): the
+    * flat probe's explode computes each sqdist inside codegen, and the
+    * higher-order fold's per-distance cost is enough higher that the
+    * 30× row reduction LOST outright (13.8 s vs flat's 9.6 s at 8k
+    * cells) — the fold wins for ASSIGNMENT because there the flat
+    * baseline is the same fold machinery; here the baseline is
+    * codegen, so the coarse tier must be codegen too.
+    *
+    * `superProbe >= superCells` (> 2 groups) degenerates to the flat
+    * explode; `superProbe = superCells <= 2` stays on the general
+    * path — probing every group is also exact, but runs the full
+    * two-stage machinery (the registered q142 gate uses that shape to
+    * pin it against q115's flat oracle).
     */
   private[graft] def probeCellsHierarchical(q: DataFrame,
       cents: Seq[(Long, Seq[Double])], nProbe: Int,
       superCells: Int = 0, superProbe: Int = 2): DataFrame = {
     val s = if (superCells > 0) superCells
       else math.ceil(math.sqrt(cents.size.toDouble)).toInt
-    require(superProbe >= 1 && superProbe <= 2 || superProbe >= s,
-      s"superProbe must be 1, 2, or ≥ superCells=$s (got $superProbe); " +
-        "the two-minima fold tracks at most two groups")
+    require(superProbe >= 1,
+      s"superProbe must be ≥ 1 (got $superProbe)")
     if (superProbe >= s && s > 2)
       // degenerate exact form: flat explode, as ivfSearchBatch
       probeTopCells(q
@@ -900,41 +952,33 @@ object Similarity {
           GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d")),
         nProbe)
     else {
-      val superMeans = localKmeans(cents.map(_._2).toIndexedSeq, s)
-      def sq(a: Seq[Double], b: Seq[Double]): Double =
-        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-      // same membership derivation as ivfAssignHierarchical: cid order
-      // preserved within a group, only non-empty groups probe-able
-      val membership = cents.groupBy(c =>
-        superMeans.indices.minBy(j => sq(c._2, superMeans(j))).toLong)
+      val spark = q.sparkSession
+      import spark.implicits._
+      // same memoized structure as ivfAssignHierarchical: per-codebook
+      // preprocessing, not per-probe work (see [[superStructure]])
+      val SuperStructure(superMeans, membership) = superStructure(cents, s)
       val superBook = typedLit(membership.keys.toSeq.sorted.map(sid =>
         (sid, superMeans(sid.toInt))))
-      val memberMap = typedLit(membership)
-      val init2 = struct(
-        lit(-1L).as("s1"), lit(Double.MaxValue).as("d1"),
-        lit(-1L).as("s2"), lit(Double.MaxValue).as("d2"))
-      val best2 = aggregate(superBook, init2, (acc, c) => {
-        val d = GraftFunctions.vec_sqdist(col("qvec"), c.getField("_2"))
-        val sid = c.getField("_1")
-        when(d < acc.getField("d1"), struct(
-          sid.as("s1"), d.as("d1"),
-          acc.getField("s1").as("s2"), acc.getField("d1").as("d2")))
-          .when(d < acc.getField("d2"), struct(
-            acc.getField("s1").as("s1"), acc.getField("d1").as("d1"),
-            sid.as("s2"), d.as("d2")))
-          .otherwise(acc)
-      })
-      val groups =
-        if (superProbe == 1) element_at(memberMap, col("_sb.s1"))
-        else concat(
-          element_at(memberMap, col("_sb.s1")),
-          coalesce(element_at(memberMap, col("_sb.s2")),
-            typedLit(Seq.empty[(Long, Seq[Double])])))
-      probeTopCells(q
-        .withColumn("_sb", best2)
-        .select(col("qid"), col("qvec"), explode(groups).as("c"))
+      // stage 1: each query's superProbe nearest groups — s distance
+      // rows per query through the shared bounded aggregate
+      val qsupers = probeTopCells(q
+        .select(col("qid"), col("qvec"), explode(superBook).as("c"))
         .select(col("qid"), col("c._1").as("cell"),
           GraftFunctions.vec_sqdist(col("qvec"), col("c._2")).as("d")),
+        superProbe)
+        .select(col("qid"), col("cell").as("_sid"))
+      // stage 2: probed groups' members only — superProbe·k/s distance
+      // rows per query; the member table and the query batch both
+      // broadcast (codebook-sized and batch-sized respectively, the
+      // same classes the flat probe already ships)
+      val memberDf = membership.toSeq
+        .flatMap { case (sid, cs) => cs.map(c => (sid, c._1, c._2)) }
+        .toDF("_sid", "cell", "_cvec")
+      probeTopCells(qsupers
+        .join(broadcast(memberDf), Seq("_sid"))
+        .join(broadcast(q), Seq("qid"))
+        .select(col("qid"), col("cell"),
+          GraftFunctions.vec_sqdist(col("qvec"), col("_cvec")).as("d")),
         nProbe)
     }
   }

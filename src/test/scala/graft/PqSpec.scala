@@ -450,6 +450,16 @@ class PqSpec extends AnyFunSuite {
         index, "id", cents, "cid", "cvec", cb, k = 4, nProbe = 3,
         maxCodeBatch = chunk)) == sdcSingle,
         s"maxCodeBatch=$chunk diverged")
+    // hierarchical probe-cell selection, all groups probed (the exact
+    // shape), must be result-identical on BOTH PQ probes too
+    assert(rowsOf(Pq.ivfPqSearchBatch(queries, "id", "vec",
+      index, "id", cents, "cid", "cvec", cb, k = 4, nProbe = 3,
+      superCells = 2, superProbe = 2)) == single,
+      "hier-probe ADC diverged from flat")
+    assert(sdcRowsOf(Pq.ivfPqSearchBatchSdc(queries, "id", "vec",
+      index, "id", cents, "cid", "cvec", cb, k = 4, nProbe = 3,
+      superCells = 2, superProbe = 2)) == sdcSingle,
+      "hier-probe SDC diverged from flat")
   }
 
   test("calibrateTauDist: zero bias on a lossless codebook; the " +
