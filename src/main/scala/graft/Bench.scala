@@ -106,7 +106,8 @@ object Bench {
     "q141_semantic_ingest_pq_sdc", // streaming PQ ingest, sdc probe mode
     "q142_ivf_batch_hier", // hierarchical probe-cell selection
     "q143_rebanded_dedup", // text-index re-banding migration + lookup
-    "q144_semantic_dedup_pq_calibrated") // operator-calibrated tau
+    "q144_semantic_dedup_pq_calibrated", // operator-calibrated tau
+    "q145_semantic_dedup_pq_hybrid") // SDC pass + band-sized ADC refine
 
   def main(args: Array[String]): Unit = {
     // the f interpolator renders %f under the JVM default locale; a

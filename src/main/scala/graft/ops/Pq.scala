@@ -856,6 +856,104 @@ object Pq {
         (col("sdc_dist").isNull || col("sdc_dist") > tauDist).as("keep"))
   }
 
+  /** HYBRID semantic dedup — SDC speed with ADC accuracy exactly where
+    * accuracy matters: the whole batch probes through the SYMMETRIC
+    * kernel (m-byte codes, the measured 3–6× large-batch win,
+    * SDC_1m_r17.json), and ONLY the queries whose best symmetric
+    * distance lands inside `band` of `tauSdc` — the STRADDLERS, the
+    * population where SDC's doubled quantization actually flips flags
+    * (measured ~13% of planted near-dups on the worst-case corpus,
+    * SEMINGEST_PQ_SDC_1m_f10_r17, vs ADC's ~1.5%) — get their top
+    * `refineK` SDC candidates re-scored by ADC and re-flagged at
+    * `tauAdc`. Out-of-band queries keep the SDC verdict untouched.
+    *
+    * Cost shape: the ADC machinery (per-query m·k-double LUT + the
+    * pruned candidate fetch) runs over the BAND-SIZED query subset
+    * only — the LUT broadcast is bounded by the straddler count, not
+    * the batch, so the contract scales with how thin the boundary is,
+    * which the caller controls via `band` (≈ the spread of boundary
+    * distances; 0 degenerates to pure SDC, and band = ∞ with refineK ≥
+    * candidates degenerates to the pure-ADC verdict — both pinned in
+    * PqSpec). Calibrate BOTH thresholds with [[calibrateTauDist]] in
+    * the matching mode.
+    *
+    * Returns (batchIdCol, neighbor_id, sdc_dist, keep) — neighbor
+    * attribution stays the SDC top-1 (the cheap pass's answer); `keep`
+    * is the hybrid verdict. Null scores keep, as everywhere.
+    */
+  def semanticDedupFlagsPqHybrid(batch: DataFrame, batchIdCol: String,
+      batchVecCol: String, index: DataFrame, idCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      cb: Codebook, tauSdc: Double, tauAdc: Double, band: Double,
+      refineK: Int = 4, nProbe: Int = 2, excludeSelf: Boolean = true)
+  : DataFrame = {
+    require(band >= 0, "band must be ≥ 0")
+    require(refineK >= 1, "refineK must be ≥ 1")
+    // one symmetric probe, top-refineK per query — candidate-sized
+    // (refineK·|batch| rows), checkpointed: it feeds the best-agg, the
+    // straddler join, and (through it) the cell collect
+    val top = ivfPqSearchBatchSdcChunked(batch, batchIdCol, batchVecCol,
+      index, idCol, centroids, centroidIdCol, centroidVecCol, cb,
+      k = refineK, nProbe = nProbe, excludeSelf = excludeSelf)
+      .localCheckpoint(true)
+    // SDC top-1 = rank 1 of the top-K (same (dist asc, id asc) order)
+    val best = top.groupBy(col("qid"))
+      .agg(min_by(struct(col(idCol), col("sdc_dist")),
+        struct(col("sdc_dist"), col(idCol))).as("_t"))
+      .select(col("qid"), col(s"_t.$idCol").as("neighbor_id"),
+        col("_t.sdc_dist").as("sdc_dist"))
+      .localCheckpoint(true) // feeds the band filter AND the final join
+    val bandQids = best
+      .filter(abs(col("sdc_dist") - lit(tauSdc)) <= lit(band))
+      .select(col("qid"))
+    // straddler candidate pairs, with the probe's cell riding along so
+    // the code fetch prunes to exactly their cells' directories
+    val straddlers = top.join(broadcast(bandQids), Seq("qid"))
+      .select(col("qid"), col(idCol), col("cell"))
+      .localCheckpoint(true) // feeds the cell collect + the code join
+    val cells = straddlers.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val rescored = if (cells.isEmpty) {
+      // no straddlers: nothing to refine (still produce the schema)
+      best.select(col("qid"), lit(null).cast("double").as("_amin"))
+        .filter(lit(false))
+    } else {
+      val cents = Similarity.collectCodebook(centroids, centroidIdCol,
+        centroidVecCol)
+      val checked = Similarity.verifyStamp(index,
+        combinedStamp(Similarity.codebookStamp(cents), cb),
+        "semanticDedupFlagsPqHybrid")
+      // LUTs ship for the BAND-SIZED query subset only — the bounded
+      // form of the cost ADC pays for the whole batch
+      val qluts = batch
+        .select(col(batchIdCol).as("qid"),
+          col(batchVecCol).cast("array<double>").as("qvec"))
+        .join(broadcast(bandQids), Seq("qid"))
+        .select(col("qid"),
+          GraftFunctions.pq_lut(col("qvec"), cbLit(cb), cb.m, cb.k)
+            .as("_lut"))
+      checked.filter(col("cell").cast("long").isin(cells: _*))
+        .select(col(idCol), col("pq_code"))
+        .join(broadcast(straddlers.select(col("qid"), col(idCol))),
+          Seq(idCol))
+        .join(broadcast(qluts), Seq("qid"))
+        .select(col("qid"),
+          round(GraftFunctions.pq_adc(col("_lut"), col("pq_code")), 5)
+            .as("_adc"))
+        .filter(col("_adc").isNotNull)
+        .groupBy(col("qid")).agg(min(col("_adc")).as("_amin"))
+    }
+    val sdcKeep = col("sdc_dist").isNull || col("sdc_dist") > tauSdc
+    val refinedKeep = col("_amin").isNull || col("_amin") > tauAdc
+    batch.select(col(batchIdCol))
+      .join(best, col(batchIdCol) === col("qid"), "left")
+      .join(rescored, Seq("qid"), "left")
+      .select(col(batchIdCol), col("neighbor_id"), col("sdc_dist"),
+        when(col("sdc_dist").isNotNull &&
+          abs(col("sdc_dist") - lit(tauSdc)) <= lit(band), refinedKeep)
+          .otherwise(sdcKeep).as("keep"))
+  }
+
   /** [[ivfPqSearchBatchSdc]] for query batches past ITS broadcast-size
     * contract — the SDC twin of [[ivfPqSearchBatchChunked]], with the
     * default chunk sized 64× larger: an SDC chunk ships ~100 bytes per

@@ -384,6 +384,36 @@ object Vector {
         .orderBy("vec_id")
     }),
 
+    // HYBRID dedup under the gate: the whole batch probes via SDC
+    // (m-byte codes), and only the STRADDLERS — best symmetric
+    // distance within band of τ_sdc — get their top-4 SDC candidates
+    // ADC-rescored and re-flagged at τ_adc (both thresholds
+    // boundary-calibrated at cos 0.8 under the k=16 codebook; the
+    // oracle re-derives both). Closes the SDC recall notch where it
+    // lives, at band-sized ADC cost (SEMINGEST_PQ_SDC_1m_f10_r17
+    // measured the notch; PqSpec pins the band=0/band=∞ algebra).
+    "q145_semantic_dedup_pq_hybrid" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = fixturePqCodebookK(emb, 16)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val isCorpus = col("vec_id") % 10 === 0
+      val isBatch = col("vec_id") % 10 === 9
+      val tauS = graft.ops.Pq.calibrateTauDist(emb.filter(isCorpus),
+        "vec_id", "embedding", cb, cosThreshold = 0.8, mode = "sdc")
+      val tauA = graft.ops.Pq.calibrateTauDist(emb.filter(isCorpus),
+        "vec_id", "embedding", cb, cosThreshold = 0.8, mode = "adc")
+      val out = QueryTmp.dir("q145", s, d)
+      graft.ops.Pq.ivfPqIndexWrite(emb.filter(isCorpus), "vec_id",
+        "embedding", centroids, "cid", "cvec", cb, s"$out/ivfpq")
+      graft.ops.Pq.semanticDedupFlagsPqHybrid(
+        emb.filter(isBatch), "vec_id", "embedding",
+        s.read.parquet(s"$out/ivfpq"), "vec_id",
+        centroids, "cid", "cvec", cb, tauSdc = tauS, tauAdc = tauA,
+        band = 0.2, refineK = 4, nProbe = 2)
+        .orderBy("vec_id")
+    }),
+
     // q144: q133's ADC dedup with the threshold CALIBRATED by
     // Pq.calibrateTauDist (boundary pairs at cos 0.9 over the corpus
     // subset) instead of a hand-picked literal — the operator-ized
@@ -536,69 +566,70 @@ object Vector {
     * operator's exactly.
     */
   private def calibCtes(mode: String, cosT: Double,
-      samplePred: String): String = {
+      samplePred: String, p: String = "cal",
+      tauName: String = "tau"): String = {
     val sinT = s"sqrt(1 - $cosT*$cosT)"
     val pair = if (mode == "adc")
-      """cal_pair AS (
-        |  SELECT dx.vec_id, sum(dx.d) AS dist
-        |  FROM pqd dx JOIN cal_codesp cp
-        |    ON cp.vec_id = dx.vec_id AND cp.j = dx.j AND cp.code = dx.c
-        |  GROUP BY dx.vec_id)""".stripMargin
+      s"""${p}_pair AS (
+         |  SELECT dx.vec_id, sum(dx.d) AS dist
+         |  FROM pqd dx JOIN ${p}_codesp cp
+         |    ON cp.vec_id = dx.vec_id AND cp.j = dx.j AND cp.code = dx.c
+         |  GROUP BY dx.vec_id)""".stripMargin
     else
-      """cal_pair AS (
-        |  SELECT cx.vec_id, sum(t.d) AS dist
-        |  FROM codes cx
-        |  JOIN cal_codesp cp ON cp.vec_id = cx.vec_id AND cp.j = cx.j
-        |  JOIN sdct t ON t.j = cx.j AND t.ca = cx.code AND t.cb = cp.code
-        |  WHERE cx.vec_id IN (SELECT vec_id FROM cal_samp)
-        |  GROUP BY cx.vec_id)""".stripMargin
+      s"""${p}_pair AS (
+         |  SELECT cx.vec_id, sum(t.d) AS dist
+         |  FROM codes cx
+         |  JOIN ${p}_codesp cp ON cp.vec_id = cx.vec_id AND cp.j = cx.j
+         |  JOIN sdct t ON t.j = cx.j AND t.ca = cx.code AND t.cb = cp.code
+         |  WHERE cx.vec_id IN (SELECT vec_id FROM ${p}_samp)
+         |  GROUP BY cx.vec_id)""".stripMargin
     s""",
-       |cal_samp AS (
+       |${p}_samp AS (
        |  SELECT vec_id, i, x FROM ax WHERE $samplePred),
-       |cal_nrm AS (
-       |  SELECT vec_id, sqrt(sum(x*x)) AS n FROM cal_samp GROUP BY 1),
-       |cal_xh AS (
+       |${p}_nrm AS (
+       |  SELECT vec_id, sqrt(sum(x*x)) AS n FROM ${p}_samp GROUP BY 1),
+       |${p}_xh AS (
        |  SELECT s.vec_id, s.i, s.x / n.n AS h
-       |  FROM cal_samp s JOIN cal_nrm n USING (vec_id)
+       |  FROM ${p}_samp s JOIN ${p}_nrm n USING (vec_id)
        |  WHERE n.n >= 1e-12),
-       |cal_dim AS (SELECT vec_id, max(i) AS d FROM cal_xh GROUP BY 1),
-       |cal_sh AS (
+       |${p}_dim AS (SELECT vec_id, max(i) AS d FROM ${p}_xh GROUP BY 1),
+       |${p}_sh AS (
        |  SELECT a.vec_id, a.i, b.h AS s
-       |  FROM cal_xh a JOIN cal_dim USING (vec_id)
-       |  JOIN cal_xh b ON b.vec_id = a.vec_id
-       |    AND b.i = CASE WHEN a.i = 1 THEN cal_dim.d ELSE a.i - 1 END),
-       |cal_proj AS (
+       |  FROM ${p}_xh a JOIN ${p}_dim USING (vec_id)
+       |  JOIN ${p}_xh b ON b.vec_id = a.vec_id
+       |    AND b.i = CASE WHEN a.i = 1 THEN ${p}_dim.d ELSE a.i - 1 END),
+       |${p}_proj AS (
        |  SELECT s.vec_id, sum(s.s * h.h) AS p
-       |  FROM cal_sh s JOIN cal_xh h
+       |  FROM ${p}_sh s JOIN ${p}_xh h
        |    ON h.vec_id = s.vec_id AND h.i = s.i
        |  GROUP BY s.vec_id),
-       |cal_resid AS (
+       |${p}_resid AS (
        |  SELECT s.vec_id, s.i, s.s - p.p * h.h AS r
-       |  FROM cal_sh s JOIN cal_proj p USING (vec_id)
-       |  JOIN cal_xh h ON h.vec_id = s.vec_id AND h.i = s.i),
-       |cal_rn AS (
-       |  SELECT vec_id, sqrt(sum(r*r)) AS rn FROM cal_resid GROUP BY 1),
-       |cal_xp AS (
+       |  FROM ${p}_sh s JOIN ${p}_proj p USING (vec_id)
+       |  JOIN ${p}_xh h ON h.vec_id = s.vec_id AND h.i = s.i),
+       |${p}_rn AS (
+       |  SELECT vec_id, sqrt(sum(r*r)) AS rn FROM ${p}_resid GROUP BY 1),
+       |${p}_xp AS (
        |  SELECT r.vec_id, r.i,
        |    n.n * ($cosT * h.h + $sinT * r.r / rr.rn) AS x
-       |  FROM cal_resid r JOIN cal_rn rr USING (vec_id)
-       |  JOIN cal_nrm n USING (vec_id)
-       |  JOIN cal_xh h ON h.vec_id = r.vec_id AND h.i = r.i
+       |  FROM ${p}_resid r JOIN ${p}_rn rr USING (vec_id)
+       |  JOIN ${p}_nrm n USING (vec_id)
+       |  JOIN ${p}_xh h ON h.vec_id = r.vec_id AND h.i = r.i
        |  WHERE rr.rn >= 1e-9),
-       |cal_subp AS (
+       |${p}_subp AS (
        |  SELECT vec_id, (i - 1) // 32 AS j, (i - 1) % 32 AS t, x
-       |  FROM cal_xp),
-       |cal_pqdp AS (
+       |  FROM ${p}_xp),
+       |${p}_pqdp AS (
        |  SELECT s.vec_id, s.j, p.c, sum((s.x - p.x) * (s.x - p.x)) AS d
-       |  FROM cal_subp s JOIN pcent p ON p.j = s.j AND p.t = s.t
+       |  FROM ${p}_subp s JOIN pcent p ON p.j = s.j AND p.t = s.t
        |  GROUP BY 1, 2, 3),
-       |cal_codesp AS (
+       |${p}_codesp AS (
        |  SELECT vec_id, j, c AS code FROM (
        |    SELECT vec_id, j, c, row_number() OVER (
        |      PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
-       |    FROM cal_pqdp) WHERE rn = 1),
+       |    FROM ${p}_pqdp) WHERE rn = 1),
        |$pair,
-       |tau AS (SELECT avg(dist) AS t FROM cal_pair)""".stripMargin
+       |$tauName AS (SELECT avg(dist) AS t FROM ${p}_pair)""".stripMargin
   }
 
   /** The ADC semantic-dedup oracle TAIL (splice after [[pqPrefixK]] —
@@ -1113,6 +1144,72 @@ object Vector {
     "q140_semantic_dedup_sdc" -> (pqPrefixK(16) + sdctCte +
       calibCtes("sdc", 0.8, "vec_id % 10 = 0") +
       pqDedupSdcTail("(SELECT t FROM tau)")),
+
+    // the HYBRID verdict: SDC top-1/attribution + band test against
+    // the calibrated τ_sdc; in-band queries re-flag on the min ADC
+    // over their top-4 SDC candidates against the calibrated τ_adc —
+    // exactly what semanticDedupFlagsPqHybrid computes
+    "q145_semantic_dedup_pq_hybrid" -> (pqPrefixK(16) + sdctCte +
+      calibCtes("sdc", 0.8, "vec_id % 10 = 0", p = "cs",
+        tauName = "tau_s") +
+      calibCtes("adc", 0.8, "vec_id % 10 = 0", p = "ca",
+        tauName = "tau_a") +
+      """,
+        |cx AS (SELECT vec_id AS cid, i, x FROM ax WHERE vec_id < 8),
+        |cdists AS (
+        |  SELECT a.vec_id, c.cid, sum((a.x - c.x) * (a.x - c.x)) AS d
+        |  FROM ax a JOIN cx c USING (i) GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d ASC, cid ASC) AS rn
+        |    FROM cdists WHERE vec_id % 10 = 0) WHERE rn = 1),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 10 = 9),
+        |probe AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, d.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY d.d ASC, d.cid ASC) AS rn
+        |    FROM qids q JOIN cdists d ON d.vec_id = q.qid)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id
+        |  FROM assigned a JOIN probe p ON a.cell = p.cid
+        |  WHERE a.vec_id <> p.qid),
+        |sdc AS (
+        |  SELECT cd.qid, cd.vec_id, sum(t.d) AS sdc
+        |  FROM cand cd
+        |  JOIN codes qc ON qc.vec_id = cd.qid
+        |  JOIN codes cc ON cc.vec_id = cd.vec_id AND cc.j = qc.j
+        |  JOIN sdct t ON t.j = qc.j AND t.ca = qc.code AND t.cb = cc.code
+        |  GROUP BY 1, 2),
+        |sdcr AS (
+        |  SELECT qid, vec_id, ROUND(sdc, 5) AS d,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY ROUND(sdc, 5) ASC, vec_id ASC) AS rn
+        |  FROM sdc),
+        |best AS (
+        |  SELECT qid, vec_id AS neighbor_id, d AS sdc_dist
+        |  FROM sdcr WHERE rn = 1),
+        |refine AS (SELECT qid, vec_id FROM sdcr WHERE rn <= 4),
+        |qlut AS (SELECT vec_id AS qid, j, c, d FROM pqd
+        |  WHERE vec_id % 10 = 9),
+        |adcr AS (
+        |  SELECT r.qid, r.vec_id, sum(q.d) AS adc
+        |  FROM refine r
+        |  JOIN codes co ON co.vec_id = r.vec_id
+        |  JOIN qlut q ON q.qid = r.qid AND q.j = co.j AND q.c = co.code
+        |  GROUP BY 1, 2),
+        |ramin AS (
+        |  SELECT qid, min(ROUND(adc, 5)) AS amin FROM adcr GROUP BY qid)
+        |SELECT q.qid AS vec_id, b.neighbor_id, b.sdc_dist,
+        |  CASE WHEN b.sdc_dist IS NOT NULL
+        |        AND abs(b.sdc_dist - (SELECT t FROM tau_s)) <= 0.2
+        |    THEN (r.amin IS NULL OR r.amin > (SELECT t FROM tau_a))
+        |    ELSE (b.sdc_dist IS NULL
+        |          OR b.sdc_dist > (SELECT t FROM tau_s)) END AS keep
+        |FROM qids q LEFT JOIN best b ON b.qid = q.qid
+        |LEFT JOIN ramin r ON r.qid = q.qid
+        |ORDER BY vec_id""".stripMargin),
 
     // q126's ADC probe specialized to k = 1 over the 90% corpus, with
     // the batch LEFT-joined back so probed-cell misses surface as NULL

@@ -792,5 +792,83 @@ class PqSpec extends AnyFunSuite {
       excludeSelf = false))
     assert(fSdc === fAdc,
       "SDC dedup flags diverged from ADC on a lossless codebook")
+    // and the hybrid equals both here (lossless: refinement can never
+    // disagree with the cheap pass), at any band
+    for (band <- Seq(0.0, 1.0, 100.0)) {
+      val fHyb = flagsOf(Pq.semanticDedupFlagsPqHybrid(batch, "id",
+        "vec", index, "id", cents, "cid", "cvec", cb, tauSdc = 3.0,
+        tauAdc = 3.0, band = band, refineK = 4, nProbe = 2,
+        excludeSelf = false))
+      assert(fHyb === fAdc,
+        s"hybrid flags diverged on a lossless codebook at band=$band")
+    }
+  }
+
+  test("semanticDedupFlagsPqHybrid degenerates algebraically: band=0 " +
+    "== pure SDC, band=inf with refineK >= candidates == pure ADC; on " +
+    "a straddler-heavy corpus the hybrid recovers the ADC verdicts at " +
+    "SDC neighbor attribution") {
+    import spark.implicits._
+    val dim = 16; val n = 2000
+    def unitVec(seed: Long, noiseOf: Long = -1L): Seq[Double] = {
+      val r = new scala.util.Random(seed * 1000003L + 17L)
+      val raw = Array.fill(dim)(r.nextGaussian())
+      if (noiseOf >= 0L) {
+        // σ=0.05: copies at cos ≈ 0.98, NEAR the 0.95 boundary — the
+        // straddler regime the hybrid exists for
+        val rn = new scala.util.Random(noiseOf * 999983L + 5L)
+        for (j <- 0 until dim) raw(j) += 0.05 * rn.nextGaussian()
+      }
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / nrm).toSeq
+    }
+    val all = (0L until n.toLong).map { id =>
+      if (id % 10 == 9 && (id / 10) % 2 == 0)
+        (id, unitVec((id / 10) * 10, noiseOf = id))
+      else (id, unitVec(id))
+    }
+    val corpus = all.filter(_._1 % 10 != 9).toDF("vec_id", "embedding")
+    val batch = all.filter(_._1 % 10 == 9).toDF("vec_id", "embedding")
+    val cents = all.filter(_._1 % 100 == 0).take(8).toDF("cid", "cvec")
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 4, k = 32,
+      sampleN = 1800, iters = 5)
+    val dir = TestDirs.tmp("hybrid_ivfpq").toFile.getAbsolutePath
+    Pq.ivfPqIndexWrite(corpus, "vec_id", "embedding",
+      cents, "cid", "cvec", cb, dir)
+    val index = spark.read.parquet(dir)
+    val cosT = 0.95
+    val tauS = Pq.calibrateTauDist(corpus, "vec_id", "embedding", cb,
+      cosT, mode = "sdc", sampleN = 1800)
+    val tauA = Pq.calibrateTauDist(corpus, "vec_id", "embedding", cb,
+      cosT, mode = "adc", sampleN = 1800)
+    def keeps(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("vec_id"), col("keep"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    def hybrid(band: Double, refineK: Int = 4) =
+      keeps(Pq.semanticDedupFlagsPqHybrid(batch, "vec_id", "embedding",
+        index, "vec_id", cents, "cid", "cvec", cb, tauSdc = tauS,
+        tauAdc = tauA, band = band, refineK = refineK, nProbe = 2))
+    val pureSdc = keeps(Pq.semanticDedupFlagsPqSdc(batch, "vec_id",
+      "embedding", index, "vec_id", cents, "cid", "cvec", cb,
+      tauDist = tauS, nProbe = 2))
+    val pureAdc = keeps(Pq.semanticDedupFlagsPq(batch, "vec_id",
+      "embedding", index, "vec_id", cents, "cid", "cvec", cb,
+      tauDist = tauA, nProbe = 2))
+    // band = 0: no query straddles exactly — pure SDC verdicts
+    assert(hybrid(0.0) === pureSdc, "band=0 must be pure SDC")
+    // band = ∞ with refineK covering every candidate: the min-ADC over
+    // ALL SDC candidates IS ADC's top-1, so the verdicts are pure ADC
+    assert(hybrid(1e9, refineK = 100000) === pureAdc,
+      "band=inf + full refineK must be pure ADC")
+    // at a working band, the hybrid must move from SDC toward ADC:
+    // every query it flips, it flips TO the ADC verdict
+    val hyb = hybrid(0.3)
+    val flipped = hyb.filter { case (id, k) => pureSdc(id) != k }
+    assert(flipped.nonEmpty,
+      "fixture produced no straddlers — the hybrid case is vacuous")
+    flipped.foreach { case (id, k) =>
+      assert(k === pureAdc(id),
+        s"query $id flipped away from the ADC verdict")
+    }
   }
 }
