@@ -1009,13 +1009,22 @@ object Pq {
     * Returns (batchIdCol, neighbor_id, adc_dist, keep). Same
     * `excludeSelf` contract as the plain variant: true when batch and
     * corpus share an id space, false when ids are independent.
+    *
+    * The probe goes through [[ivfPqSearchBatchChunked]] (result-
+    * identical to single-shot by construction), so a batch past the
+    * per-query-LUT broadcast ceiling splits into bounded hash chunks
+    * automatically — MEASURED failure without it: a 10⁵-row batch's
+    * LUT frame overran `spark.driver.maxResultSize` (1 GB) at the
+    * broadcast-build collect (HybridBench 1M first cut, r17); 10⁴-row
+    * micro-batches sat under the ceiling, which is why the streaming
+    * ingest never hit it.
     */
   def semanticDedupFlagsPq(batch: DataFrame, batchIdCol: String,
       batchVecCol: String, index: DataFrame, idCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, tauDist: Double, nProbe: Int = 2,
       excludeSelf: Boolean = true): DataFrame = {
-    val top = ivfPqSearchBatch(batch, batchIdCol, batchVecCol,
+    val top = ivfPqSearchBatchChunked(batch, batchIdCol, batchVecCol,
       index, idCol, centroids, centroidIdCol, centroidVecCol, cb,
       k = 1, nProbe = nProbe, excludeSelf = excludeSelf, metric = "l2")
       .select(col("qid"), col(idCol).as("neighbor_id"), col("adc_dist"))
