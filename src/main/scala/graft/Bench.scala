@@ -107,7 +107,9 @@ object Bench {
     "q142_ivf_batch_hier", // hierarchical probe-cell selection
     "q143_rebanded_dedup", // text-index re-banding migration + lookup
     "q144_semantic_dedup_pq_calibrated", // operator-calibrated tau
-    "q145_semantic_dedup_pq_hybrid") // SDC pass + band-sized ADC refine
+    "q145_semantic_dedup_pq_hybrid", // SDC pass + band-sized ADC refine
+    "q146_semantic_ingest_pq_hybrid", // streaming PQ ingest, hybrid probe
+    "q147_span_dedup") // cross-doc repeated-span removal
 
   def main(args: Array[String]): Unit = {
     // the f interpolator renders %f under the JVM default locale; a

@@ -53,9 +53,15 @@ import graft.streaming.IdempotentSink
   * is the ingest-shaped measurement behind the SDC regime claim
   * (SEMINGEST_PQ_SDC artifacts).
   *
+  * `probe=hybrid` (pq mode only) probes via
+  * [[graft.ops.Pq.semanticDedupFlagsPqHybrid]] — SDC for the whole
+  * batch, ADC re-scoring for the straddlers within `band` of τ_sdc:
+  * the ingest-shaped measurement of the r17 notch-closer (does the
+  * kept-count move from sdc's toward adc/plain's at ~sdc wall).
+  *
   * Usage: SemIngestBench [n=200000] [nBatches=50] [outDir]
   *        [foldEvery=0] [foldMode=all|tail] [mode=plain|pq]
-  *        [probe=adc|sdc]
+  *        [probe=adc|sdc|hybrid] [band=0.3]
   */
 object SemIngestBench {
 
@@ -72,10 +78,14 @@ object SemIngestBench {
       s"foldMode must be all|tail (got $foldMode)")
     require(mode == "plain" || mode == "pq",
       s"mode must be plain|pq (got $mode)")
-    require(probe0 == "adc" || probe0 == "sdc",
-      s"probe must be adc|sdc (got $probe0)")
+    require(probe0 == "adc" || probe0 == "sdc" || probe0 == "hybrid",
+      s"probe must be adc|sdc|hybrid (got $probe0)")
     require(mode == "pq" || probe0 == "adc",
-      "probe=sdc only applies to mode=pq")
+      "probe=sdc|hybrid only applies to mode=pq")
+    // hybrid band: straddlers within `band` of τ_sdc get ADC-rescored
+    // (the HYBRID_1m_r17 operating point reproduced ADC verdicts to
+    // 99.98% at band=0.3 on this corpus shape)
+    val band = args.lift(7).map(_.toDouble).getOrElse(0.3)
     val dim = 64
     val kCells = math.sqrt(n.toDouble).toInt
     val tau = 0.95
@@ -162,10 +172,14 @@ object SemIngestBench {
     // self-distance fold-in this bench used to hand-derive (which is
     // ~right for ADC but over-corrects SDC: straddler pairs share
     // codes; see calibrateTauDist's scaladoc).
-    lazy val tauDist = graft.ops.Pq.calibrateTauDist(
+    def calibTau(m: String): Double = graft.ops.Pq.calibrateTauDist(
       spark.read.parquet(arrivals).filter(col("vec_id") % 10 === 0),
-      "vec_id", "embedding", pqCb, cosThreshold = tau, mode = probe0,
+      "vec_id", "embedding", pqCb, cosThreshold = tau, mode = m,
       sampleN = 20000)
+    // hybrid's primary threshold is the SDC one (the whole batch's
+    // cheap pass); its refinement threshold is the ADC one
+    lazy val tauDist = calibTau(if (probe0 == "adc") "adc" else "sdc")
+    lazy val tauAdcH = calibTau("adc")
     // recorded alongside: how far calibration moved τ off the raw map
     lazy val tauMargin = tauDist - (2.0 - 2.0 * tau)
 
@@ -188,7 +202,9 @@ object SemIngestBench {
           root, flagsOut, "vec_id", "embedding", cb, "cid", "cvec",
           pqCb, tauDist = tauDist, nProbe = nProbe,
           foldEvery = foldEvery, foldTail = foldMode == "tail",
-          probeMode = probe0) _
+          probeMode = probe0,
+          tauAdc = if (probe0 == "hybrid") tauAdcH else Double.NaN,
+          band = if (probe0 == "hybrid") band else Double.NaN) _
       else
         IdempotentSink.semanticIngestByBatch(
           root, flagsOut, "vec_id", "embedding", cb, "cid", "cvec",
@@ -226,7 +242,13 @@ object SemIngestBench {
     def prior() = spark.read.parquet(treeDir)
       .filter(col("_batch").cast("long") < lookupBound).drop("_batch")
     def lookupFlags() =
-      if (mode == "pq" && probe0 == "sdc")
+      if (mode == "pq" && probe0 == "hybrid")
+        graft.ops.Pq.semanticDedupFlagsPqHybrid(
+          probe, "vec_id", "embedding", prior(), "vec_id",
+          cb, "cid", "cvec", pqCb, tauSdc = tauDist, tauAdc = tauAdcH,
+          band = band, refineK = 4, nProbe = nProbe,
+          excludeSelf = true)
+      else if (mode == "pq" && probe0 == "sdc")
         graft.ops.Pq.semanticDedupFlagsPqSdc(
           probe, "vec_id", "embedding", prior(), "vec_id",
           cb, "cid", "cvec", pqCb, tauDist = tauDist, nProbe = nProbe,
@@ -277,7 +299,10 @@ object SemIngestBench {
     def meanOf(xs: Seq[Double]) = xs.sum / math.max(1, xs.size)
     val pqJson = if (mode == "pq")
       f""""pq_m":$pqM,"pq_k":$pqK,"probe":"$probe0",""" +
-        f""""tau_dist":$tauDist%.3f,"tau_margin":$tauMargin%.3f,""" else ""
+        f""""tau_dist":$tauDist%.3f,"tau_margin":$tauMargin%.3f,""" +
+        (if (probe0 == "hybrid")
+          f""""tau_adc":$tauAdcH%.3f,"band":$band%.2f,""" else "")
+    else ""
     val json =
       f"""{"metric":"semingest_stream","docs":$n,"batches":$nBatches,""" +
         f""""stat":"min_of_3","dim":$dim,"cells":$nCells,"tau":$tau,""" +
@@ -303,7 +328,7 @@ object SemIngestBench {
     val suffix = (if (foldEvery > 0) s"_f$foldEvery" else "") +
       (if (foldEvery > 0 && foldMode == "tail") "t" else "") +
       (if (mode == "pq") "_pq" else "") +
-      (if (mode == "pq" && probe0 == "sdc") "_sdc" else "")
+      (if (mode == "pq" && probe0 != "adc") s"_$probe0" else "")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outDir,
         s"semingest_${n}_b$nBatches$suffix.json"),

@@ -500,6 +500,42 @@ object Vector {
         .orderBy("vec_id")
     }),
 
+    // q145's HYBRID dedup through the STREAMING ingest's hybrid probe
+    // mode — the r17 notch-closer wired into the production path: the
+    // micro-batch probes via SDC (m-byte codes), and only the
+    // straddlers (best symmetric distance within band of τ_sdc) get
+    // ADC-rescored at τ_adc, both thresholds boundary-calibrated.
+    // Epoch 0 ingests the 10% corpus subset, epoch 1 flags the batch
+    // through the same `_batch < 1` time-travel read as q138/q141.
+    // Shares q145's oracle verbatim: with this split the epoch-1
+    // flags are exactly the batch-vs-corpus hybrid pure function.
+    "q146_semantic_ingest_pq_hybrid" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = fixturePqCodebookK(emb, 16)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val isCorpus = col("vec_id") % 10 === 0
+      val isBatch = col("vec_id") % 10 === 9
+      val tauS = graft.ops.Pq.calibrateTauDist(emb.filter(isCorpus),
+        "vec_id", "embedding", cb, cosThreshold = 0.8, mode = "sdc")
+      val tauA = graft.ops.Pq.calibrateTauDist(emb.filter(isCorpus),
+        "vec_id", "embedding", cb, cosThreshold = 0.8, mode = "adc")
+      val root = QueryTmp.dir("q146", s, d)
+      def ingest(df: DataFrame, b: Long): Unit =
+        graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+          s"$root/idx", s"$root/flags", "vec_id", "embedding",
+          centroids, "cid", "cvec", cb, tauDist = tauS, nProbe = 2,
+          probeMode = "hybrid", tauAdc = tauA, band = 0.2,
+          refineK = 4)(df, b)
+      ingest(emb.filter(isCorpus), 0L)
+      ingest(emb.filter(isBatch), 1L)
+      s.read.parquet(s"$root/flags")
+        .filter(col("_batch").cast("long") === 1L)
+        .select(col("vec_id"), col("neighbor_id"), col("sdc_dist"),
+          col("keep"))
+        .orderBy("vec_id")
+    }),
+
     // One Lloyd iteration over the 8-centroid codebook: the offline
     // k-means step that builds the IVF index.
     "q90_kmeans_step" -> ((s, d) => {
@@ -784,6 +820,10 @@ object Vector {
     // kernel the stream flags with, not the flags' meaning
     ("q141_semantic_ingest_pq_sdc" ->
       oracleBase("q140_semantic_dedup_sdc")) +
+    // identical SQL to q145 on purpose: the hybrid probe mode changes
+    // the kernel the stream flags with, not the flags' meaning
+    ("q146_semantic_ingest_pq_hybrid" ->
+      oracleBase("q145_semantic_dedup_pq_hybrid")) +
     // identical SQL to q115 on purpose: with every super-group probed
     // the hierarchical probe selection is exact by construction
     ("q142_ivf_batch_hier" -> oracleBase("q115_ivf_batch_search"))

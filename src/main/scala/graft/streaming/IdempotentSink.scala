@@ -522,18 +522,31 @@ object IdempotentSink {
     *    score `sdc_dist` — the large-batch regime this ingest's shape
     *    is (a micro-batch IS a large query batch); chunking past the
     *    broadcast ceiling is automatic. The price is the second
-    *    quantization on the query side.
+    *    quantization on the query side — measured ~13% of planted
+    *    near-dups missed at the random-unit worst case vs ADC's ~1.5%
+    *    (SEMINGEST_PQ_SDC_1m_f10_r17).
+    *  - "hybrid": SDC for the whole batch, ADC re-scoring for ONLY the
+    *    straddlers — the queries whose best symmetric distance lands
+    *    within `band` of `tauDist` ([[graft.ops.Pq
+    *    .semanticDedupFlagsPqHybrid]]) — closing the SDC recall notch
+    *    at band-sized ADC cost (99.98% ADC-verdict agreement at 1/6
+    *    its wall, HYBRID_1m_r17.json). Score column stays `sdc_dist`
+    *    (the cheap pass's attribution); `tauDist` is the SDC
+    *    threshold and `tauAdc`/`band`/`refineK` (hybrid-only
+    *    parameters, refused in other modes) shape the refinement.
     * Either way `tauDist` must be calibrated FOR THE MODE —
     * [[graft.ops.Pq.calibrateTauDist]] with the matching `mode` is the
     * executable recipe (boundary-pair measurement; SDC straddler pairs
     * share codes, so its τ is NOT simply the ADC τ plus a bias).
-    * The two modes flag-agree wherever quantization doesn't straddle
-    * (flag parity on a lossless codebook is spec'd). The CODE tree is
-    * mode-independent (codes under the combined stamp — a mid-stream
-    * switch probes the same tree correctly), but the FLAGS tree's
-    * score column follows the mode: batches written across a switch
-    * carry different score columns, so flags consumers spanning one
-    * need `mergeSchema` (or project (id, keep) only).
+    * Hybrid calibrates BOTH: `tauDist` in mode "sdc", `tauAdc` in
+    * mode "adc". The modes flag-agree wherever quantization doesn't
+    * straddle (flag parity on a lossless codebook is spec'd). The
+    * CODE tree is mode-independent (codes under the combined stamp —
+    * a mid-stream switch probes the same tree correctly), but the
+    * FLAGS tree's score column follows the mode: batches written
+    * across an adc↔(sdc|hybrid) switch carry different score columns,
+    * so flags consumers spanning one need `mergeSchema` (or project
+    * (id, keep) only).
     *
     * Downstream of this tree: probes/dedup read codes only; when exact
     * re-rank is wanted, fetch candidates' vectors BY ID from the
@@ -546,11 +559,25 @@ object IdempotentSink {
       centroidIdCol: String, centroidVecCol: String,
       cb: graft.ops.Pq.Codebook, tauDist: Double, nProbe: Int = 2,
       excludeSelf: Boolean = false, foldEvery: Int = 0,
-      foldTail: Boolean = false, probeMode: String = "adc")(
+      foldTail: Boolean = false, probeMode: String = "adc",
+      tauAdc: Double = Double.NaN, band: Double = Double.NaN,
+      refineK: Int = 4)(
       df: DataFrame, batchId: Long): Unit = {
-    require(probeMode == "adc" || probeMode == "sdc",
-      "semanticIngestPqByBatch: probeMode must be \"adc\" or \"sdc\" " +
-        s"""(got "$probeMode")""")
+    require(probeMode == "adc" || probeMode == "sdc" ||
+      probeMode == "hybrid",
+      "semanticIngestPqByBatch: probeMode must be \"adc\", \"sdc\" or " +
+        s""""hybrid" (got "$probeMode")""")
+    if (probeMode == "hybrid")
+      require(!tauAdc.isNaN && !band.isNaN,
+        "semanticIngestPqByBatch: probeMode=hybrid needs tauAdc AND " +
+          "band (tauDist is the SDC threshold; calibrate tauAdc with " +
+          "Pq.calibrateTauDist mode=\"adc\", band ≈ the boundary " +
+          "spread — 0 degenerates to pure sdc)")
+    else
+      require(tauAdc.isNaN && band.isNaN,
+        s"semanticIngestPqByBatch: tauAdc/band are hybrid-only " +
+          s"parameters (probeMode=$probeMode) — a silently-ignored " +
+          "threshold is a mis-calibration waiting to happen")
     import graft.ops.{Pq, Similarity}
     val spark = df.sparkSession
     val codeDir = s"$indexRoot/code"
@@ -579,18 +606,26 @@ object IdempotentSink {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     // hasDataFiles, not fs.exists — the empty-first-batch wedge, see
     // dedupIngestByBatch's prior()
-    val scoreCol = if (probeMode == "sdc") "sdc_dist" else "adc_dist"
+    val scoreCol = if (probeMode == "adc") "adc_dist" else "sdc_dist"
     val flags = (if (graft.io.FsUtil.hasDataFiles(fs, p)) {
       val prior = spark.read.parquet(codeDir)
         .filter(col("_batch").cast("long") < batchId).drop("_batch")
-      if (probeMode == "sdc")
-        Pq.semanticDedupFlagsPqSdc(df, idCol, vecCol, prior, idCol,
-          centroids, centroidIdCol, centroidVecCol, cb, tauDist, nProbe,
-          excludeSelf)
-      else
-        Pq.semanticDedupFlagsPq(df, idCol, vecCol, prior, idCol,
-          centroids, centroidIdCol, centroidVecCol, cb, tauDist, nProbe,
-          excludeSelf)
+      probeMode match {
+        case "sdc" =>
+          Pq.semanticDedupFlagsPqSdc(df, idCol, vecCol, prior, idCol,
+            centroids, centroidIdCol, centroidVecCol, cb, tauDist,
+            nProbe, excludeSelf)
+        case "hybrid" =>
+          Pq.semanticDedupFlagsPqHybrid(df, idCol, vecCol, prior, idCol,
+            centroids, centroidIdCol, centroidVecCol, cb,
+            tauSdc = tauDist, tauAdc = tauAdc, band = band,
+            refineK = refineK, nProbe = nProbe,
+            excludeSelf = excludeSelf)
+        case _ =>
+          Pq.semanticDedupFlagsPq(df, idCol, vecCol, prior, idCol,
+            centroids, centroidIdCol, centroidVecCol, cb, tauDist,
+            nProbe, excludeSelf)
+      }
     } else
       // first batch with data: no prior — everything keeps, no search
       df.select(col(idCol),

@@ -1858,6 +1858,142 @@ class StreamingSpec extends AnyFunSuite {
       s"no fold happened: ${batchDirs(rootF)}")
   }
 
+  test("semanticIngestPqByBatch probeMode=hybrid: flag parity with " +
+    "BOTH pure modes on the lossless codebook, exactly-once under " +
+    "forced replay (incl. an empty batch 0), drift refused " +
+    "pre-mutation, in-stream folds flag-invariant, and the " +
+    "hybrid-only parameters refused outside hybrid mode") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "cvec")
+    val cb = pqTestCodebook
+    val batches = Seq(
+      Seq((1L, pqV1), (2L, pqV2)),
+      Seq((3L, pqV3), (4L, pqV4)),
+      Seq((5L, pqV5), (6L, pqV6)))
+    def drive(root: String, flags: String, probeMode: String,
+        replay: Boolean = false, emptyFirst: Boolean = false): Unit = {
+      val bs = (if (emptyFirst)
+        Seq(Seq.empty[(Long, Seq[Double])]) else Nil) ++ batches
+      bs.zipWithIndex.foreach { case (rows, b) =>
+        def run(): Unit =
+          graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+            s"$root/idx", flags, "vec_id", "vec", cents, "cid", "cvec",
+            cb, tauDist = 0.01, nProbe = 2, probeMode = probeMode,
+            tauAdc = if (probeMode == "hybrid") 0.01 else Double.NaN,
+            band = if (probeMode == "hybrid") 0.5 else Double.NaN)(
+            rows.toDF("vec_id", "vec"), b.toLong)
+        run()
+        if (replay) run()
+      }
+    }
+    def flagRows(out: String, scoreCol: String) =
+      spark.read.parquet(out)
+        .select(col("vec_id"), col("neighbor_id"), col(scoreCol),
+          col("keep"))
+        .as[(Long, Option[Long], Option[Double], Boolean)]
+        .collect().toSet
+    def codeTree(root: String) =
+      spark.read.parquet(s"$root/idx/code")
+        .select(col("_batch").cast("long"), col("vec_id"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    // lossless codebook ⇒ SDC == ADC == exact, and a band wide enough
+    // to catch every in-band query still re-derives the same verdicts:
+    // hybrid must match BOTH pure modes in flags, attribution, AND
+    // distance (its score column is sdc's)
+    val rootH = TestDirs.tmp("hyb_ing").toString
+    val flagsH = TestDirs.tmp("hyb_ing_flags").toString
+    drive(rootH, flagsH, "hybrid")
+    val rootA = TestDirs.tmp("hyb_ing_adc").toString
+    val flagsA = TestDirs.tmp("hyb_ing_adc_flags").toString
+    drive(rootA, flagsA, "adc")
+    val rootS = TestDirs.tmp("hyb_ing_sdc").toString
+    val flagsS = TestDirs.tmp("hyb_ing_sdc_flags").toString
+    drive(rootS, flagsS, "sdc")
+    assert(flagRows(flagsH, "sdc_dist") === flagRows(flagsS, "sdc_dist"),
+      "hybrid-mode flags diverged from sdc-mode on a lossless codebook")
+    assert(flagRows(flagsH, "sdc_dist") === flagRows(flagsA, "adc_dist"),
+      "hybrid-mode flags diverged from adc-mode on a lossless codebook")
+    assert(codeTree(rootH) === codeTree(rootA))
+    assert(codeTree(rootH) === Map(0L -> Set(1L, 2L), 1L -> Set(4L)))
+
+    // exactly-once: a forced replay of EVERY batch (incl. an empty
+    // batch 0) leaves trees and flags identical to the clean run
+    val rootR = TestDirs.tmp("hyb_ing_replay").toString
+    val flagsR = TestDirs.tmp("hyb_ing_replay_flags").toString
+    drive(rootR, flagsR, "hybrid", replay = true, emptyFirst = true)
+    def keepsOf(out: String) = spark.read.parquet(out)
+      .select(col("vec_id"), col("keep")).as[(Long, Boolean)]
+      .collect().toSet
+    assert(keepsOf(flagsR) === keepsOf(flagsH),
+      "replayed hybrid ingest (with empty batch 0) changed the flags")
+    assert(codeTree(rootR).values.map(_.toSeq.sorted).toSeq.sortBy(_.head)
+      === codeTree(rootH).values.map(_.toSeq.sorted).toSeq.sortBy(_.head),
+      "replayed hybrid ingest grew a different code tree")
+
+    // drift (either codebook) refused BEFORE any tree mutation in
+    // hybrid mode too
+    val driftedPq = graft.ops.Pq.Codebook(
+      cb.flat.updated(0, cb.flat(0) + 0.5), cb.m, cb.k)
+    val e = intercept[IllegalStateException] {
+      graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+        s"$rootH/idx", flagsH, "vec_id", "vec", cents, "cid", "cvec",
+        driftedPq, tauDist = 0.01, nProbe = 2, probeMode = "hybrid",
+        tauAdc = 0.01, band = 0.5)(
+        Seq((9L, pqV1)).toDF("vec_id", "vec"), 3L)
+    }
+    assert(e.getMessage.contains("codebook"))
+    assert(!codeTree(rootH).contains(3L),
+      "a refused hybrid batch must not have written code rows")
+
+    // in-stream folds are flag-invariant under the hybrid probe
+    val novel = Seq((1L, pqV1), (2L, pqV2), (3L, pqV4),
+      (4L, Seq(9.0, 9.0, 9.0, 9.0)), (5L, Seq(9.0, 8.0, 9.0, 8.0)),
+      (6L, Seq(9.0, 7.0, 9.0, 7.0)))
+    def driveNovel(root: String, flags: String, foldEvery: Int): Unit =
+      novel.zipWithIndex.foreach { case ((id, v), b) =>
+        graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+          s"$root/idx", flags, "vec_id", "vec", cents, "cid", "cvec",
+          cb, tauDist = 0.01, nProbe = 2, foldEvery = foldEvery,
+          probeMode = "hybrid", tauAdc = 0.01, band = 0.5)(
+          Seq((id, v)).toDF("vec_id", "vec"), b.toLong)
+      }
+    val rootU = TestDirs.tmp("hyb_fold_u").toString
+    val flagsU = TestDirs.tmp("hyb_fold_u_flags").toString
+    driveNovel(rootU, flagsU, foldEvery = 0)
+    val rootF = TestDirs.tmp("hyb_fold_f").toString
+    val flagsF = TestDirs.tmp("hyb_fold_f_flags").toString
+    driveNovel(rootF, flagsF, foldEvery = 2)
+    assert(keepsOf(flagsU) === keepsOf(flagsF),
+      "in-stream folds changed the hybrid-mode flags")
+    def batchDirs(root: String) =
+      Option(new java.io.File(s"$root/idx/code").listFiles()).toSeq
+        .flatten.filter(f => f.isDirectory &&
+          f.getName.startsWith("_batch=")).map(_.getName).toSet
+    assert(batchDirs(rootF).size < batchDirs(rootU).size,
+      s"no fold happened: ${batchDirs(rootF)}")
+
+    // the hybrid-only parameters are refused outside hybrid mode (a
+    // silently-ignored threshold would be a mis-calibration trap), and
+    // hybrid without them is refused too
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+        s"$rootH/idx", flagsH, "vec_id", "vec", cents, "cid", "cvec",
+        cb, tauDist = 0.01, probeMode = "sdc", tauAdc = 0.01)(
+        Seq((9L, pqV1)).toDF("vec_id", "vec"), 3L)
+    }
+    assert(e2.getMessage.contains("hybrid-only"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+        s"$rootH/idx", flagsH, "vec_id", "vec", cents, "cid", "cvec",
+        cb, tauDist = 0.01, probeMode = "hybrid")(
+        Seq((9L, pqV1)).toDF("vec_id", "vec"), 3L)
+    }
+    assert(e3.getMessage.contains("tauAdc"))
+  }
+
   test("an EMPTY first micro-batch does not wedge any streaming " +
     "ingest: the next batch reads 'no prior' instead of throwing on a " +
     "data-file-less tree (r16 ADVICE)") {
