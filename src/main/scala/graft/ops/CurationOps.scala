@@ -410,4 +410,115 @@ object CurationOps {
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
+
+  /** All k-token grams of a document WITH their 1-based start
+    * positions, as (pos, gram) structs — the positional twin of
+    * [[TextFunctions.wordShingles]]'s distinct set (span removal needs
+    * WHERE a gram sits, not just that it occurs). Token array bound
+    * once via the array() lambda trick — same CSE-avoidance reasoning
+    * as wordShinglesHof: HOF lambdas get no common-subexpression
+    * elimination, so a bare reference would re-tokenize per element.
+    */
+  private[graft] def posGramsOf(text: Column, k: Int): Column =
+    element_at(transform(array(TextFunctions.tokens(text)), ts => {
+      val last = size(ts) - k
+      when(last >= 0, transform(sequence(lit(0), last), i =>
+        struct((i + 1).as("pos"),
+          concat_ws(" ",
+            (0 until k).map(j => element_at(ts, i + j + 1)): _*)
+            .as("gram"))))
+        .otherwise(array().cast("array<struct<pos:int,gram:string>>"))
+    }), 1)
+
+  /** SUBSTRING-level deduplication — cross-document repeated-SPAN
+    * removal: every run of ≥ `k` tokens that also appears in an
+    * earlier document (smaller id — "first writer owns the text") is
+    * trimmed from the later document, which otherwise survives. The
+    * complement of document-granularity dedup: exact/MinHash/semantic
+    * dedup drop WHOLE near-copies, while the boilerplate a template
+    * corpus smears across otherwise-unique documents (headers, license
+    * blocks, navigation chrome) survives all of them. Large-scale
+    * training-data pipelines run both passes (the ≥50-token duplicated
+    * substrings of a crawl are this operator's target, at a
+    * token-granularity k the caller picks).
+    *
+    * Semantics, exactly: a document's token position p is REMOVED iff
+    * some k-gram occurrence covering p (start s, s ≤ p ≤ s+k−1) has
+    * its gram string present in ANY smaller-id document. Ownership is
+    * per-GRAM (global min id over its holders); overlapping and
+    * adjacent removed grams merge into spans. Within-document repeats
+    * of a doc's own text are NOT removed (that regime is
+    * [[repetitionStats]]'s); the owner keeps all its occurrences.
+    * Removal is single-level, not transitive — doc C's span shared
+    * only with doc B's REMOVED copy still trims (both copies trace to
+    * the same owner text), which is the fixed-point a one-pass
+    * pipeline wants.
+    *
+    * Returns one row per input document:
+    * (idCol, n_tok, n_spans, n_removed, cleaned_text) — cleaned_text
+    * is the surviving tokens re-joined single-spaced (whitespace is
+    * normalized by tokenization, as everywhere in this family); a
+    * fully-boilerplate document comes back as '' with
+    * n_removed = n_tok, never silently dropped.
+    *
+    * Scale shape (the 100 TB argument): the (id, pos, gram) frame is
+    * generated map-side in TWO passes over the source (the ownership
+    * side prunes to gram-only pre-aggregate; re-scanning parquet beats
+    * materializing a corpus-token-sized gram frame); exchange 1 is the
+    * per-gram min-id partial aggregate (collapses map-side — a gram in
+    * 10⁶ docs ships one row per partition, not a posting list); the
+    * ownership join shuffles on gram (AQE-skew-safe, unlike the
+    * window-min alternative whose skewed gram group is one straggler
+    * task; ubiquitous boilerplate grams are exactly the skewed keys);
+    * exchange 3 collects each trimmed doc's sorted start set —
+    * bounded by that doc's own token count.
+    * Span merge and text reconstruction are in-scan array folds on the
+    * final doc-sized rows. No all-pairs anywhere; total shuffled bytes
+    * ≈ token count of the corpus (the gram strings; at 100 TB swap the
+    * join key to a 128-bit gram fingerprint — n²/2¹²⁸ collision odds —
+    * to ship 16 bytes instead of ~6k per gram... kept exact-string
+    * here so the DuckDB oracle gates the operator end-to-end).
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 2, "spanDedup: k must be ≥ 2 (k=1 removes every " +
+      "token that appears anywhere earlier — that's a vocabulary, " +
+      "not a span)")
+    val g = docs
+      .select(col(idCol), explode(posGramsOf(col(textCol), k)).as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val own = g.groupBy("gram").agg(min(col(idCol)).as("_owner"))
+    val starts = g.join(own, "gram")
+      .filter(col(idCol) > col("_owner"))
+      .groupBy(idCol)
+      .agg(array_sort(collect_set(col("pos"))).as("_starts"))
+    // covered positions = union of [s, s+k-1]; islands of that set ARE
+    // the merged spans. Both the token array and the covered set are
+    // bound ONCE (struct lambda var) before the folds reference them.
+    val covExpr = when(col("_starts").isNull, array().cast("array<int>"))
+      .otherwise(array_sort(array_distinct(flatten(
+        transform(col("_starts"), s => sequence(s, s + lit(k - 1)))))))
+    val out = element_at(transform(
+      array(struct(TextFunctions.tokens(col(textCol)).as("ts"),
+        covExpr.as("cov"))), r => {
+        val ts = r.getField("ts")
+        val cov = r.getField("cov")
+        struct(
+          size(ts).as("n_tok"),
+          // island starts = covered positions whose predecessor isn't
+          size(filter(cov, p => !array_contains(cov, p - 1)))
+            .as("n_spans"),
+          size(cov).as("n_removed"),
+          array_join(
+            filter(ts, (t, i) => !array_contains(cov, i + 1)), " ")
+            .as("cleaned_text"))
+      }), 1)
+    docs.select(col(idCol), col(textCol))
+      .join(starts, Seq(idCol), "left")
+      .select(col(idCol), out.as("_o"))
+      .select(col(idCol), col("_o.n_tok").as("n_tok"),
+        col("_o.n_spans").as("n_spans"),
+        col("_o.n_removed").as("n_removed"),
+        col("_o.cleaned_text").as("cleaned_text"))
+  }
 }

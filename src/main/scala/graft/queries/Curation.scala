@@ -194,6 +194,18 @@ object Curation {
       CurationOps.decontaminateAuto(Tables.documents(s, d), "text",
         "doc_id", benchmarkPred, minShared = 3, flagAt = 8)
         .orderBy("doc_id")
+    }),
+
+    // SUBSTRING-level dedup: cross-document repeated-span removal
+    // (runs of ≥5 tokens shared with an earlier doc get trimmed, the
+    // doc survives) — the boilerplate pass document-granularity dedup
+    // can't express. Gate carries per-doc span stats AND the cleaned
+    // text itself, so the interval merge and the reconstruction are
+    // both hash-checked.
+    "q147_span_dedup" -> ((s, d) => {
+      CurationOps.spanDedup(Tables.documents(s, d), "doc_id", "text",
+        k = 5)
+        .orderBy("doc_id")
     })
   )
 
@@ -420,6 +432,56 @@ object Curation {
         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
         |    AS BIGINT) AS n
         |  FROM documents)
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // CurationOps.spanDedup re-derived: positional 5-grams, per-gram
+    // min-id ownership, covered-position union (DISTINCT over the
+    // k-offset expansion), islands = merged spans (gaps-and-islands
+    // via row_number), reconstruction from the uncovered positions.
+    // The CASE keeps untouched docs on the normalized-join path and
+    // fully-removed docs at '' (string_agg over zero rows is absent →
+    // coalesce), exactly the Spark fold's two edges.
+    "q147_span_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_aggregate(t[i : i + 4], 'string_agg', ' ') AS gram
+        |  FROM tok, unnest(range(1, len(t) - 4 + 1)) AS u(i)),
+        |own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
+        |rem AS (
+        |  SELECT g.doc_id, g.pos FROM g JOIN own USING (gram)
+        |  WHERE g.doc_id > own.owner),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + j AS p
+        |  FROM rem, unnest(range(0, 5)) AS u(j)),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM cov),
+        |covl AS (
+        |  SELECT doc_id, count(*) AS n_removed,
+        |    count(DISTINCT grp) AS n_spans
+        |  FROM isl GROUP BY doc_id),
+        |toksp AS (
+        |  SELECT doc_id, i AS p, t[i] AS tk
+        |  FROM tok, unnest(range(1, len(t) + 1)) AS u(i)),
+        |keptt AS (
+        |  SELECT tp.doc_id, tp.p, tp.tk FROM toksp tp
+        |  LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+        |  WHERE cov.p IS NULL),
+        |clean AS (
+        |  SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS ct
+        |  FROM keptt GROUP BY doc_id)
+        |SELECT tok.doc_id, len(t) AS n_tok,
+        |  coalesce(c.n_spans, 0) AS n_spans,
+        |  coalesce(c.n_removed, 0) AS n_removed,
+        |  CASE WHEN c.doc_id IS NULL
+        |    THEN coalesce(list_aggregate(t, 'string_agg', ' '), '')
+        |    ELSE coalesce(cl.ct, '') END AS cleaned_text
+        |FROM tok LEFT JOIN covl c USING (doc_id)
+        |LEFT JOIN clean cl ON cl.doc_id = tok.doc_id
+        |ORDER BY tok.doc_id""".stripMargin
   )
 }

@@ -348,6 +348,47 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("spanDedup: planted head/tail/middle spans trim, overlapping " +
+    "and adjacent matches merge into one span, disjoint spans stay " +
+    "two, within-doc repeats and owners are untouched, full removal " +
+    "yields '' (k=3)") {
+    val docs = Seq(
+      (0L, "a b c"),                 // owner of "a b c"
+      (1L, "d e f"),                 // owner of "d e f"
+      (2L, "a b c d x y z w"),       // HEAD trim: cov {1,2,3}
+      (3L, "p q r a b c"),           // TAIL trim: cov {4,5,6}
+      (4L, "m n a b c o p"),         // MIDDLE trim: cov {3,4,5}
+      (5L, "a b c z1 z2 d e f g"),   // two DISJOINT spans stay 2
+      (6L, "a b c d e f"),           // overlap+adjacency MERGE → 1 span,
+                                     // full removal → ''
+      (7L, "q r s t u"),             // untouched
+      (8L, "h i j k h i j k"),       // within-doc repeat: owner keeps all
+      (9L, "  x   y  ")              // tokenization normalizes whitespace
+    ).toDF("doc_id", "text")
+    val got = CurationOps.spanDedup(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(got === Seq(
+      (0L, 3, 0, 0, "a b c"),
+      (1L, 3, 0, 0, "d e f"),
+      (2L, 8, 1, 3, "d x y z w"),
+      (3L, 6, 1, 3, "p q r"),
+      (4L, 7, 1, 3, "m n o p"),
+      (5L, 9, 2, 6, "z1 z2 g"),
+      (6L, 6, 1, 6, ""),
+      (7L, 5, 0, 0, "q r s t u"),
+      (8L, 8, 0, 0, "h i j k h i j k"),
+      (9L, 2, 0, 0, "x y")))
+  }
+
+  test("spanDedup refuses k < 2") {
+    val docs = Seq((0L, "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      CurationOps.spanDedup(docs, "doc_id", "text", k = 1)
+    }
+    assert(e.getMessage.contains("k must be"))
+  }
+
   test("vocabTopK orders by count desc then token asc") {
     val docs = Seq((1L, "b a b c a b"), (2L, "c a")).toDF("doc_id", "text")
     val got = CurationOps.vocabTopK(docs, "text", 2)
