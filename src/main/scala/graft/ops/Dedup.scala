@@ -138,20 +138,31 @@ object Dedup {
       .withColumn("_params", lit(bandParams(numHashes, bands)))
   }
 
-  private def bandRowsOf(df: DataFrame, tokensExpr: Column, idCol: String,
-      numHashes: Int, bands: Int): DataFrame = {
+  /** (id, _sigs) — md5 + all k xor-min signatures in ONE native pass
+    * over the token array ([[graft.functions.MinhashSigs]]; the Column
+    * form paid an interpreted hashing transform plus k CodegenFallback
+    * array_min sweeps per row). Split out of [[bandRowsOf]] so
+    * [[minhashBandPairsOver]] can checkpoint THIS narrow frame
+    * (~numHashes longs/doc) and explode bands from it on both sides of
+    * its self-join.
+    */
+  private def sigRowsOf(df: DataFrame, tokensExpr: Column, idCol: String,
+      numHashes: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-    val r = numHashes / bands
-    val toks = df.select(col(idCol).as("id"), tokensExpr.as("_t"))
+    df.select(col(idCol).as("id"), tokensExpr.as("_t"))
       .filter(size(col("_t")) > 0) // empty docs: no sigs, no bands
-    // md5 + all k xor-min signatures in ONE native pass over the token
-    // array ([[MinhashKernel]]; the Column form paid an interpreted
-    // hashing transform plus k CodegenFallback array_min sweeps per
-    // row), bound as a materialized column so the per-band slices
-    // below are attribute reads
-    val withSigs = toks.select(col("id"),
-      column(graft.functions.MinhashSigs(expression(col("_t")),
-        xorConstants(numHashes))).as("_sigs"))
+      .select(col("id"),
+        column(graft.functions.MinhashSigs(expression(col("_t")),
+          xorConstants(numHashes))).as("_sigs"))
+  }
+
+  /** Explode the k signatures into (id, band, band_sig) rows — the
+    * per-band slices are attribute reads over the materialized `_sigs`
+    * column.
+    */
+  private def bandRowsFromSigs(withSigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val r = numHashes / bands
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         concat_ws("_", (b * r until (b + 1) * r).map(j =>
@@ -162,6 +173,11 @@ object Dedup {
       .select(col("id"), col("bs.band").as("band"),
         col("bs.band_sig").as("band_sig"))
   }
+
+  private def bandRowsOf(df: DataFrame, tokensExpr: Column, idCol: String,
+      numHashes: Int, bands: Int): DataFrame =
+    bandRowsFromSigs(sigRowsOf(df, tokensExpr, idCol, numHashes),
+      numHashes, bands)
 
   /** The banding machinery over an arbitrary shingle/token-set
     * expression (`graft.functions.TextFunctions.wordShingles` gives the
@@ -198,13 +214,30 @@ object Dedup {
     require(numHashes > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must split evenly into $bands bands")
     val source = collapseExactOn.fold(df)(keepersByKey(df, _, idCol))
-    val bandRows = bandRowsOf(source, tokensExpr, idCol, numHashes, bands)
+    // ONE text scan + ONE pre-collapse window for the whole pair build:
+    // the narrow (id, sigs) frame (~numHashes longs/doc) is lazily
+    // checkpointed so both sides of the band self-join read it instead
+    // of recomputing the scan+window+MinHash pipeline — the
+    // un-checkpointed form planned FOUR separate text scans and four
+    // keeper windows per pair frame (self-join sides + the two verify
+    // joins; no ReusedExchange fires across the differing downstream
+    // keys — measured in plans/r18/q84_minhash_band_pairs_before.txt,
+    // r18 optimization)
+    val sigs = sigRowsOf(source, tokensExpr, idCol, numHashes)
+      .localCheckpoint(false)
+    val bandRows = bandRowsFromSigs(sigs, numHashes, bands)
     val cands = bandRows.as("x")
       .join(bandRows.as("y"), Seq("band", "band_sig"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
-    val tokSets = source.select(col(idCol).as("id"), tokensExpr.as("toks"))
+    // verify tokens straight off `df`, NOT `source`: every candidate id
+    // is a keeper by construction (only keepers are banded), so the
+    // pre-collapse window in the old verify lineage filtered nothing
+    // the inner join doesn't — and dropping it removes two more
+    // window shuffles + text scans from the plan. Token arrays are
+    // derived only for ids the candidate join actually touches.
+    val tokSets = df.select(col(idCol).as("id"), tokensExpr.as("toks"))
     val inter = size(array_intersect(col("toks1"), col("toks2")))
     cands
       .join(tokSets.select(col("id").as("id1"), col("toks").as("toks1")),
@@ -1238,16 +1271,22 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIters) {
       val t0 = System.nanoTime()
-      val propagated = closed.join(labels, closed("b") === labels("id"))
-        .select(closed("a").as("id"), col("rep"))
-        .groupBy("id").agg(min(col("rep")).as("rep"))
+      // the self-loop row (a,a) carries a's OWN current label through
+      // the join, so the same aggregate that takes the neighborhood min
+      // also recovers the pre-round label — and convergence (no label
+      // shrank) becomes a local filter+count over the checkpointed
+      // round output instead of a propagated⋈labels shuffle join:
+      // one exchange per round, not two (r18 optimization; min(rep) ≤
+      // _old always since the self row participates in the min, so
+      // `changed` counts exactly the rows the old join counted)
+      val prop0 = closed.join(labels, closed("b") === labels("id"))
+        .select(closed("a").as("id"),
+          (closed("b") === closed("a")).as("_self"), col("rep"))
+        .groupBy("id").agg(min(col("rep")).as("rep"),
+          min(when(col("_self"), col("rep"))).as("_old"))
         .localCheckpoint(true)
-      // converged ⇔ no node's label shrank this round (bounded driver
-      // action: one count over the changed-row join)
-      val changed = propagated.as("n")
-        .join(labels.as("o"), Seq("id"))
-        .filter(col("n.rep") < col("o.rep")).count()
-      labels = propagated
+      val changed = prop0.filter(col("rep") < col("_old")).count()
+      labels = prop0.select(col("id"), col("rep"))
       converged = changed == 0
       i += 1
       // scale-measurement hook (SCALE_r10/r14): per-iteration
@@ -1332,24 +1371,31 @@ object Dedup {
       val t0 = System.nanoTime()
       // propagate: everyone adopts the min label in their CLOSED
       // neighborhood (self-loops supply the own-label term).
-      // Checkpointed before the self-join below — it is consumed twice
+      // Checkpointed before the self-join below — it is consumed twice.
+      // The self row also recovers the PRE-round label (`_old`) in the
+      // same aggregate, so convergence is a local filter+count over the
+      // round output instead of a jumped⋈labels shuffle join — see the
+      // plain loop's round for the argument (r18 optimization)
       val propagated = closed.join(labels, closed("b") === labels("id"))
-        .select(closed("a").as("id"), col("rep"))
-        .groupBy("id").agg(min(col("rep")).as("rep"))
+        .select(closed("a").as("id"),
+          (closed("b") === closed("a")).as("_self"), col("rep"))
+        .groupBy("id").agg(min(col("rep")).as("rep"),
+          min(when(col("_self"), col("rep"))).as("_old"))
         .localCheckpoint(true)
       // shortcut: follow the label one hop through the label table
       // itself — rep ids are node ids, so this is a self-join; a rep
-      // that is already a component min maps to itself
+      // that is already a component min maps to itself. `_old` rides
+      // through: the jump only ever DECREASES rep further, so
+      // rep < _old still counts exactly the changed rows
       val jumped = propagated.as("p")
         .join(propagated.select(col("id").as("rep"),
           col("rep").as("rep2")).as("q"), Seq("rep"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"),
+          col("_old"))
         .localCheckpoint(true)
-      val changed = jumped.as("n")
-        .join(labels.as("o"), Seq("id"))
-        .filter(col("n.rep") < col("o.rep")).count()
-      labels = jumped
+      val changed = jumped.filter(col("rep") < col("_old")).count()
+      labels = jumped.select(col("id"), col("rep"))
       converged = changed == 0
       i += 1
       if (sys.env.contains("GRAFT_CC_LOG"))
@@ -1413,9 +1459,16 @@ object Dedup {
     while (!converged && i < maxIters) {
       val t0 = System.nanoTime()
       val jump = i >= switchAfter
+      // same fused convergence observation as the fixed loops: the
+      // self row recovers the pre-round label in the propagate
+      // aggregate, `changed` is a local count over the round output —
+      // one exchange per plain round, two per jump round (was two and
+      // three with the changed-check join; r18 optimization)
       val propagated = closed.join(labels, closed("b") === labels("id"))
-        .select(closed("a").as("id"), col("rep"))
-        .groupBy("id").agg(min(col("rep")).as("rep"))
+        .select(closed("a").as("id"),
+          (closed("b") === closed("a")).as("_self"), col("rep"))
+        .groupBy("id").agg(min(col("rep")).as("rep"),
+          min(when(col("_self"), col("rep"))).as("_old"))
         .localCheckpoint(true)
       val next =
         if (!jump) propagated
@@ -1424,12 +1477,10 @@ object Dedup {
             col("rep").as("rep2")).as("q"), Seq("rep"), "left")
           .select(col("id"),
             least(col("rep"), coalesce(col("rep2"), col("rep")))
-              .as("rep"))
+              .as("rep"), col("_old"))
           .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("id"))
-        .filter(col("n.rep") < col("o.rep")).count()
-      labels = next
+      val changed = next.filter(col("rep") < col("_old")).count()
+      labels = next.select(col("id"), col("rep"))
       converged = changed == 0
       i += 1
       if (sys.env.contains("GRAFT_CC_LOG"))

@@ -193,6 +193,31 @@ object Pq {
       sampleN: Int = 20000): Double = {
     require(mode == "adc" || mode == "sdc",
       s"""calibrateTauDist: mode must be "adc" or "sdc" (got "$mode")""")
+    val (adc, sdc) = calibrateTauDists(sample, idCol, vecCol, cb,
+      cosThreshold, sampleN, wantAdc = mode == "adc",
+      wantSdc = mode == "sdc")
+    if (mode == "adc") adc else sdc
+  }
+
+  /** BOTH modes' τ from ONE sample collect and ONE boundary-score pass
+    * — the hybrid callers' form ([[semanticDedupFlagsPqHybrid]] needs
+    * τ_sdc AND τ_adc over the same calibration sample; two
+    * [[calibrateTauDist]] calls pay the TakeOrdered collect, the
+    * partner synthesis, and the distributed scoring job twice for
+    * byte-identical inputs). Each τ is exactly what the single-mode
+    * call returns: same sample order, same pair construction, same
+    * kernel expressions — the two means just share one aggregate.
+    * Returns (τ_adc, τ_sdc).
+    */
+  def calibrateTauDistBoth(sample: DataFrame, idCol: String,
+      vecCol: String, cb: Codebook, cosThreshold: Double,
+      sampleN: Int = 20000): (Double, Double) =
+    calibrateTauDists(sample, idCol, vecCol, cb, cosThreshold, sampleN,
+      wantAdc = true, wantSdc = true)
+
+  private def calibrateTauDists(sample: DataFrame, idCol: String,
+      vecCol: String, cb: Codebook, cosThreshold: Double, sampleN: Int,
+      wantAdc: Boolean, wantSdc: Boolean): (Double, Double) = {
     require(sampleN > 0, "calibrateTauDist: sampleN must be positive")
     require(cosThreshold > -1.0 && cosThreshold <= 1.0,
       s"calibrateTauDist: cosThreshold must be in (-1, 1] " +
@@ -232,22 +257,29 @@ object Pq {
         "zero-norm or constant) — cannot calibrate a threshold")
     import spark.implicits._
     val df = pairs.toDF("x", "xp")
-    val lit = cbLit(cb)
-    val score =
-      if (mode == "adc")
-        GraftFunctions.pq_adc(
-          GraftFunctions.pq_lut(col("x"), lit, cb.m, cb.k),
-          GraftFunctions.pq_encode(col("xp"), lit, cb.m, cb.k))
-      else
-        GraftFunctions.pq_sdc(
-          GraftFunctions.pq_encode(col("x"), lit, cb.m, cb.k),
-          GraftFunctions.pq_encode(col("xp"), lit, cb.m, cb.k),
-          sdcTable(cb), cb.k)
-    val row = df.select(score.as("d")).agg(avg(col("d"))).head
-    require(!row.isNullAt(0),
-      "calibrateTauDist: no non-null boundary distances in the sample " +
-        "— an all-corrupt sample cannot calibrate a threshold")
-    row.getDouble(0)
+    val cbCol = cbLit(cb)
+    val adcScore = GraftFunctions.pq_adc(
+      GraftFunctions.pq_lut(col("x"), cbCol, cb.m, cb.k),
+      GraftFunctions.pq_encode(col("xp"), cbCol, cb.m, cb.k))
+    def sdcScore = GraftFunctions.pq_sdc(
+      GraftFunctions.pq_encode(col("x"), cbCol, cb.m, cb.k),
+      GraftFunctions.pq_encode(col("xp"), cbCol, cb.m, cb.k),
+      sdcTable(cb), cb.k)
+    val scores = (if (wantAdc) Seq(adcScore.as("_adc")) else Seq.empty) ++
+      (if (wantSdc) Seq(sdcScore.as("_sdc")) else Seq.empty)
+    // every requested mode's boundary mean in ONE distributed pass
+    val aggRow = df.select(scores: _*).agg(
+      (if (wantAdc) avg(col("_adc")) else min(lit(Double.NaN))).as("_ma"),
+      (if (wantSdc) avg(col("_sdc")) else min(lit(Double.NaN))).as("_ms"))
+      .head
+    def checked(i: Int): Double = {
+      require(!aggRow.isNullAt(i),
+        "calibrateTauDist: no non-null boundary distances in the " +
+          "sample — an all-corrupt sample cannot calibrate a threshold")
+      aggRow.getDouble(i)
+    }
+    (if (wantAdc) checked(0) else Double.NaN,
+      if (wantSdc) checked(1) else Double.NaN)
   }
 
   /** Per-metric pieces: LUT builder, output score column, rank order.
@@ -668,9 +700,23 @@ object Pq {
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, k: Int, nProbe: Int = 2,
       excludeSelf: Boolean = true, metric: String = "l2",
+      superCells: Int = 0, superProbe: Int = 0): DataFrame =
+    ivfPqSearchBatchFrom(queries, queryIdCol, queryVecCol, index, idCol,
+      Similarity.collectCodebook(centroids, centroidIdCol,
+        centroidVecCol), cb, k, nProbe, excludeSelf, metric, superCells,
+      superProbe)
+
+  /** [[ivfPqSearchBatch]] over a PRE-COLLECTED codebook — the form the
+    * chunked wrappers and the streaming ingest thread their one
+    * centroid collect through (the DataFrame entry point re-collected
+    * the centroids per call: one extra job per chunk/layer; r18).
+    */
+  private[graft] def ivfPqSearchBatchFrom(queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, index: DataFrame,
+      idCol: String, cents: Seq[(Long, Seq[Double])],
+      cb: Codebook, k: Int, nProbe: Int = 2,
+      excludeSelf: Boolean = true, metric: String = "l2",
       superCells: Int = 0, superProbe: Int = 0): DataFrame = {
-    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
-      centroidVecCol)
     val checked = Similarity.verifyStamp(index,
       combinedStamp(Similarity.codebookStamp(cents), cb),
       "ivfPqSearchBatch")
@@ -785,9 +831,21 @@ object Pq {
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, k: Int, nProbe: Int = 2,
       excludeSelf: Boolean = true,
+      superCells: Int = 0, superProbe: Int = 0): DataFrame =
+    ivfPqSearchBatchSdcFrom(queries, queryIdCol, queryVecCol, index,
+      idCol, Similarity.collectCodebook(centroids, centroidIdCol,
+        centroidVecCol), cb, k, nProbe, excludeSelf, superCells,
+      superProbe)
+
+  /** [[ivfPqSearchBatchSdc]] over a PRE-COLLECTED codebook — see
+    * [[ivfPqSearchBatchFrom]].
+    */
+  private[graft] def ivfPqSearchBatchSdcFrom(queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, index: DataFrame,
+      idCol: String, cents: Seq[(Long, Seq[Double])],
+      cb: Codebook, k: Int, nProbe: Int = 2,
+      excludeSelf: Boolean = true,
       superCells: Int = 0, superProbe: Int = 0): DataFrame = {
-    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
-      centroidVecCol)
     val checked = Similarity.verifyStamp(index,
       combinedStamp(Similarity.codebookStamp(cents), cb),
       "ivfPqSearchBatchSdc")
@@ -845,9 +903,22 @@ object Pq {
       batchVecCol: String, index: DataFrame, idCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, tauDist: Double, nProbe: Int = 2,
+      excludeSelf: Boolean = true): DataFrame =
+    semanticDedupFlagsPqSdcFrom(batch, batchIdCol, batchVecCol, index,
+      idCol, Similarity.collectCodebook(centroids, centroidIdCol,
+        centroidVecCol), cb, tauDist, nProbe, excludeSelf)
+
+  /** [[semanticDedupFlagsPqSdc]] over a PRE-COLLECTED codebook — the
+    * streaming ingest's entry point (it already holds the collected
+    * centroids for its stamp check; r18).
+    */
+  private[graft] def semanticDedupFlagsPqSdcFrom(batch: DataFrame,
+      batchIdCol: String, batchVecCol: String, index: DataFrame,
+      idCol: String, cents: Seq[(Long, Seq[Double])],
+      cb: Codebook, tauDist: Double, nProbe: Int = 2,
       excludeSelf: Boolean = true): DataFrame = {
-    val top = ivfPqSearchBatchSdcChunked(batch, batchIdCol, batchVecCol,
-      index, idCol, centroids, centroidIdCol, centroidVecCol, cb,
+    val top = ivfPqSearchBatchSdcChunkedFrom(batch, batchIdCol,
+      batchVecCol, index, idCol, cents, cb,
       k = 1, nProbe = nProbe, excludeSelf = excludeSelf)
       .select(col("qid"), col(idCol).as("neighbor_id"), col("sdc_dist"))
     batch.select(col(batchIdCol))
@@ -886,14 +957,29 @@ object Pq {
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, tauSdc: Double, tauAdc: Double, band: Double,
       refineK: Int = 4, nProbe: Int = 2, excludeSelf: Boolean = true)
+  : DataFrame =
+    semanticDedupFlagsPqHybridFrom(batch, batchIdCol, batchVecCol,
+      index, idCol, Similarity.collectCodebook(centroids, centroidIdCol,
+        centroidVecCol), cb, tauSdc, tauAdc, band, refineK, nProbe,
+      excludeSelf)
+
+  /** [[semanticDedupFlagsPqHybrid]] over a PRE-COLLECTED codebook —
+    * one centroid collect feeds the SDC pass, the straddler rescore,
+    * and the caller's stamp check (r18).
+    */
+  private[graft] def semanticDedupFlagsPqHybridFrom(batch: DataFrame,
+      batchIdCol: String, batchVecCol: String, index: DataFrame,
+      idCol: String, cents: Seq[(Long, Seq[Double])],
+      cb: Codebook, tauSdc: Double, tauAdc: Double, band: Double,
+      refineK: Int = 4, nProbe: Int = 2, excludeSelf: Boolean = true)
   : DataFrame = {
     require(band >= 0, "band must be ≥ 0")
     require(refineK >= 1, "refineK must be ≥ 1")
     // one symmetric probe, top-refineK per query — candidate-sized
     // (refineK·|batch| rows), checkpointed: it feeds the best-agg, the
     // straddler join, and (through it) the cell collect
-    val top = ivfPqSearchBatchSdcChunked(batch, batchIdCol, batchVecCol,
-      index, idCol, centroids, centroidIdCol, centroidVecCol, cb,
+    val top = ivfPqSearchBatchSdcChunkedFrom(batch, batchIdCol,
+      batchVecCol, index, idCol, cents, cb,
       k = refineK, nProbe = nProbe, excludeSelf = excludeSelf)
       .localCheckpoint(true)
     // SDC top-1 = rank 1 of the top-K (same (dist asc, id asc) order)
@@ -918,8 +1004,6 @@ object Pq {
       best.select(col("qid"), lit(null).cast("double").as("_amin"))
         .filter(lit(false))
     } else {
-      val cents = Similarity.collectCodebook(centroids, centroidIdCol,
-        centroidVecCol)
       val checked = Similarity.verifyStamp(index,
         combinedStamp(Similarity.codebookStamp(cents), cb),
         "semanticDedupFlagsPqHybrid")
@@ -970,22 +1054,34 @@ object Pq {
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, k: Int, nProbe: Int = 2,
       excludeSelf: Boolean = true,
+      maxCodeBatch: Int = 524288): DataFrame =
+    ivfPqSearchBatchSdcChunkedFrom(queries, queryIdCol, queryVecCol,
+      index, idCol, Similarity.collectCodebook(centroids, centroidIdCol,
+        centroidVecCol), cb, k, nProbe, excludeSelf, maxCodeBatch)
+
+  /** [[ivfPqSearchBatchSdcChunked]] over a PRE-COLLECTED codebook —
+    * ONE centroid collect for every chunk (the DataFrame entry point
+    * re-collected per chunk; r18).
+    */
+  private[graft] def ivfPqSearchBatchSdcChunkedFrom(queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, index: DataFrame,
+      idCol: String, cents: Seq[(Long, Seq[Double])],
+      cb: Codebook, k: Int, nProbe: Int = 2,
+      excludeSelf: Boolean = true,
       maxCodeBatch: Int = 524288): DataFrame = {
     require(maxCodeBatch >= 1, "maxCodeBatch must be ≥ 1")
     val nQueries = queries.count()
     val nChunks =
       math.max(1L, (nQueries + maxCodeBatch - 1) / maxCodeBatch).toInt
     if (nChunks <= 1)
-      ivfPqSearchBatchSdc(queries, queryIdCol, queryVecCol, index, idCol,
-        centroids, centroidIdCol, centroidVecCol, cb, k, nProbe,
-        excludeSelf)
+      ivfPqSearchBatchSdcFrom(queries, queryIdCol, queryVecCol, index,
+        idCol, cents, cb, k, nProbe, excludeSelf)
     else (0 until nChunks).map { chunk =>
       // an unlucky-empty chunk probes nothing and unions empty — safe
-      ivfPqSearchBatchSdc(
+      ivfPqSearchBatchSdcFrom(
         queries.filter(
           pmod(xxhash64(col(queryIdCol)), lit(nChunks)) === lit(chunk)),
-        queryIdCol, queryVecCol, index, idCol,
-        centroids, centroidIdCol, centroidVecCol, cb, k, nProbe,
+        queryIdCol, queryVecCol, index, idCol, cents, cb, k, nProbe,
         excludeSelf)
     }.reduce(_ union _)
   }
@@ -1023,9 +1119,21 @@ object Pq {
       batchVecCol: String, index: DataFrame, idCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, tauDist: Double, nProbe: Int = 2,
+      excludeSelf: Boolean = true): DataFrame =
+    semanticDedupFlagsPqFrom(batch, batchIdCol, batchVecCol, index,
+      idCol, Similarity.collectCodebook(centroids, centroidIdCol,
+        centroidVecCol), cb, tauDist, nProbe, excludeSelf)
+
+  /** [[semanticDedupFlagsPq]] over a PRE-COLLECTED codebook — see
+    * [[semanticDedupFlagsPqSdcFrom]].
+    */
+  private[graft] def semanticDedupFlagsPqFrom(batch: DataFrame,
+      batchIdCol: String, batchVecCol: String, index: DataFrame,
+      idCol: String, cents: Seq[(Long, Seq[Double])],
+      cb: Codebook, tauDist: Double, nProbe: Int = 2,
       excludeSelf: Boolean = true): DataFrame = {
-    val top = ivfPqSearchBatchChunked(batch, batchIdCol, batchVecCol,
-      index, idCol, centroids, centroidIdCol, centroidVecCol, cb,
+    val top = ivfPqSearchBatchChunkedFrom(batch, batchIdCol, batchVecCol,
+      index, idCol, cents, cb,
       k = 1, nProbe = nProbe, excludeSelf = excludeSelf, metric = "l2")
       .select(col("qid"), col(idCol).as("neighbor_id"), col("adc_dist"))
     batch.select(col(batchIdCol))
@@ -1060,22 +1168,33 @@ object Pq {
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, k: Int, nProbe: Int = 2,
       excludeSelf: Boolean = true, metric: String = "l2",
+      maxLutBatch: Int = 8192): DataFrame =
+    ivfPqSearchBatchChunkedFrom(queries, queryIdCol, queryVecCol, index,
+      idCol, Similarity.collectCodebook(centroids, centroidIdCol,
+        centroidVecCol), cb, k, nProbe, excludeSelf, metric, maxLutBatch)
+
+  /** [[ivfPqSearchBatchChunked]] over a PRE-COLLECTED codebook —
+    * ONE centroid collect for every chunk (r18).
+    */
+  private[graft] def ivfPqSearchBatchChunkedFrom(queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, index: DataFrame,
+      idCol: String, cents: Seq[(Long, Seq[Double])],
+      cb: Codebook, k: Int, nProbe: Int = 2,
+      excludeSelf: Boolean = true, metric: String = "l2",
       maxLutBatch: Int = 8192): DataFrame = {
     require(maxLutBatch >= 1, "maxLutBatch must be ≥ 1")
     val nQueries = queries.count()
     val nChunks =
       math.max(1L, (nQueries + maxLutBatch - 1) / maxLutBatch).toInt
     if (nChunks <= 1)
-      ivfPqSearchBatch(queries, queryIdCol, queryVecCol, index, idCol,
-        centroids, centroidIdCol, centroidVecCol, cb, k, nProbe,
-        excludeSelf, metric)
+      ivfPqSearchBatchFrom(queries, queryIdCol, queryVecCol, index,
+        idCol, cents, cb, k, nProbe, excludeSelf, metric)
     else (0 until nChunks).map { chunk =>
       // an unlucky-empty chunk probes nothing and unions empty — safe
-      ivfPqSearchBatch(
+      ivfPqSearchBatchFrom(
         queries.filter(
           pmod(xxhash64(col(queryIdCol)), lit(nChunks)) === lit(chunk)),
-        queryIdCol, queryVecCol, index, idCol,
-        centroids, centroidIdCol, centroidVecCol, cb, k, nProbe,
+        queryIdCol, queryVecCol, index, idCol, cents, cb, k, nProbe,
         excludeSelf, metric)
     }.reduce(_ union _)
   }

@@ -853,8 +853,20 @@ object Similarity {
   def ivfSearchBatch(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, index: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      k: Int, nProbe: Int = 2, excludeSelf: Boolean = true): DataFrame =
+    ivfSearchBatchFrom(queries, queryIdCol, queryVecCol, index, idCol,
+      vecCol, collectCodebook(centroids, centroidIdCol, centroidVecCol),
+      k, nProbe, excludeSelf)
+
+  /** [[ivfSearchBatch]] over a PRE-COLLECTED codebook — the form
+    * callers that already hold the collected centroids (the streaming
+    * ingest's stamp check) thread them through instead of paying a
+    * second centroid collect per probe (r18).
+    */
+  private[graft] def ivfSearchBatchFrom(queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, index: DataFrame,
+      idCol: String, vecCol: String, cents: Seq[(Long, Seq[Double])],
       k: Int, nProbe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
-    val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
     val checked = verifyStamp(index, codebookStamp(cents), "ivfSearchBatch")
     val codebook = typedLit(cents)
     val q = queries.select(col(queryIdCol).as("qid"),
@@ -1238,14 +1250,24 @@ object Similarity {
       batchVecCol: String, index: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       tau: Double, nProbe: Int = 2, excludeSelf: Boolean = true)
+  : DataFrame =
+    semanticDedupFlagsFrom(batch, batchIdCol, batchVecCol, index, idCol,
+      vecCol, collectCodebook(centroids, centroidIdCol, centroidVecCol),
+      tau, nProbe, excludeSelf)
+
+  /** [[semanticDedupFlags]] over a PRE-COLLECTED codebook (r18). */
+  private[graft] def semanticDedupFlagsFrom(batch: DataFrame,
+      batchIdCol: String, batchVecCol: String, index: DataFrame,
+      idCol: String, vecCol: String, cents: Seq[(Long, Seq[Double])],
+      tau: Double, nProbe: Int = 2, excludeSelf: Boolean = true)
   : DataFrame = {
     // excludeSelf matters when batch and corpus SHARE an id space (the
     // corpus-refresh case: a re-embedded doc must not match its own
     // old row). When the batch's ids are independent of the corpus's,
     // pass false — an id collision would otherwise silently skip a
     // genuine near-duplicate candidate.
-    val top = ivfSearchBatch(batch, batchIdCol, batchVecCol,
-      index, idCol, vecCol, centroids, centroidIdCol, centroidVecCol,
+    val top = ivfSearchBatchFrom(batch, batchIdCol, batchVecCol,
+      index, idCol, vecCol, cents,
       k = 1, nProbe = nProbe, excludeSelf = excludeSelf)
       .select(col("qid"), col(idCol).as("neighbor_id"), col("cos_sim"))
     batch.select(col(batchIdCol))

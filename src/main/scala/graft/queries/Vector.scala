@@ -399,10 +399,11 @@ object Vector {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val isCorpus = col("vec_id") % 10 === 0
       val isBatch = col("vec_id") % 10 === 9
-      val tauS = graft.ops.Pq.calibrateTauDist(emb.filter(isCorpus),
-        "vec_id", "embedding", cb, cosThreshold = 0.8, mode = "sdc")
-      val tauA = graft.ops.Pq.calibrateTauDist(emb.filter(isCorpus),
-        "vec_id", "embedding", cb, cosThreshold = 0.8, mode = "adc")
+      // both τs from ONE sample collect + ONE boundary-score pass —
+      // value-identical to the two single-mode calls (r18 optimization)
+      val (tauA, tauS) = graft.ops.Pq.calibrateTauDistBoth(
+        emb.filter(isCorpus), "vec_id", "embedding", cb,
+        cosThreshold = 0.8)
       val out = QueryTmp.dir("q145", s, d)
       graft.ops.Pq.ivfPqIndexWrite(emb.filter(isCorpus), "vec_id",
         "embedding", centroids, "cid", "cvec", cb, s"$out/ivfpq")
@@ -516,10 +517,11 @@ object Vector {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val isCorpus = col("vec_id") % 10 === 0
       val isBatch = col("vec_id") % 10 === 9
-      val tauS = graft.ops.Pq.calibrateTauDist(emb.filter(isCorpus),
-        "vec_id", "embedding", cb, cosThreshold = 0.8, mode = "sdc")
-      val tauA = graft.ops.Pq.calibrateTauDist(emb.filter(isCorpus),
-        "vec_id", "embedding", cb, cosThreshold = 0.8, mode = "adc")
+      // both τs from ONE sample collect + ONE boundary-score pass —
+      // value-identical to the two single-mode calls (r18 optimization)
+      val (tauA, tauS) = graft.ops.Pq.calibrateTauDistBoth(
+        emb.filter(isCorpus), "vec_id", "embedding", cb,
+        cosThreshold = 0.8)
       val root = QueryTmp.dir("q146", s, d)
       def ingest(df: DataFrame, b: Long): Unit =
         graft.streaming.IdempotentSink.semanticIngestPqByBatch(

@@ -419,8 +419,9 @@ object IdempotentSink {
     // is refused before ANY tree mutation — a fold-due batch with a
     // drifted codebook must not compact the tree it is about to refuse
     // to write into (r16 ADVICE)
-    val stamp = Similarity.codebookStamp(Similarity.collectCodebook(
-      centroids, centroidIdCol, centroidVecCol))
+    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
+      centroidVecCol)
+    val stamp = Similarity.codebookStamp(cents)
     val sidecar = Similarity.readStampSidecar(spark, vecDir)
     sidecar.foreach { s =>
       if (s != stamp)
@@ -444,9 +445,10 @@ object IdempotentSink {
     val flags = (if (graft.io.FsUtil.hasDataFiles(fs, p)) {
       val prior = spark.read.parquet(vecDir)
         .filter(col("_batch").cast("long") < batchId).drop("_batch")
-      Similarity.semanticDedupFlags(df, idCol, vecCol, prior, idCol,
-        vecCol, centroids, centroidIdCol, centroidVecCol, tau, nProbe,
-        excludeSelf)
+      // cents — collected once above for the stamp — threads through
+      // the probe instead of a second centroid collect (r18)
+      Similarity.semanticDedupFlagsFrom(df, idCol, vecCol, prior, idCol,
+        vecCol, cents, tau, nProbe, excludeSelf)
     } else
       // first batch: no prior tree — everything keeps, no search job
       // (and no empty-frame stamp ambiguity to warn about)
@@ -462,8 +464,8 @@ object IdempotentSink {
     // same rows, and the probe's per-cell listing is exactly what the
     // fold exists to protect. The shuffle is batch-sized (the bounded
     // quantity).
-    val keptAssigned = Similarity.ivfAssign(kept, idCol, vecCol,
-      centroids, centroidIdCol, centroidVecCol)
+    val keptAssigned = Similarity.ivfAssignLocal(
+      kept.select(col(idCol), col(vecCol)), vecCol, cents)
       .select(col(idCol), col(vecCol), col("cell"))
       .repartition(col("cell"))
     indexByBatch(vecDir, "cell")(keptAssigned, batchId)
@@ -610,21 +612,22 @@ object IdempotentSink {
     val flags = (if (graft.io.FsUtil.hasDataFiles(fs, p)) {
       val prior = spark.read.parquet(codeDir)
         .filter(col("_batch").cast("long") < batchId).drop("_batch")
+      // the *From variants thread `cents` — collected once above for
+      // the stamp check — through the probe instead of re-collecting
+      // the centroid frame per layer/chunk (r18)
       probeMode match {
         case "sdc" =>
-          Pq.semanticDedupFlagsPqSdc(df, idCol, vecCol, prior, idCol,
-            centroids, centroidIdCol, centroidVecCol, cb, tauDist,
-            nProbe, excludeSelf)
+          Pq.semanticDedupFlagsPqSdcFrom(df, idCol, vecCol, prior,
+            idCol, cents, cb, tauDist, nProbe, excludeSelf)
         case "hybrid" =>
-          Pq.semanticDedupFlagsPqHybrid(df, idCol, vecCol, prior, idCol,
-            centroids, centroidIdCol, centroidVecCol, cb,
+          Pq.semanticDedupFlagsPqHybridFrom(df, idCol, vecCol, prior,
+            idCol, cents, cb,
             tauSdc = tauDist, tauAdc = tauAdc, band = band,
             refineK = refineK, nProbe = nProbe,
             excludeSelf = excludeSelf)
         case _ =>
-          Pq.semanticDedupFlagsPq(df, idCol, vecCol, prior, idCol,
-            centroids, centroidIdCol, centroidVecCol, cb, tauDist,
-            nProbe, excludeSelf)
+          Pq.semanticDedupFlagsPqFrom(df, idCol, vecCol, prior, idCol,
+            cents, cb, tauDist, nProbe, excludeSelf)
       }
     } else
       // first batch with data: no prior — everything keeps, no search
