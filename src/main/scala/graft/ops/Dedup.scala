@@ -894,9 +894,15 @@ object Dedup {
       .write.mode("overwrite").parquet(profDir)
     val (fpI, bandI, tokI) = corpusIndexesFromProfile(
       spark.read.parquet(profDir), numHashes, bands, tokensTag)
-    fpI.write.mode("overwrite").parquet(s"$dir/fp")
-    bandI.write.partitionBy("band").mode("overwrite").parquet(s"$dir/band")
-    tokI.write.mode("overwrite").parquet(s"$dir/tok")
+    // the three projections read the SAME staged profile and write
+    // DISJOINT trees — overlapped so each write's task tail and commit
+    // back-fill the others (guide §2.6); the sidecar stays strictly
+    // after the band data it stamps
+    graft.io.ParallelActions.run(Seq(
+      () => fpI.write.mode("overwrite").parquet(s"$dir/fp"),
+      () => bandI.write.partitionBy("band").mode("overwrite")
+        .parquet(s"$dir/band"),
+      () => tokI.write.mode("overwrite").parquet(s"$dir/tok")))
     Similarity.writeStampSidecar(spark, s"$dir/band",
       bandParams(numHashes, bands, tokensTag))
     val (fs, p) = {
@@ -1089,17 +1095,25 @@ object Dedup {
           "pick a fresh root")
     }
     // tok first (one projected pass over the old tree — `_batch` and
-    // friends dropped), then band from the PERSISTED new tok tree, fp
-    // copy, sidecar last
-    spark.read.parquet(s"$oldRoot/tok").select(col("id"), col("toks"))
-      .write.mode("overwrite").parquet(s"$newRoot/tok")
-    bandRowsOf(spark.read.parquet(s"$newRoot/tok"), col("toks"), "id",
-      numHashes, bands)
-      .withColumn("_params", lit(newStamp))
-      .write.partitionBy("band").mode("overwrite")
-      .parquet(s"$newRoot/band")
-    spark.read.parquet(s"$oldRoot/fp").select(col("id"), col("fp"))
-      .write.mode("overwrite").parquet(s"$newRoot/fp")
+    // friends dropped), then band from the PERSISTED new tok tree;
+    // the fp copy has no ordering contract against either (only the
+    // sidecar is ordering-sensitive: last), so it overlaps the
+    // tok→band chain (guide §2.6) — a crash still leaves only
+    // sidecar-less partial trees, which a re-run overwrites
+    graft.io.ParallelActions.run(Seq(
+      () => {
+        spark.read.parquet(s"$oldRoot/tok")
+          .select(col("id"), col("toks"))
+          .write.mode("overwrite").parquet(s"$newRoot/tok")
+        bandRowsOf(spark.read.parquet(s"$newRoot/tok"), col("toks"),
+          "id", numHashes, bands)
+          .withColumn("_params", lit(newStamp))
+          .write.partitionBy("band").mode("overwrite")
+          .parquet(s"$newRoot/band")
+      },
+      () => spark.read.parquet(s"$oldRoot/fp")
+        .select(col("id"), col("fp"))
+        .write.mode("overwrite").parquet(s"$newRoot/fp")))
     Similarity.writeStampSidecar(spark, s"$newRoot/band", newStamp)
     newStamp
   }

@@ -140,10 +140,14 @@ object Relational {
     // layout-invariant.
     "q136_bucketed_revenue" -> ((s, d) => {
       val tmp = QueryTmp.dir("q136", s, d)
-      graft.io.BucketedTables.writeBucketed(Tables.orders(s, d),
-        "graft_q136_orders", s"$tmp/orders", "o_orderkey", 8)
-      graft.io.BucketedTables.writeBucketed(Tables.lineitem(s, d),
-        "graft_q136_lineitem", s"$tmp/lineitem", "l_orderkey", 8)
+      // the two bucketed writes target disjoint tables/paths — overlap
+      // them so the second's scan back-fills the first's write tail
+      // (guide §2.6); rows are unaffected (layout-only)
+      graft.io.ParallelActions.run(Seq(
+        () => graft.io.BucketedTables.writeBucketed(Tables.orders(s, d),
+          "graft_q136_orders", s"$tmp/orders", "o_orderkey", 8),
+        () => graft.io.BucketedTables.writeBucketed(Tables.lineitem(s, d),
+          "graft_q136_lineitem", s"$tmp/lineitem", "l_orderkey", 8)))
       val o = s.table("graft_q136_orders")
       val l = s.table("graft_q136_lineitem")
         .groupBy(col("l_orderkey"))
