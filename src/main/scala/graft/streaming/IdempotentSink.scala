@@ -350,24 +350,31 @@ object IdempotentSink {
           .filter(col("_batch").cast("long") < batchId).drop("_batch")
       else shape.filter(lit(false))
     }
+    // EAGER batch-sized checkpoints: the flags probe and the kept-rows
+    // profile each materialize ONCE, then the four writes they feed
+    // (flags + fp/band/tok — disjoint trees, no ordering contract
+    // between them; replay rewrites each byte-identically) overlap from
+    // the driver pool (guide §2.6). Lazy checkpoints here would race
+    // the overlapped writes into re-computing the shared frame.
     val flags = Dedup.crossDedupFlagsFromIndexes(df, textCol, idCol,
       prior(fpDir, fpShape), prior(bandDir, bandShape),
       prior(tokDir, tokShape), numHashes, bands, minJaccard)
-      .localCheckpoint(false) // batch-sized; feeds the flags write + kept
-    parquetByBatch(flagsOut)(flags, batchId)
+      .localCheckpoint()
     val kept = df.join(
       flags.filter(!col("exact_dup") && !col("near_dup")).select(idCol),
       Seq(idCol))
-    // batch-sized lazy checkpoint: ONE text pass (fingerprint +
-    // shingles) feeds all three index writes — the corpusIndexesAppend
-    // convention; without it each write re-runs the join + profile
+    // ONE text pass (fingerprint + shingles) feeds all three index
+    // writes — the corpusIndexesAppend convention; without it each
+    // write re-runs the join + profile
     val keptProf = Dedup.corpusProfile(kept, textCol, idCol)
-      .localCheckpoint(false)
+      .localCheckpoint()
     val (fpK, bandK, tokK) = Dedup.corpusIndexesFromProfile(
       keptProf, numHashes, bands)
-    parquetByBatch(fpDir)(fpK, batchId)
-    indexByBatch(bandDir, "band")(bandK, batchId)
-    parquetByBatch(tokDir)(tokK, batchId)
+    graft.io.ParallelActions.run(Seq(
+      () => parquetByBatch(flagsOut)(flags, batchId),
+      () => parquetByBatch(fpDir)(fpK, batchId),
+      () => indexByBatch(bandDir, "band")(bandK, batchId),
+      () => parquetByBatch(tokDir)(tokK, batchId)))
   }
 
   /** The EMBEDDING-family twin of [[dedupIngestByBatch]]: a
@@ -455,8 +462,12 @@ object IdempotentSink {
       df.select(col(idCol),
         lit(null).cast(df.schema(idCol).dataType).as("neighbor_id"),
         lit(null).cast("double").as("cos_sim"), lit(true).as("keep")))
-      .localCheckpoint(false) // batch-sized; feeds the flags write + kept
-    parquetByBatch(flagsOut)(flags, batchId)
+      // EAGER batch-sized checkpoint: the probe materializes once, then
+      // the flags write and the kept-index write — disjoint trees, no
+      // ordering contract, each replay-idempotent — overlap from the
+      // driver pool (guide §2.6); a lazy checkpoint would race the two
+      // overlapped consumers into re-computing the probe
+      .localCheckpoint()
     val kept = df.join(flags.filter(col("keep")).select(idCol), Seq(idCol))
     // repartition by cell before the write: one file per TOUCHED cell
     // per batch instead of one per (cell × input partition) — at 32
@@ -468,7 +479,9 @@ object IdempotentSink {
       kept.select(col(idCol), col(vecCol)), vecCol, cents)
       .select(col(idCol), col(vecCol), col("cell"))
       .repartition(col("cell"))
-    indexByBatch(vecDir, "cell")(keptAssigned, batchId)
+    graft.io.ParallelActions.run(Seq(
+      () => parquetByBatch(flagsOut)(flags, batchId),
+      () => indexByBatch(vecDir, "cell")(keptAssigned, batchId)))
     // stamp AFTER the first write so the sidecar never outlives a
     // crashed pre-write batch; a replay re-stamps identically
     if (sidecar.isEmpty)
@@ -634,8 +647,10 @@ object IdempotentSink {
       df.select(col(idCol),
         lit(null).cast(df.schema(idCol).dataType).as("neighbor_id"),
         lit(null).cast("double").as(scoreCol), lit(true).as("keep")))
-      .localCheckpoint(false) // batch-sized; feeds the flags write + kept
-    parquetByBatch(flagsOut)(flags, batchId)
+      // EAGER batch-sized checkpoint, then the two disjoint-tree writes
+      // overlap — same §2.6 shape and crash analysis as the plain
+      // ingest's
+      .localCheckpoint()
     val kept = df.join(flags.filter(col("keep")).select(idCol), Seq(idCol))
     // assign + encode in one batch-sized scan; repartition by cell for
     // one file per TOUCHED cell per batch (same listing math as the
@@ -645,7 +660,9 @@ object IdempotentSink {
         vecCol, cents), vecCol, cb)
       .select(col(idCol), col("pq_code"), col("cell"))
       .repartition(col("cell"))
-    indexByBatch(codeDir, "cell")(keptCodes, batchId)
+    graft.io.ParallelActions.run(Seq(
+      () => parquetByBatch(flagsOut)(flags, batchId),
+      () => indexByBatch(codeDir, "cell")(keptCodes, batchId)))
     // stamp AFTER the first write so the sidecar never outlives a
     // crashed pre-write batch; a replay re-stamps identically
     if (sidecar.isEmpty)
