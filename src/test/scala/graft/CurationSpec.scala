@@ -381,6 +381,26 @@ class CurationSpec extends AnyFunSuite {
       (9L, 2, 0, 0, "x y")))
   }
 
+  test("spanDedup: empty text and many alternating islands (the " +
+    "linear island-fold + array_except reconstruction internals, k=2)") {
+    // owner 0 holds the shared bigrams; doc 1 alternates shared bigram /
+    // unique token so the covered set has MANY islands ({1,2}, {4,5},
+    // {7,8}, {10,11}); doc 2 is empty text (zero tokens — the
+    // sequence(1,0) descending-guard edge)
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b u1 c d u2 e f u3 g h"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val got = CurationOps.spanDedup(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(got === Seq(
+      (0L, 8, 0, 0, "a b c d e f g h"),
+      (1L, 11, 4, 8, "u1 u2 u3"),
+      (2L, 0, 0, 0, "")))
+  }
+
   test("spanDedup refuses k < 2") {
     val docs = Seq((0L, "a b")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
