@@ -494,8 +494,9 @@ object Pq {
     val spark = emb.sparkSession
     val cents = Similarity.collectCodebook(centroids, centroidIdCol,
       centroidVecCol)
-    Similarity.ivfIndexWrite(emb, idCol, vecCol,
-      centroids, centroidIdCol, centroidVecCol, vectorsDir)
+    // one centroid collect for the whole pair build: the vector-tree
+    // write threads the same collected codebook the stamp uses (r18)
+    Similarity.ivfIndexWriteFrom(emb, vecCol, cents, vectorsDir)
     val stamp = combinedStamp(Similarity.codebookStamp(cents), cb)
     encode(spark.read.parquet(vectorsDir), vecCol, cb)
       .select(col(idCol), col("pq_code"), col("cell"))

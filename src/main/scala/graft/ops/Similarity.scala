@@ -521,14 +521,24 @@ object Similarity {
     */
   def ivfIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
-      indexDir: String): Unit = {
-    val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
+      indexDir: String): Unit =
+    ivfIndexWriteFrom(emb, vecCol,
+      collectCodebook(centroids, centroidIdCol, centroidVecCol), indexDir)
+
+  /** [[ivfIndexWrite]] over a PRE-COLLECTED codebook — callers that
+    * already hold the collected centroids (the IVF-PQ pair build's
+    * stamp derivation) thread them through instead of paying a second
+    * centroid collect per build (r18).
+    */
+  private[graft] def ivfIndexWriteFrom(emb: DataFrame, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], indexDir: String): Unit = {
+    val stamp = codebookStamp(cents)
     ivfAssignLocal(emb, vecCol, cents)
-      .withColumn("_params", lit(codebookStamp(cents)))
+      .withColumn("_params", lit(stamp))
       .write.partitionBy("cell").mode("overwrite").parquet(indexDir)
     // after the data commit: a crash between the two leaves a layout
     // that still verifies (slow path), never one that lies
-    writeStampSidecar(emb.sparkSession, indexDir, codebookStamp(cents))
+    writeStampSidecar(emb.sparkSession, indexDir, stamp)
   }
 
   /** Managed codebook MIGRATION — the path out of the refusal every
