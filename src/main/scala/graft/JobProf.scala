@@ -19,11 +19,26 @@ object JobProf {
     spark.sparkContext.setLogLevel("ERROR")
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // SQL execution id -> action call site (the lambda-wrapped job
+    // stage names are useless for attribution; the execution's
+    // description is the `collect at Pq.scala:123`-style call site)
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     @volatile var record = false
     @volatile var tBase = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui
+              .SparkListenerSQLExecutionStart =>
+            execDesc.put(e.executionId, e.description)
+          case _ =>
+        }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = js.stageInfos.lastOption.map(_.name).getOrElse("")
+        val execId = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+        val site = execId.flatMap(id => Option(execDesc.get(id.toLong)))
+          .getOrElse(js.stageInfos.lastOption.map(_.name).getOrElse(""))
         starts.put(js.jobId, (System.nanoTime(), site))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

@@ -45,6 +45,42 @@ import org.apache.spark.sql.DataFrame
   */
 object BucketedTables {
 
+  /** Scale-aware bucket count for [[writeBucketed]] (r19, the r18
+    * verdict's follow-up): [[writeBucketed]]'s repartition makes one
+    * task = one bucket = exactly one file, so nBuckets IS the write's
+    * parallelism AND its file-size knob — a fixed 8 serializes a
+    * 100 TB table through eight writer tasks (the r18 caveat), while a
+    * count scaled to the input keeps both per-file bytes and write
+    * parallelism bounded. One bucket per `targetBucketBytes` of the
+    * frame's ESTIMATED size (Catalyst stats — file-length-based for
+    * parquet scans, so cheap and metadata-only), rounded UP to a power
+    * of two and clamped to [minBuckets, maxBuckets]. Powers of two
+    * because the bucket count is the layout's JOIN contract: Spark
+    * elides the join shuffle when the sides' counts agree, or (with
+    * coalesceBucketsInJoin) when one divides the other — power-of-two
+    * counts maximize the divisibility across snapshots that grew.
+    * Tables that will JOIN on the bucket key must share one count:
+    * derive it from the LARGEST side of the key domain and pass it to
+    * every writer (q136 does). The local default minBuckets=8 keeps
+    * the gate fixtures' layout — and q136's zero-exchange read plan —
+    * byte-identical to the fixed count they used before; production
+    * values are the targetBucketBytes/maxBuckets knobs, not a code
+    * change.
+    */
+  def bucketCountFor(df: DataFrame, targetBucketBytes: Long = 1L << 30,
+      minBuckets: Int = 8, maxBuckets: Int = 1 << 16): Int = {
+    require(targetBucketBytes > 0, "targetBucketBytes must be positive")
+    require(minBuckets >= 1 && maxBuckets >= minBuckets,
+      s"need 1 <= minBuckets ($minBuckets) <= maxBuckets ($maxBuckets)")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val raw = ((bytes + targetBucketBytes - 1) / targetBucketBytes)
+      .min(BigInt(maxBuckets)).max(BigInt(minBuckets)).toLong
+    Integer.highestOneBit(raw.toInt) match {
+      case p if p == raw => p
+      case p => p << 1 // round UP to the next power of two
+    }
+  }
+
   /** Write `df` as an external parquet table bucketed by `bucketCol`
     * into `nBuckets`, optionally sorted within buckets (`sortCols` —
     * lets a one-file-per-bucket layout feed sort-merge joins with the

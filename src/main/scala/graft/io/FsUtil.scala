@@ -63,4 +63,33 @@ object FsUtil {
     try fs.exists(root) && fs.getFileStatus(root).isDirectory && walk(root)
     catch { case _: java.io.FileNotFoundException => false }
   }
+
+  /** True iff some `_batch=<k>` subtree with k < `batchId` holds a data
+    * file — the FS-metadata form of the streaming ingests' `_batch <
+    * batchId` time-travel read's PARTITION PRUNING. When false, the
+    * pruned prior scan is statically empty, the probe against it is a
+    * no-op (every flag comes back "keep", exactly the documented
+    * first-batch contract), and the caller can take the first-batch
+    * fast path without planning the probe at all — a REPLAYED batch 0
+    * otherwise pays ~15 empty-stage Spark jobs of pure driver overhead
+    * per invocation (measured: JobProf r19, q138/q141/q146 epoch 0).
+    * False negatives are impossible (prior rows require a data file in
+    * a qualifying subtree); a false positive (a zero-row data file)
+    * just routes through the ordinary probe, which computes the same
+    * flags. Non-numeric `name=value` dirs are not `_batch=` subtrees
+    * and are ignored.
+    */
+  def hasBatchDataBelow(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, batchId: Long): Boolean =
+    try fs.exists(root) && fs.getFileStatus(root).isDirectory &&
+      fs.listStatus(root).exists { s =>
+        s.isDirectory && {
+          val n = s.getPath.getName
+          n.startsWith("_batch=") &&
+            scala.util.Try(n.stripPrefix("_batch=").toLong).toOption
+              .exists(_ < batchId) &&
+            hasDataFiles(fs, s.getPath)
+        }
+      }
+    catch { case _: java.io.FileNotFoundException => false }
 }

@@ -1278,8 +1278,17 @@ object Dedup {
     // (node set is identical — self-loops add no ids), so this eager
     // materialization also populates closed's cache, after which the
     // edges cache has no further reader.
-    var labels = closed.select(col("a").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint(true)
+    // labels init = the SELF-LOOP rows of closed (b === a), which ARE
+    // the distinct node set by construction — the former
+    // `closed.select(a).distinct()` paid a second corpus-wide
+    // exchange+agg for a set the closed union already materializes
+    // (r19). The filter scans closed once, so this eager checkpoint
+    // still populates closed's cache, after which the edges cache has
+    // no further reader. (Self-edges in caller-supplied pairs can
+    // duplicate an init row; the first round's groupBy(id) collapses
+    // them — labels after any round are unique per id.)
+    var labels = closed.filter(col("b") === col("a"))
+      .select(col("a").as("id"), col("a").as("rep")).localCheckpoint(true)
     edges.unpersist()
     var converged = false
     var i = 0
@@ -1288,18 +1297,24 @@ object Dedup {
       // the self-loop row (a,a) carries a's OWN current label through
       // the join, so the same aggregate that takes the neighborhood min
       // also recovers the pre-round label — and convergence (no label
-      // shrank) becomes a local filter+count over the checkpointed
-      // round output instead of a propagated⋈labels shuffle join:
-      // one exchange per round, not two (r18 optimization; min(rep) ≤
-      // _old always since the self row participates in the min, so
-      // `changed` counts exactly the rows the old join counted)
+      // shrank) rides the checkpoint MATERIALIZATION job itself as an
+      // Observation (r19; min(rep) ≤ _old always since the self row
+      // participates in the min, so `changed` counts exactly the rows
+      // the r18 filter+count — and the pre-r18 propagated⋈labels join —
+      // counted). One exchange AND one job per plain round: the
+      // separate count action over the checkpointed blocks was pure
+      // job-dispatch overhead per round — one extra full-label pass
+      // per round at 10⁹ nodes.
+      val obs = org.apache.spark.sql.Observation()
       val prop0 = closed.join(labels, closed("b") === labels("id"))
         .select(closed("a").as("id"),
           (closed("b") === closed("a")).as("_self"), col("rep"))
         .groupBy("id").agg(min(col("rep")).as("rep"),
           min(when(col("_self"), col("rep"))).as("_old"))
+        .observe(obs,
+          count(when(col("rep") < col("_old"), lit(1))).as("changed"))
         .localCheckpoint(true)
-      val changed = prop0.filter(col("rep") < col("_old")).count()
+      val changed = obs.get("changed").asInstanceOf[Long]
       labels = prop0.select(col("id"), col("rep"))
       converged = changed == 0
       i += 1
@@ -1376,8 +1391,17 @@ object Dedup {
     // returned frame. Derived from `closed` so this eager
     // materialization populates closed's cache; the edges cache is
     // done after it.
-    var labels = closed.select(col("a").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint(true)
+    // labels init = the SELF-LOOP rows of closed (b === a), which ARE
+    // the distinct node set by construction — the former
+    // `closed.select(a).distinct()` paid a second corpus-wide
+    // exchange+agg for a set the closed union already materializes
+    // (r19). The filter scans closed once, so this eager checkpoint
+    // still populates closed's cache, after which the edges cache has
+    // no further reader. (Self-edges in caller-supplied pairs can
+    // duplicate an init row; the first round's groupBy(id) collapses
+    // them — labels after any round are unique per id.)
+    var labels = closed.filter(col("b") === col("a"))
+      .select(col("a").as("id"), col("a").as("rep")).localCheckpoint(true)
     edges.unpersist()
     var converged = false
     var i = 0
@@ -1387,9 +1411,8 @@ object Dedup {
       // neighborhood (self-loops supply the own-label term).
       // Checkpointed before the self-join below — it is consumed twice.
       // The self row also recovers the PRE-round label (`_old`) in the
-      // same aggregate, so convergence is a local filter+count over the
-      // round output instead of a jumped⋈labels shuffle join — see the
-      // plain loop's round for the argument (r18 optimization)
+      // same aggregate — see the plain loop's round for the argument
+      // (r18 optimization)
       val propagated = closed.join(labels, closed("b") === labels("id"))
         .select(closed("a").as("id"),
           (closed("b") === closed("a")).as("_self"), col("rep"))
@@ -1400,15 +1423,20 @@ object Dedup {
       // itself — rep ids are node ids, so this is a self-join; a rep
       // that is already a component min maps to itself. `_old` rides
       // through: the jump only ever DECREASES rep further, so
-      // rep < _old still counts exactly the changed rows
+      // rep < _old still counts exactly the changed rows — observed on
+      // the jump checkpoint's own materialization job (r19; the
+      // separate count action was one extra full-label pass per round)
+      val obs = org.apache.spark.sql.Observation()
       val jumped = propagated.as("p")
         .join(propagated.select(col("id").as("rep"),
           col("rep").as("rep2")).as("q"), Seq("rep"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"),
           col("_old"))
+        .observe(obs,
+          count(when(col("rep") < col("_old"), lit(1))).as("changed"))
         .localCheckpoint(true)
-      val changed = jumped.filter(col("rep") < col("_old")).count()
+      val changed = obs.get("changed").asInstanceOf[Long]
       labels = jumped.select(col("id"), col("rep"))
       converged = changed == 0
       i += 1
@@ -1465,35 +1493,50 @@ object Dedup {
       .persist()
     val closed = edges.unionByName(
       edges.select(col("a"), col("a").as("b")).distinct()).persist()
-    var labels = closed.select(col("a").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint(true)
+    // labels init = the SELF-LOOP rows of closed (b === a), which ARE
+    // the distinct node set by construction — the former
+    // `closed.select(a).distinct()` paid a second corpus-wide
+    // exchange+agg for a set the closed union already materializes
+    // (r19). The filter scans closed once, so this eager checkpoint
+    // still populates closed's cache, after which the edges cache has
+    // no further reader. (Self-edges in caller-supplied pairs can
+    // duplicate an init row; the first round's groupBy(id) collapses
+    // them — labels after any round are unique per id.)
+    var labels = closed.filter(col("b") === col("a"))
+      .select(col("a").as("id"), col("a").as("rep")).localCheckpoint(true)
     edges.unpersist()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val t0 = System.nanoTime()
       val jump = i >= switchAfter
-      // same fused convergence observation as the fixed loops: the
-      // self row recovers the pre-round label in the propagate
-      // aggregate, `changed` is a local count over the round output —
-      // one exchange per plain round, two per jump round (was two and
-      // three with the changed-check join; r18 optimization)
-      val propagated = closed.join(labels, closed("b") === labels("id"))
+      // same fused convergence as the fixed loops: the self row
+      // recovers the pre-round label in the propagate aggregate, and
+      // `changed` rides the ROUND's last checkpoint materialization as
+      // an Observation (r19) — one exchange and one job per plain
+      // round, two per jump round (was +1 count job per round; and two
+      // and three exchanges with the pre-r18 changed-check join)
+      val obs = org.apache.spark.sql.Observation()
+      def observed(df: DataFrame): DataFrame = df.observe(obs,
+        count(when(col("rep") < col("_old"), lit(1))).as("changed"))
+      val propagated0 = closed.join(labels, closed("b") === labels("id"))
         .select(closed("a").as("id"),
           (closed("b") === closed("a")).as("_self"), col("rep"))
         .groupBy("id").agg(min(col("rep")).as("rep"),
           min(when(col("_self"), col("rep"))).as("_old"))
-        .localCheckpoint(true)
       val next =
-        if (!jump) propagated
-        else propagated.as("p")
-          .join(propagated.select(col("id").as("rep"),
-            col("rep").as("rep2")).as("q"), Seq("rep"), "left")
-          .select(col("id"),
-            least(col("rep"), coalesce(col("rep2"), col("rep")))
-              .as("rep"), col("_old"))
-          .localCheckpoint(true)
-      val changed = next.filter(col("rep") < col("_old")).count()
+        if (!jump) observed(propagated0).localCheckpoint(true)
+        else {
+          val propagated = propagated0.localCheckpoint(true)
+          observed(propagated.as("p")
+            .join(propagated.select(col("id").as("rep"),
+              col("rep").as("rep2")).as("q"), Seq("rep"), "left")
+            .select(col("id"),
+              least(col("rep"), coalesce(col("rep2"), col("rep")))
+                .as("rep"), col("_old")))
+            .localCheckpoint(true)
+        }
+      val changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select(col("id"), col("rep"))
       converged = changed == 0
       i += 1

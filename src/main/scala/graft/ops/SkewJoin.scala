@@ -38,13 +38,30 @@ object SkewJoin {
       .drop("_salt")
   }
 
+  /** Per-key salt fanout from the DETECTED skew (r19): one salt bucket
+    * per `hotThreshold`-sized slice of the key's estimated row count,
+    * at least 2 (a detected hot key must actually spread), capped at
+    * the caller's `k`. A key barely over the threshold spreads 2 ways
+    * instead of paying the full k× small-side replication; a 10×-the-
+    * threshold key uses the cap — the fanout follows the measured skew
+    * instead of a fixed constant (the join result is row-identical
+    * under ANY fanout; this only sizes the shuffle spread vs the
+    * replication cost).
+    */
+  private[graft] def fanoutFor(estRows: Double, hotThreshold: Long,
+      k: Int): Int =
+    math.min(k.toLong,
+      math.max(2L, math.ceil(estRows / hotThreshold).toLong)).toInt
+
   /** Salting gated on DETECTED hot keys: sample the big side's keys,
     * estimate per-key counts, and salt ONLY keys whose estimated total
     * exceeds `hotThreshold` — cold keys keep salt 0 and the small side
-    * replicates only its hot-key rows. With no hot keys detected this
-    * returns the PLAIN join (AQE handles residual runtime skew), so
-    * non-skewed workloads never pay the k× shuffle amplification that
-    * blanket salting costs. The detection pass is one sampled
+    * replicates only its hot-key rows, each by the key's OWN
+    * [[fanoutFor]] fanout (estimated rows / hotThreshold, ≥2, capped
+    * at `k` — so `k` is the fanout CEILING, not a blanket constant).
+    * With no hot keys detected this returns the PLAIN join (AQE
+    * handles residual runtime skew), so non-skewed workloads never pay
+    * any shuffle amplification. The detection pass is one sampled
     * scan+agg of the big side's key columns (column-pruned).
     */
   def saltedJoinHot(big: DataFrame, small: DataFrame, keyCols: Seq[String],
@@ -59,7 +76,10 @@ object SkewJoin {
     // detection runs EXACTLY once: the (≤ maxHotKeys)-row result is
     // collected to the driver and re-ships as a local relation — leaving
     // it lazy would re-execute the sampled scan+agg inside each
-    // broadcast of the join plan
+    // broadcast of the join plan. `_k` = the key's fanout, derived from
+    // its sampled count scaled back to an estimated total
+    val fanout = udf((cnt: Long) =>
+      fanoutFor(cnt / sampleFraction, hotThreshold, k))
     val hotLocal = big.select(keyCols.map(col): _*)
       .sample(withReplacement = false, sampleFraction, seed = 42)
       .groupBy(keyCols.map(col): _*)
@@ -67,22 +87,23 @@ object SkewJoin {
       .filter(col("_cnt") >= sampleCutoff)
       .orderBy(col("_cnt").desc)
       .limit(maxHotKeys)
+      .withColumn("_k", fanout(col("_cnt")))
       .drop("_cnt")
-      .withColumn("_hot", lit(true))
     val hotRows = hotLocal.collect()
     if (hotRows.isEmpty) return big.join(small, keyCols, joinType)
     val hotB = broadcast(big.sparkSession.createDataFrame(
       java.util.Arrays.asList(hotRows: _*), hotLocal.schema))
     val bigSalted = big.join(hotB, keyCols, "left")
       .withColumn("_salt",
-        when(col("_hot"), pmod(hash(col(spreaderCol)), lit(k)))
+        when(col("_k").isNotNull, pmod(hash(col(spreaderCol)), col("_k")))
           .otherwise(0))
-      .drop("_hot")
+      .drop("_k")
     val smallSalted = small.join(hotB, keyCols, "left")
       .withColumn("_salt",
-        explode(when(col("_hot"), sequence(lit(0), lit(k - 1)))
+        explode(when(col("_k").isNotNull,
+          sequence(lit(0), col("_k") - lit(1)))
           .otherwise(array(lit(0)))))
-      .drop("_hot")
+      .drop("_k")
     bigSalted.join(smallSalted, keyCols :+ "_salt", joinType)
       .drop("_salt")
   }

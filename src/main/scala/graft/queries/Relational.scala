@@ -140,14 +140,19 @@ object Relational {
     // layout-invariant.
     "q136_bucketed_revenue" -> ((s, d) => {
       val tmp = QueryTmp.dir("q136", s, d)
+      // bucket count derived from the LARGER side (scale-aware write
+      // parallelism + file sizing, r19) and shared by both writers —
+      // the orderkey domain's join contract needs one count; the
+      // minBuckets clamp keeps it 8 at the gate SFs (plan unchanged)
+      val nb = graft.io.BucketedTables.bucketCountFor(Tables.lineitem(s, d))
       // the two bucketed writes target disjoint tables/paths — overlap
       // them so the second's scan back-fills the first's write tail
       // (guide §2.6); rows are unaffected (layout-only)
       graft.io.ParallelActions.run(Seq(
         () => graft.io.BucketedTables.writeBucketed(Tables.orders(s, d),
-          "graft_q136_orders", s"$tmp/orders", "o_orderkey", 8),
+          "graft_q136_orders", s"$tmp/orders", "o_orderkey", nb),
         () => graft.io.BucketedTables.writeBucketed(Tables.lineitem(s, d),
-          "graft_q136_lineitem", s"$tmp/lineitem", "l_orderkey", 8)))
+          "graft_q136_lineitem", s"$tmp/lineitem", "l_orderkey", nb)))
       val o = s.table("graft_q136_orders")
       val l = s.table("graft_q136_lineitem")
         .groupBy(col("l_orderkey"))

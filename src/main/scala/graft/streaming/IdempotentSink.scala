@@ -341,11 +341,14 @@ object IdempotentSink {
     def prior(dir: String, shape: DataFrame): DataFrame = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      // hasDataFiles, not fs.exists: an EMPTY first micro-batch (normal
-      // in structured streaming) leaves the tree with only _SUCCESS,
-      // and reading it would throw "Unable to infer schema" on every
-      // later batch — wedging the stream permanently (r16 ADVICE)
-      if (graft.io.FsUtil.hasDataFiles(fs, p))
+      // hasBatchDataBelow, not hasDataFiles/fs.exists: bare existence is
+      // the empty-first-batch wedge (an EMPTY micro-batch leaves only
+      // _SUCCESS and reading it throws "Unable to infer schema" — r16
+      // ADVICE), and a tree whose data all sits at `_batch ≥ batchId`
+      // (a replayed earliest batch) partition-prunes the time-travel
+      // read to statically empty anyway — the empty-shape frame is the
+      // same prior state with no scan to plan (r19)
+      if (graft.io.FsUtil.hasBatchDataBelow(fs, p, batchId))
         spark.read.parquet(dir)
           .filter(col("_batch").cast("long") < batchId).drop("_batch")
       else shape.filter(lit(false))
@@ -447,9 +450,11 @@ object IdempotentSink {
     }
     val p = new org.apache.hadoop.fs.Path(vecDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    // hasDataFiles, not fs.exists — the empty-first-batch wedge, see
-    // dedupIngestByBatch's prior()
-    val flags = (if (graft.io.FsUtil.hasDataFiles(fs, p)) {
+    // hasBatchDataBelow, not hasDataFiles/fs.exists: the FS-metadata
+    // form of the `_batch < batchId` partition pruning — a replayed
+    // earliest batch takes the all-keep fast path instead of planning
+    // a probe over a statically-empty prior (see the PQ ingest)
+    val flags = (if (graft.io.FsUtil.hasBatchDataBelow(fs, p, batchId)) {
       val prior = spark.read.parquet(vecDir)
         .filter(col("_batch").cast("long") < batchId).drop("_batch")
       // cents — collected once above for the stamp — threads through
@@ -619,10 +624,17 @@ object IdempotentSink {
     }
     val p = new org.apache.hadoop.fs.Path(codeDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    // hasDataFiles, not fs.exists — the empty-first-batch wedge, see
-    // dedupIngestByBatch's prior()
+    // hasBatchDataBelow, not hasDataFiles/fs.exists: (a) bare existence
+    // is the empty-first-batch wedge (see dedupIngestByBatch's prior());
+    // (b) a tree whose only data sits at `_batch ≥ batchId` — every
+    // REPLAY of the earliest data-carrying batch — partition-prunes the
+    // `_batch < batchId` prior read to statically empty, so the probe
+    // is a no-op that still costs ~15 empty-stage Spark jobs per
+    // invocation (JobProf r19). The FS-metadata check IS that partition
+    // pruning, at zero jobs; the fast path below produces the identical
+    // all-keep flags the empty-prior probe would.
     val scoreCol = if (probeMode == "adc") "adc_dist" else "sdc_dist"
-    val flags = (if (graft.io.FsUtil.hasDataFiles(fs, p)) {
+    val flags = (if (graft.io.FsUtil.hasBatchDataBelow(fs, p, batchId)) {
       val prior = spark.read.parquet(codeDir)
         .filter(col("_batch").cast("long") < batchId).drop("_batch")
       // the *From variants thread `cents` — collected once above for

@@ -107,4 +107,39 @@ class BucketedSpec extends AnyFunSuite {
         "k", 0)
     }
   }
+
+  test("bucketCountFor scales with the estimated input, rounds up to a " +
+    "power of two, clamps to [min, max], and the derived count keeps " +
+    "one file per bucket") {
+    val dir = TestDirs.tmp("bucketed_auto").toString
+    val rows = (0L until 4000L).map(i => (i % 100L, i)).toDF("k", "lv")
+    // tiny input vs a 1 GB target: clamped to the floor — the gate-SF
+    // behavior that keeps q136's layout (and plan) unchanged
+    assert(BucketedTables.bucketCountFor(rows) === 8)
+    // force the stats to dominate: a 1-byte target makes the count the
+    // maxBuckets clamp; a non-power-of-two clamp is itself respected
+    assert(BucketedTables.bucketCountFor(rows, targetBucketBytes = 1L,
+      minBuckets = 8, maxBuckets = 64) === 64)
+    // mid-range: estimated bytes / target lands strictly between
+    // min and max and must round UP to a power of two
+    val bytes = rows.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = (bytes / 20).toLong.max(1L) // raw ≈ 20-21
+    val derived = BucketedTables.bucketCountFor(rows,
+      targetBucketBytes = target, minBuckets = 2, maxBuckets = 1 << 16)
+    assert(derived === 32, s"raw ~20 must round up to 32, got $derived")
+    intercept[IllegalArgumentException] {
+      BucketedTables.bucketCountFor(rows, targetBucketBytes = 0L)
+    }
+    // the one-task-one-bucket invariant holds under a derived count:
+    // exactly `n` data files for `n` buckets
+    val n = BucketedTables.bucketCountFor(rows, targetBucketBytes = 1L,
+      minBuckets = 4, maxBuckets = 4)
+    BucketedTables.writeBucketed(rows, "graft_spec_auto", s"$dir/t",
+      "k", n)
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+    assert(files.length === n,
+      s"expected one file per bucket ($n), got ${files.length}")
+  }
 }

@@ -135,6 +135,18 @@ class JoinOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoinHot fanout follows the detected skew: one bucket per " +
+    "hotThreshold slice, >= 2, capped at k") {
+    // a key barely over the threshold spreads minimally; fanout grows
+    // with the estimated count and saturates at the caller's cap
+    assert(SkewJoin.fanoutFor(1000001.0, 1000000L, 8) === 2)
+    assert(SkewJoin.fanoutFor(2000000.0, 1000000L, 8) === 2)
+    assert(SkewJoin.fanoutFor(3500000.0, 1000000L, 8) === 4)
+    assert(SkewJoin.fanoutFor(7.2e6, 1000000L, 8) === 8)
+    assert(SkewJoin.fanoutFor(1e12, 1000000L, 8) === 8) // cap, no overflow
+    assert(SkewJoin.fanoutFor(100.0, 1000000L, 8) === 2) // floor
+  }
+
   test("salted join rejects outer join types (k-way duplicate hazard)") {
     import spark.implicits._
     val big = Seq((1, 1)).toDF("key", "v")
