@@ -465,9 +465,19 @@ object Pq {
 
   def ivfPqIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
-      cb: Codebook, indexDir: String): Unit = {
-    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
-      centroidVecCol)
+      cb: Codebook, indexDir: String): Unit =
+    ivfPqIndexWriteFrom(emb, idCol, vecCol,
+      Similarity.collectCodebook(centroids, centroidIdCol,
+        centroidVecCol), cb, indexDir)
+
+  /** [[ivfPqIndexWrite]] over a PRE-COLLECTED codebook — a query body
+    * that builds the index and probes it under the same centroids
+    * threads ONE collect through both (r19, extending r18's `*From`
+    * threading).
+    */
+  private[graft] def ivfPqIndexWriteFrom(emb: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[(Long, Seq[Double])], cb: Codebook,
+      indexDir: String): Unit = {
     val (frame, stamp) = frameFrom(emb, idCol, vecCol, cents, cb)
     frame.write.partitionBy("cell").mode("overwrite").parquet(indexDir)
     Similarity.writeStampSidecar(emb.sparkSession, indexDir, stamp)
@@ -490,10 +500,19 @@ object Pq {
     */
   def ivfPqIndexWritePair(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      cb: Codebook, indexDir: String, vectorsDir: String): Unit =
+    ivfPqIndexWritePairFrom(emb, idCol, vecCol,
+      Similarity.collectCodebook(centroids, centroidIdCol,
+        centroidVecCol), cb, indexDir, vectorsDir)
+
+  /** [[ivfPqIndexWritePair]] over a PRE-COLLECTED codebook — a query
+    * body that pair-builds and then probes threads ONE collect through
+    * build and probe (r19).
+    */
+  private[graft] def ivfPqIndexWritePairFrom(emb: DataFrame,
+      idCol: String, vecCol: String, cents: Seq[(Long, Seq[Double])],
       cb: Codebook, indexDir: String, vectorsDir: String): Unit = {
     val spark = emb.sparkSession
-    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
-      centroidVecCol)
     // one centroid collect for the whole pair build: the vector-tree
     // write threads the same collected codebook the stamp uses (r18)
     Similarity.ivfIndexWriteFrom(emb, vecCol, cents, vectorsDir)
@@ -1230,11 +1249,26 @@ object Pq {
       sourceIdCol: String, sourceVecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       cb: Codebook, k: Int, nProbe: Int = 2, refineFactor: Int = 4,
+      excludeSelf: Boolean = true, metric: String = "l2"): DataFrame =
+    ivfPqSearchRefinedFrom(queries, queryIdCol, queryVecCol, index,
+      vectors, sourceIdCol, sourceVecCol,
+      Similarity.collectCodebook(centroids, centroidIdCol,
+        centroidVecCol), cb, k, nProbe, refineFactor, excludeSelf,
+      metric)
+
+  /** [[ivfPqSearchRefined]] over a PRE-COLLECTED codebook — ONE
+    * centroid collect feeds the vector-tree stamp check AND the inner
+    * ADC probe (which previously re-collected through the public
+    * [[ivfPqSearchBatch]]) (r19).
+    */
+  private[graft] def ivfPqSearchRefinedFrom(queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, index: DataFrame,
+      vectors: DataFrame, sourceIdCol: String, sourceVecCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      cb: Codebook, k: Int, nProbe: Int = 2, refineFactor: Int = 4,
       excludeSelf: Boolean = true, metric: String = "l2"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(refineFactor >= 1, "refineFactor must be ≥ 1")
-    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
-      centroidVecCol)
     val checkedVecs = Similarity.verifyStamp(vectors,
       Similarity.codebookStamp(cents), "ivfPqSearchRefined",
       desc = "refine vector layout assigned under a different codebook")
@@ -1242,8 +1276,8 @@ object Pq {
     // checkpointed because it feeds TWO consumers — the cell collect
     // and the fetch join — and re-running the ADC probe per consumer
     // would double the probe cost
-    val cand = ivfPqSearchBatch(queries, queryIdCol, queryVecCol, index,
-      sourceIdCol, centroids, centroidIdCol, centroidVecCol, cb,
+    val cand = ivfPqSearchBatchFrom(queries, queryIdCol, queryVecCol,
+      index, sourceIdCol, cents, cb,
       k = k * refineFactor, nProbe = nProbe, excludeSelf = excludeSelf,
       metric = metric)
       .select(col("qid"), col(sourceIdCol), col("cell"))

@@ -753,8 +753,20 @@ object Similarity {
   def ivfSearchIndexed(index: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       queryVec: Seq[Double], k: Int, nProbe: Int = 2,
+      excludeId: Option[Long] = None): DataFrame =
+    ivfSearchIndexedFrom(index, idCol, vecCol,
+      collectCodebook(centroids, centroidIdCol, centroidVecCol),
+      queryVec, k, nProbe, excludeId)
+
+  /** [[ivfSearchIndexed]] over a PRE-COLLECTED codebook — a query body
+    * that just built/appended the index under the same centroids
+    * threads ONE collect through build and probe (r19, extending the
+    * r18 `*From` threading).
+    */
+  private[graft] def ivfSearchIndexedFrom(index: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[(Long, Seq[Double])],
+      queryVec: Seq[Double], k: Int, nProbe: Int = 2,
       excludeId: Option[Long] = None): DataFrame = {
-    val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
     val checked = verifyStamp(index, codebookStamp(cents),
       "ivfSearchIndexed")
     val probes = cents.map { case (cid, cv) =>
@@ -920,8 +932,17 @@ object Similarity {
       queryVecCol: String, index: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       k: Int, nProbe: Int = 2, excludeSelf: Boolean = true,
+      superCells: Int = 0, superProbe: Int = 2): DataFrame =
+    ivfSearchBatchHierFrom(queries, queryIdCol, queryVecCol, index,
+      idCol, vecCol, collectCodebook(centroids, centroidIdCol,
+        centroidVecCol), k, nProbe, excludeSelf, superCells, superProbe)
+
+  /** [[ivfSearchBatchHier]] over a PRE-COLLECTED codebook (r19). */
+  private[graft] def ivfSearchBatchHierFrom(queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, index: DataFrame,
+      idCol: String, vecCol: String, cents: Seq[(Long, Seq[Double])],
+      k: Int, nProbe: Int = 2, excludeSelf: Boolean = true,
       superCells: Int = 0, superProbe: Int = 2): DataFrame = {
-    val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
     val checked = verifyStamp(index, codebookStamp(cents),
       "ivfSearchBatchHier")
     val q = queries.select(col(queryIdCol).as("qid"),
@@ -1133,12 +1154,18 @@ object Similarity {
     */
   def ivfIndexAppend(newVectors: DataFrame, idCol: String, vecCol: String,
       indexDir: String, centroids: DataFrame, centroidIdCol: String,
-      centroidVecCol: String): Unit = {
+      centroidVecCol: String): Unit =
+    ivfIndexAppendFrom(newVectors, idCol, vecCol, indexDir,
+      collectCodebook(centroids, centroidIdCol, centroidVecCol))
+
+  /** [[ivfIndexAppend]] over a PRE-COLLECTED codebook (r19). */
+  private[graft] def ivfIndexAppendFrom(newVectors: DataFrame,
+      idCol: String, vecCol: String, indexDir: String,
+      cents: Seq[(Long, Seq[Double])]): Unit = {
     require(newVectors.columns.contains(idCol) &&
       newVectors.columns.contains(vecCol),
       s"ivfIndexAppend: newVectors needs columns '$idCol' and '$vecCol'" +
         s" (has ${newVectors.columns.mkString(", ")})")
-    val cents = collectCodebook(centroids, centroidIdCol, centroidVecCol)
     val stamp = codebookStamp(cents)
     appendToStampedLayout(
       ivfAssignLocal(newVectors, vecCol, cents)

@@ -62,12 +62,13 @@ object MultimodalQueries {
       val centroids = emb.filter(col("media_id") < 12)
         .select(col("media_id").as("cid"), col("embedding").as("cvec"))
       val out = QueryTmp.dir("q118", s, d)
-      Similarity.ivfIndexWrite(emb, "media_id", "embedding",
-        centroids, "cid", "cvec", s"$out/ivf")
-      Similarity.ivfSearchBatch(
+      // one codebook collect threads through build AND probe (r19)
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
+      Similarity.ivfIndexWriteFrom(emb, "embedding", cents, s"$out/ivf")
+      Similarity.ivfSearchBatchFrom(
         emb.filter(col("media_id") < 6), "media_id", "embedding",
         s.read.parquet(s"$out/ivf"), "media_id", "embedding",
-        centroids, "cid", "cvec", k = 5, nProbe = 2)
+        cents, k = 5, nProbe = 2)
         .orderBy(col("qid"), col("cos_sim").desc, col("media_id"))
     }),
 

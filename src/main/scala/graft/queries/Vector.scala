@@ -100,13 +100,14 @@ object Vector {
       val centroids = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val out = QueryTmp.dir("q114", s, d)
-      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
-        centroids, "cid", "cvec", s"$out/ivf")
+      // one codebook collect threads through build AND probe (r19)
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
+      Similarity.ivfIndexWriteFrom(emb, "embedding", cents, s"$out/ivf")
       val qVec = emb.filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>"))
         .collect()(0).getSeq[Double](0)
-      Similarity.ivfSearchIndexed(s.read.parquet(s"$out/ivf"),
-        "vec_id", "embedding", centroids, "cid", "cvec",
+      Similarity.ivfSearchIndexedFrom(s.read.parquet(s"$out/ivf"),
+        "vec_id", "embedding", cents,
         qVec, k = 5, nProbe = 2, excludeId = Some(0L))
     }),
 
@@ -130,8 +131,9 @@ object Vector {
       val qVec = emb.filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>"))
         .collect()(0).getSeq[Double](0)
-      Similarity.ivfSearchIndexed(s.read.parquet(s"$out/new"),
-        "vec_id", "embedding", centroids, "cid", "cvec",
+      Similarity.ivfSearchIndexedFrom(s.read.parquet(s"$out/new"),
+        "vec_id", "embedding",
+        Similarity.collectCodebook(centroids, "cid", "cvec"),
         qVec, k = 5, nProbe = 2, excludeId = Some(0L))
     }),
 
@@ -144,12 +146,13 @@ object Vector {
       val centroids = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val out = QueryTmp.dir("q115", s, d)
-      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
-        centroids, "cid", "cvec", s"$out/ivf")
-      Similarity.ivfSearchBatch(
+      // one codebook collect threads through build AND probe (r19)
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
+      Similarity.ivfIndexWriteFrom(emb, "embedding", cents, s"$out/ivf")
+      Similarity.ivfSearchBatchFrom(
         emb.filter(col("vec_id") < 2), "vec_id", "embedding",
         s.read.parquet(s"$out/ivf"), "vec_id", "embedding",
-        centroids, "cid", "cvec", k = 5, nProbe = 2)
+        cents, k = 5, nProbe = 2)
         .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
     }),
 
@@ -167,12 +170,13 @@ object Vector {
       val centroids = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val out = QueryTmp.dir("q142", s, d)
-      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
-        centroids, "cid", "cvec", s"$out/ivf")
-      Similarity.ivfSearchBatchHier(
+      // one codebook collect threads through build AND probe (r19)
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
+      Similarity.ivfIndexWriteFrom(emb, "embedding", cents, s"$out/ivf")
+      Similarity.ivfSearchBatchHierFrom(
         emb.filter(col("vec_id") < 2), "vec_id", "embedding",
         s.read.parquet(s"$out/ivf"), "vec_id", "embedding",
-        centroids, "cid", "cvec", k = 5, nProbe = 2,
+        cents, k = 5, nProbe = 2,
         superCells = 2, superProbe = 2)
         .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
     }),
@@ -189,15 +193,17 @@ object Vector {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val isNew = col("vec_id") % 10 === 9
       val out = QueryTmp.dir("q121", s, d)
-      Similarity.ivfIndexWrite(emb.filter(!isNew), "vec_id", "embedding",
-        centroids, "cid", "cvec", s"$out/ivf")
-      Similarity.ivfIndexAppend(emb.filter(isNew), "vec_id", "embedding",
-        s"$out/ivf", centroids, "cid", "cvec")
+      // one codebook collect threads through build, append AND probe
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
+      Similarity.ivfIndexWriteFrom(emb.filter(!isNew), "embedding",
+        cents, s"$out/ivf")
+      Similarity.ivfIndexAppendFrom(emb.filter(isNew), "vec_id",
+        "embedding", s"$out/ivf", cents)
       val qVec = emb.filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>"))
         .collect()(0).getSeq[Double](0)
-      Similarity.ivfSearchIndexed(s.read.parquet(s"$out/ivf"),
-        "vec_id", "embedding", centroids, "cid", "cvec",
+      Similarity.ivfSearchIndexedFrom(s.read.parquet(s"$out/ivf"),
+        "vec_id", "embedding", cents,
         qVec, k = 5, nProbe = 2, excludeId = Some(0L))
     }),
 
@@ -215,12 +221,14 @@ object Vector {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val isBatch = col("vec_id") % 10 === 9
       val out = QueryTmp.dir("q120", s, d)
-      Similarity.ivfIndexWrite(emb.filter(!isBatch), "vec_id", "embedding",
-        centroids, "cid", "cvec", s"$out/ivf")
-      Similarity.semanticDedupFlags(
+      // one codebook collect threads through build AND probe (r19)
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
+      Similarity.ivfIndexWriteFrom(emb.filter(!isBatch), "embedding",
+        cents, s"$out/ivf")
+      Similarity.semanticDedupFlagsFrom(
         emb.filter(isBatch), "vec_id", "embedding",
         s.read.parquet(s"$out/ivf"), "vec_id", "embedding",
-        centroids, "cid", "cvec", tau = 0.4, nProbe = 2)
+        cents, tau = 0.4, nProbe = 2)
         .orderBy("vec_id")
     }),
 
@@ -267,12 +275,14 @@ object Vector {
       val centroids = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val out = QueryTmp.dir("q126", s, d)
-      graft.ops.Pq.ivfPqIndexWrite(emb, "vec_id", "embedding",
-        centroids, "cid", "cvec", cb, s"$out/ivfpq")
-      graft.ops.Pq.ivfPqSearchBatch(
+      // one codebook collect threads through build AND probe (r19)
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
+      graft.ops.Pq.ivfPqIndexWriteFrom(emb, "vec_id", "embedding",
+        cents, cb, s"$out/ivfpq")
+      graft.ops.Pq.ivfPqSearchBatchFrom(
         emb.filter(col("vec_id") < 2), "vec_id", "embedding",
         s.read.parquet(s"$out/ivfpq"), "vec_id",
-        centroids, "cid", "cvec", cb, k = 5, nProbe = 2)
+        cents, cb, k = 5, nProbe = 2)
         .orderBy(col("qid"), col("adc_dist"), col("vec_id"))
     }),
 
@@ -289,13 +299,16 @@ object Vector {
       val centroids = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val out = QueryTmp.dir("q127", s, d)
-      graft.ops.Pq.ivfPqIndexWritePair(emb, "vec_id", "embedding",
-        centroids, "cid", "cvec", cb, s"$out/ivfpq", s"$out/vecs")
-      graft.ops.Pq.ivfPqSearchRefined(
+      // one codebook collect threads through pair build AND the
+      // refined probe (whose inner ADC probe also shares it) (r19)
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
+      graft.ops.Pq.ivfPqIndexWritePairFrom(emb, "vec_id", "embedding",
+        cents, cb, s"$out/ivfpq", s"$out/vecs")
+      graft.ops.Pq.ivfPqSearchRefinedFrom(
         emb.filter(col("vec_id") < 2), "vec_id", "embedding",
         s.read.parquet(s"$out/ivfpq"), s.read.parquet(s"$out/vecs"),
         "vec_id", "embedding",
-        centroids, "cid", "cvec", cb, k = 5, nProbe = 2,
+        cents, cb, k = 5, nProbe = 2,
         refineFactor = 4)
         .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
     }),
@@ -314,12 +327,14 @@ object Vector {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val isBatch = col("vec_id") % 10 === 9
       val out = QueryTmp.dir("q133", s, d)
-      graft.ops.Pq.ivfPqIndexWrite(emb.filter(!isBatch), "vec_id",
-        "embedding", centroids, "cid", "cvec", cb, s"$out/ivfpq")
-      graft.ops.Pq.semanticDedupFlagsPq(
+      // one codebook collect threads through build AND probe (r19)
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
+      graft.ops.Pq.ivfPqIndexWriteFrom(emb.filter(!isBatch), "vec_id",
+        "embedding", cents, cb, s"$out/ivfpq")
+      graft.ops.Pq.semanticDedupFlagsPqFrom(
         emb.filter(isBatch), "vec_id", "embedding",
         s.read.parquet(s"$out/ivfpq"), "vec_id",
-        centroids, "cid", "cvec", cb, tauDist = 1.2, nProbe = 2)
+        cents, cb, tauDist = 1.2, nProbe = 2)
         .orderBy("vec_id")
     }),
 
@@ -340,10 +355,13 @@ object Vector {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val isBatch = col("vec_id") % 10 === 9
       val root = QueryTmp.dir("q135", s, d)
+      // one codebook collect for BOTH epochs (r19): the multi-batch
+      // driver threads the collected centroids through each batch body
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
       def ingest(df: DataFrame, b: Long): Unit =
-        graft.streaming.IdempotentSink.semanticIngestByBatch(
+        graft.streaming.IdempotentSink.semanticIngestByBatchFrom(
           s"$root/idx", s"$root/flags", "vec_id", "embedding",
-          centroids, "cid", "cvec", tau = 0.4, nProbe = 2)(df, b)
+          cents, tau = 0.4, nProbe = 2)(df, b)
       ingest(emb.filter(!isBatch), 0L)
       ingest(emb.filter(isBatch), 1L)
       s.read.parquet(s"$root/flags")
@@ -375,12 +393,14 @@ object Vector {
       val tau = graft.ops.Pq.calibrateTauDist(emb.filter(isCorpus),
         "vec_id", "embedding", cb, cosThreshold = 0.8, mode = "sdc")
       val out = QueryTmp.dir("q140", s, d)
-      graft.ops.Pq.ivfPqIndexWrite(emb.filter(isCorpus), "vec_id",
-        "embedding", centroids, "cid", "cvec", cb, s"$out/ivfpq")
-      graft.ops.Pq.semanticDedupFlagsPqSdc(
+      // one codebook collect threads through build AND probe (r19)
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
+      graft.ops.Pq.ivfPqIndexWriteFrom(emb.filter(isCorpus), "vec_id",
+        "embedding", cents, cb, s"$out/ivfpq")
+      graft.ops.Pq.semanticDedupFlagsPqSdcFrom(
         emb.filter(isBatch), "vec_id", "embedding",
         s.read.parquet(s"$out/ivfpq"), "vec_id",
-        centroids, "cid", "cvec", cb, tauDist = tau, nProbe = 2)
+        cents, cb, tauDist = tau, nProbe = 2)
         .orderBy("vec_id")
     }),
 
@@ -405,12 +425,14 @@ object Vector {
         emb.filter(isCorpus), "vec_id", "embedding", cb,
         cosThreshold = 0.8)
       val out = QueryTmp.dir("q145", s, d)
-      graft.ops.Pq.ivfPqIndexWrite(emb.filter(isCorpus), "vec_id",
-        "embedding", centroids, "cid", "cvec", cb, s"$out/ivfpq")
-      graft.ops.Pq.semanticDedupFlagsPqHybrid(
+      // one codebook collect threads through build AND probe (r19)
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
+      graft.ops.Pq.ivfPqIndexWriteFrom(emb.filter(isCorpus), "vec_id",
+        "embedding", cents, cb, s"$out/ivfpq")
+      graft.ops.Pq.semanticDedupFlagsPqHybridFrom(
         emb.filter(isBatch), "vec_id", "embedding",
         s.read.parquet(s"$out/ivfpq"), "vec_id",
-        centroids, "cid", "cvec", cb, tauSdc = tauS, tauAdc = tauA,
+        cents, cb, tauSdc = tauS, tauAdc = tauA,
         band = 0.2, refineK = 4, nProbe = 2)
         .orderBy("vec_id")
     }),
@@ -428,12 +450,14 @@ object Vector {
       val tau = graft.ops.Pq.calibrateTauDist(emb.filter(!isBatch),
         "vec_id", "embedding", cb, cosThreshold = 0.9, mode = "adc")
       val out = QueryTmp.dir("q144", s, d)
-      graft.ops.Pq.ivfPqIndexWrite(emb.filter(!isBatch), "vec_id",
-        "embedding", centroids, "cid", "cvec", cb, s"$out/ivfpq")
-      graft.ops.Pq.semanticDedupFlagsPq(
+      // one codebook collect threads through build AND probe (r19)
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
+      graft.ops.Pq.ivfPqIndexWriteFrom(emb.filter(!isBatch), "vec_id",
+        "embedding", cents, cb, s"$out/ivfpq")
+      graft.ops.Pq.semanticDedupFlagsPqFrom(
         emb.filter(isBatch), "vec_id", "embedding",
         s.read.parquet(s"$out/ivfpq"), "vec_id",
-        centroids, "cid", "cvec", cb, tauDist = tau, nProbe = 2)
+        cents, cb, tauDist = tau, nProbe = 2)
         .orderBy("vec_id")
     }),
 
@@ -454,10 +478,12 @@ object Vector {
       val tau = graft.ops.Pq.calibrateTauDist(emb.filter(!isBatch),
         "vec_id", "embedding", cb, cosThreshold = 0.9, mode = "adc")
       val root = QueryTmp.dir("q138", s, d)
+      // one codebook collect for BOTH epochs (r19)
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
       def ingest(df: DataFrame, b: Long): Unit =
-        graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+        graft.streaming.IdempotentSink.semanticIngestPqByBatchFrom(
           s"$root/idx", s"$root/flags", "vec_id", "embedding",
-          centroids, "cid", "cvec", cb, tauDist = tau, nProbe = 2)(df, b)
+          cents, cb, tauDist = tau, nProbe = 2)(df, b)
       ingest(emb.filter(!isBatch), 0L)
       ingest(emb.filter(isBatch), 1L)
       s.read.parquet(s"$root/flags")
@@ -487,10 +513,12 @@ object Vector {
       val tau = graft.ops.Pq.calibrateTauDist(emb.filter(isCorpus),
         "vec_id", "embedding", cb, cosThreshold = 0.8, mode = "sdc")
       val root = QueryTmp.dir("q141", s, d)
+      // one codebook collect for BOTH epochs (r19)
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
       def ingest(df: DataFrame, b: Long): Unit =
-        graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+        graft.streaming.IdempotentSink.semanticIngestPqByBatchFrom(
           s"$root/idx", s"$root/flags", "vec_id", "embedding",
-          centroids, "cid", "cvec", cb, tauDist = tau, nProbe = 2,
+          cents, cb, tauDist = tau, nProbe = 2,
           probeMode = "sdc")(df, b)
       ingest(emb.filter(isCorpus), 0L)
       ingest(emb.filter(isBatch), 1L)
@@ -523,10 +551,12 @@ object Vector {
         emb.filter(isCorpus), "vec_id", "embedding", cb,
         cosThreshold = 0.8)
       val root = QueryTmp.dir("q146", s, d)
+      // one codebook collect for BOTH epochs (r19)
+      val cents = Similarity.collectCodebook(centroids, "cid", "cvec")
       def ingest(df: DataFrame, b: Long): Unit =
-        graft.streaming.IdempotentSink.semanticIngestPqByBatch(
+        graft.streaming.IdempotentSink.semanticIngestPqByBatchFrom(
           s"$root/idx", s"$root/flags", "vec_id", "embedding",
-          centroids, "cid", "cvec", cb, tauDist = tauS, nProbe = 2,
+          cents, cb, tauDist = tauS, nProbe = 2,
           probeMode = "hybrid", tauAdc = tauA, band = 0.2,
           refineK = 4)(df, b)
       ingest(emb.filter(isCorpus), 0L)

@@ -420,6 +420,24 @@ object IdempotentSink {
       idCol: String, vecCol: String, centroids: DataFrame,
       centroidIdCol: String, centroidVecCol: String, tau: Double,
       nProbe: Int = 2, excludeSelf: Boolean = false, foldEvery: Int = 0,
+      foldTail: Boolean = false)(df: DataFrame, batchId: Long): Unit =
+    semanticIngestByBatchFrom(indexRoot, flagsOut, idCol, vecCol,
+      graft.ops.Similarity.collectCodebook(centroids, centroidIdCol,
+        centroidVecCol), tau, nProbe, excludeSelf, foldEvery, foldTail)(
+      df, batchId)
+
+  /** [[semanticIngestByBatch]] over a PRE-COLLECTED codebook — a
+    * multi-batch caller (the two-epoch gate queries; any driver loop
+    * feeding batches by hand) collects the centroid frame ONCE instead
+    * of paying one collect job per batch (r19, the same threading as
+    * the probe-layer `*From` variants from r18). The stream invariant
+    * is unchanged: the stamp is computed from `cents` and checked
+    * against the tree's sidecar before any mutation.
+    */
+  private[graft] def semanticIngestByBatchFrom(indexRoot: String,
+      flagsOut: String, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], tau: Double,
+      nProbe: Int = 2, excludeSelf: Boolean = false, foldEvery: Int = 0,
       foldTail: Boolean = false)(df: DataFrame, batchId: Long): Unit = {
     import graft.ops.Similarity
     val spark = df.sparkSession
@@ -429,8 +447,6 @@ object IdempotentSink {
     // is refused before ANY tree mutation — a fold-due batch with a
     // drifted codebook must not compact the tree it is about to refuse
     // to write into (r16 ADVICE)
-    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
-      centroidVecCol)
     val stamp = Similarity.codebookStamp(cents)
     val sidecar = Similarity.readStampSidecar(spark, vecDir)
     sidecar.foreach { s =>
@@ -582,6 +598,24 @@ object IdempotentSink {
       foldTail: Boolean = false, probeMode: String = "adc",
       tauAdc: Double = Double.NaN, band: Double = Double.NaN,
       refineK: Int = 4)(
+      df: DataFrame, batchId: Long): Unit =
+    semanticIngestPqByBatchFrom(indexRoot, flagsOut, idCol, vecCol,
+      graft.ops.Similarity.collectCodebook(centroids, centroidIdCol,
+        centroidVecCol), cb, tauDist, nProbe, excludeSelf, foldEvery,
+      foldTail, probeMode, tauAdc, band, refineK)(df, batchId)
+
+  /** [[semanticIngestPqByBatch]] over a PRE-COLLECTED codebook — one
+    * centroid collect per multi-batch driver instead of one per batch
+    * (r19); see [[semanticIngestByBatchFrom]].
+    */
+  private[graft] def semanticIngestPqByBatchFrom(indexRoot: String,
+      flagsOut: String, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      cb: graft.ops.Pq.Codebook, tauDist: Double, nProbe: Int = 2,
+      excludeSelf: Boolean = false, foldEvery: Int = 0,
+      foldTail: Boolean = false, probeMode: String = "adc",
+      tauAdc: Double = Double.NaN, band: Double = Double.NaN,
+      refineK: Int = 4)(
       df: DataFrame, batchId: Long): Unit = {
     require(probeMode == "adc" || probeMode == "sdc" ||
       probeMode == "hybrid",
@@ -603,8 +637,6 @@ object IdempotentSink {
     val codeDir = s"$indexRoot/code"
     // drift (either codebook) refused BEFORE any tree mutation,
     // including a due fold — same ordering contract as the plain ingest
-    val cents = Similarity.collectCodebook(centroids, centroidIdCol,
-      centroidVecCol)
     val stamp = Pq.combinedStamp(Similarity.codebookStamp(cents), cb)
     val sidecar = Similarity.readStampSidecar(spark, codeDir)
     sidecar.foreach { s =>
